@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse catalog over parquet-backed tables.
+  *
+  * The reference keeps its tables in Snowflake (`CLIENT_BUY_ORDERS` et al.,
+  * commands.sql:32-62); here a "warehouse" is a directory of parquet tables
+  * read through Spark's vectorized reader. Table registration mirrors
+  * Snowflake name resolution (SURVEY.md §1.1).
+  */
+object Tables {
+  /** Driver-provided test tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects. Read nanos as long, then truncate to microseconds —
+    // the same ns→µs truncation DuckDB applies when it loads the file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) if name == "events" =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` resolves bare names,
+    * the analog of Snowflake's `USE SCHEMA` + name resolution (A4:71-74). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The relational operator surface of the engine (SURVEY.md §2.12), each
+  * query re-expressed with the DataFrame API so Catalyst owns the physical
+  * plan (pushdown, partial aggregation, broadcast selection, top-k).
+  *
+  * Every function takes `(spark, sfDir)` and returns a DataFrame whose
+  * column names match the DuckDB oracle SQL in [[graft.SparkEntry.oracleSql]]
+  * exactly; every result carries a total ORDER BY so hashing is
+  * deterministic. Reference citations per-operator are in SURVEY.md §2.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** A1 global COUNT(*) (reference: commands.sql:106). */
+  def q01CountGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  /** A2 group-by count + ORDER BY count DESC (commands.sql:112-115). */
+  def q02GroupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderstatus"))
+
+  /** A3+A4 multi-key group, multi-aggregate (A4:494-497). */
+  def q03MultikeyAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A5 global MIN/MAX/AVG (streamlit_buy_orders_app.py:62-69). */
+  def q04MinMaxAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(min("l_extendedprice"), 4).as("mn"),
+      round(max("l_extendedprice"), 4).as("mx"),
+      round(avg("l_extendedprice"), 4).as("av"))
+
+  /** A6 COUNT(DISTINCT) — exact (streamlit_buy_orders_app.py:135). */
+  def q05CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("u"))
+
+  /** A7 DISTINCT projection, ordered + limited (streamlit:50-59). */
+  def q06DistinctLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_mktsegment").distinct()
+      .orderBy("c_mktsegment").limit(200)
+
+  /** A8 conditional aggregation (A4:749-756). */
+  def q07ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").agg(
+      sum(when(col("c_acctbal") < 0, 1).otherwise(0)).as("neg_bal"),
+      sum(when(col("c_acctbal") > 5000, 1).otherwise(0)).as("rich"))
+
+  /** A9 AVG + STDDEV moments for 3-sigma bounds (A4:762-764). */
+  def q08Moments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(avg("l_quantity"), 4).as("m"),
+      round(stddev("l_quantity"), 4).as("sd"))
+
+  /** A10 HAVING on aggregate — duplicate-style detection (A4:738-742). */
+  def q09Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 15)
+      .orderBy(col("n").desc, col("o_custkey"))
+
+  /** A11+W3 ratio-to-total via unpartitioned window (A4:489-492). */
+  def q10RatioToTotal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(lit(100.0) * col("n") / sum("n").over(Window.partitionBy()), 4))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+
+  /** P4 comparison predicate pushed to the scan (A4:239-244). */
+  def q11FilterCompare(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") < 1200)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P5 BETWEEN range predicate (streamlit:84-89). */
+  def q12Between(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_acctbal").between(100, 200))
+      .select("c_custkey").orderBy("c_custkey")
+
+  /** P6 IN-list predicate (streamlit:73-82). */
+  def q13InList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .filter(col("n_regionkey").isin(0, 2))
+      .select("n_name").orderBy("n_name")
+
+  /** P7 timestamp range with INTERVAL arithmetic (streamlit:91-100). */
+  def q14TsInterval(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-10 00:00:00").cast("timestamp") +
+          expr("INTERVAL 1 DAY"))
+      .select("event_id").orderBy("event_id")
+
+  /** P8 case-insensitive LIKE over an OR-chain (streamlit:102-111). */
+  def q15IlikeSearch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(lower(col("c_name")).like("%00%") ||
+        lower(col("c_mktsegment")).like("%ma%"))
+      .select("c_custkey").orderBy("c_custkey")
+
+  /** P9 NULL predicate (streamlit:255). */
+  def q16NullPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("props").isNotNull)
+      .agg(count(lit(1)).as("n"))
+
+  /** P10 regex predicate (A4:758-760). */
+  def q17Regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_name").rlike("00[0-4]$"))
+      .select("c_custkey").orderBy("c_custkey").limit(100)
+
+  /** J1 equi inner join + residual filter (A4:916-918). */
+  def q18JoinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").as("o")
+      .join(t(s, dir, "customer").as("c"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "c_name")
+      .orderBy("o_orderkey")
+
+  /** J2+G5 scalar-aggregate cross join → 3-sigma outliers (A4:762-769).
+    * The 1-row stats side is broadcast, so no shuffle of the fact table. */
+  def q19Outlier3Sigma(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val stats = li.agg(avg("l_quantity").as("m"), stddev("l_quantity").as("sd"))
+    li.crossJoin(broadcast(stats))
+      .filter(col("l_quantity") > col("m") + lit(2) * col("sd"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** J3/J4 fact⋈dim join + group (data_generator.py:34-37) — the dim side
+    * (nation, 25 rows) is broadcast like the 29-row car catalog. */
+  def q20JoinGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("n_name"))
+
+  /** O4 top-k = ORDER BY agg DESC + LIMIT (streamlit:154-163);
+    * Catalyst plans TakeOrderedAndProject — no global sort. */
+  def q21TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_p"))
+      .orderBy(col("n").desc, col("p_brand")).limit(10)
+
+  /** O1+O3 ORDER BY ... DESC + LIMIT preview (A4:284-287). */
+  def q22SortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** U1 n-way UNION ALL of labeled counts (A4:480-486). */
+  def q23UnionCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(count(lit(1)).as("n"))
+      .select(lit("orders").as("obj"), col("n"))
+      .unionAll(
+        t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+          .select(lit("lineitem").as("obj"), col("n")))
+      .orderBy("obj")
+
+  /** U1 UNION ALL of row sets (A4:790-794). */
+  def q24UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    sup.filter(col("s_acctbal") > 5000).select("s_suppkey", "s_name")
+      .unionAll(sup.filter(col("s_acctbal") < 0).select("s_suppkey", "s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** U3 VALUES inline table (A4:908-915). */
+  def q25ValuesInline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(("a", 1.0), ("b", 0.95)).toDF("metric", "threshold").orderBy("metric")
+  }
+
+  /** U4 SELECT DISTINCT * dedup (commands.sql:126-128). */
+  def q26DistinctStar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").distinct().agg(count(lit(1)).as("n"))
+
+  /** W1/W2 latest-per-key: row_number + rn=1 — the QUALIFY rewrite
+    * (A4:824-833, 902-907). */
+  def q27LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey").limit(100)
+  }
+
+  /** F3 substring + group (A4:947). */
+  def q28SubstrGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(substring(col("c_name"), 10, 2).as("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pfx")).limit(20)
+
+  /** G11 masked projection: left-4 + pad (A4:947, 983). */
+  def q29MaskConcat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(substring(col("c_name"), 1, 4), lit("********")).as("masked"))
+      .orderBy("c_custkey").limit(50)
+
+  /** F2 SHA-256 hashing (A4:988). */
+  def q30Sha2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), sha2(col("c_name"), 256).as("h"))
+      .orderBy("c_custkey").limit(50)
+
+  /** F4 COALESCE + CASE WHEN (batch_insert.py:77-78; A4:802). */
+  def q31CaseCoalesce(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        coalesce(col("o_orderpriority"), lit("N/A")).as("pri"),
+        when(col("o_totalprice") > 200000, "big").otherwise("small").as("sz"))
+      .orderBy("o_orderkey").limit(100)
+
+  /** A13/F5 date_trunc time-bucket aggregation (A4:924-930). */
+  def q32DateTrunc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("mo")
+
+  /** F5 datediff day arithmetic (A4:703). */
+  def q33DateDiff(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("age_days"))
+      .orderBy("o_orderkey").limit(100)
+
+  /** F6 modulo bucketing (A4:1061). */
+  def q34ModBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy((col("l_orderkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** P1/F7 JSON path extraction + cast over the staging-style payload
+    * column (A4:224-244). */
+  def q35JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id").limit(100)
+
+  /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
+  def q36FracNullif(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        sum(when(col("l_discount").between(0.05, 0.07), 1).otherwise(0)).as("s"),
+        count(lit(1)).as("c"))
+      .select(round(col("s") * lit(1.0) /
+        when(col("c") === 0, lit(null)).otherwise(col("c")), 6).as("frac"))
+
+  /** Registry: name → implementation. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_count_global" -> q01CountGlobal,
+    "q02_group_count" -> q02GroupCount,
+    "q03_multikey_agg" -> q03MultikeyAgg,
+    "q04_minmax_avg" -> q04MinMaxAvg,
+    "q05_count_distinct" -> q05CountDistinct,
+    "q06_distinct_limit" -> q06DistinctLimit,
+    "q07_conditional_agg" -> q07ConditionalAgg,
+    "q08_moments" -> q08Moments,
+    "q09_having" -> q09Having,
+    "q10_ratio_to_total" -> q10RatioToTotal,
+    "q11_filter_compare" -> q11FilterCompare,
+    "q12_between" -> q12Between,
+    "q13_in_list" -> q13InList,
+    "q14_ts_interval" -> q14TsInterval,
+    "q15_ilike_search" -> q15IlikeSearch,
+    "q16_null_pred" -> q16NullPred,
+    "q17_regex" -> q17Regex,
+    "q18_join_inner" -> q18JoinInner,
+    "q19_outlier_3sigma" -> q19Outlier3Sigma,
+    "q20_join_group" -> q20JoinGroup,
+    "q21_topk" -> q21TopK,
+    "q22_sort_limit" -> q22SortLimit,
+    "q23_union_counts" -> q23UnionCounts,
+    "q24_union_all" -> q24UnionAll,
+    "q25_values_inline" -> q25ValuesInline,
+    "q26_distinct_star" -> q26DistinctStar,
+    "q27_latest_per_key" -> q27LatestPerKey,
+    "q28_substr_group" -> q28SubstrGroup,
+    "q29_mask_concat" -> q29MaskConcat,
+    "q30_sha2" -> q30Sha2,
+    "q31_case_coalesce" -> q31CaseCoalesce,
+    "q32_date_trunc" -> q32DateTrunc,
+    "q33_datediff" -> q33DateDiff,
+    "q34_mod_bucket" -> q34ModBucket,
+    "q35_json_extract" -> q35JsonExtract,
+    "q36_frac_nullif" -> q36FracNullif,
+  )
+
+  /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
+  val oracles: Map[String, String] = Map(
+    "q01_count_global" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q02_group_count" ->
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus",
+    "q03_multikey_agg" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(AVG(l_quantity),4) AS avg_qty FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q04_minmax_avg" ->
+      "SELECT ROUND(MIN(l_extendedprice),4) AS mn, ROUND(MAX(l_extendedprice),4) AS mx, ROUND(AVG(l_extendedprice),4) AS av FROM lineitem",
+    "q05_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",
+    "q06_distinct_limit" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment LIMIT 200",
+    "q07_conditional_agg" ->
+      "SELECT CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_bal, CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rich FROM customer",
+    "q08_moments" ->
+      "SELECT ROUND(AVG(l_quantity),4) AS m, ROUND(STDDEV(l_quantity),4) AS sd FROM lineitem",
+    "q09_having" ->
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15 ORDER BY n DESC, o_custkey",
+    "q10_ratio_to_total" ->
+      "SELECT o_orderpriority, COUNT(*) AS n, ROUND(100.0*COUNT(*)/SUM(COUNT(*)) OVER (),4) AS pct FROM orders GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority",
+    "q11_filter_compare" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_extendedprice < 1200 ORDER BY l_orderkey, l_linenumber",
+    "q12_between" ->
+      "SELECT c_custkey FROM customer WHERE c_acctbal BETWEEN 100 AND 200 ORDER BY c_custkey",
+    "q13_in_list" ->
+      "SELECT n_name FROM nation WHERE n_regionkey IN (0,2) ORDER BY n_name",
+    "q14_ts_interval" ->
+      "SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 1 DAY ORDER BY event_id",
+    "q15_ilike_search" ->
+      "SELECT c_custkey FROM customer WHERE LOWER(c_name) LIKE '%00%' OR LOWER(c_mktsegment) LIKE '%ma%' ORDER BY c_custkey",
+    "q16_null_pred" ->
+      "SELECT COUNT(*) AS n FROM events WHERE props IS NOT NULL",
+    "q17_regex" ->
+      "SELECT c_custkey FROM customer WHERE regexp_matches(c_name, '00[0-4]$') ORDER BY c_custkey LIMIT 100",
+    "q18_join_inner" ->
+      "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 400000 ORDER BY o.o_orderkey",
+    "q19_outlier_3sigma" ->
+      "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l CROSS JOIN (SELECT AVG(l_quantity) m, STDDEV(l_quantity) sd FROM lineitem) s WHERE l.l_quantity > s.m + 2*s.sd ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity",
+    "q20_join_group" ->
+      "SELECT n.n_name, COUNT(*) AS n FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n DESC, n.n_name",
+    "q21_topk" ->
+      "SELECT p_brand, COUNT(*) AS n, ROUND(AVG(p_retailprice),4) AS avg_p FROM part GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10",
+    "q22_sort_limit" ->
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10",
+    "q23_union_counts" ->
+      "SELECT 'orders' AS obj, COUNT(*) AS n FROM orders UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem ORDER BY obj",
+    "q24_union_all" ->
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 5000 UNION ALL SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal < 0 ORDER BY s_suppkey",
+    "q25_values_inline" ->
+      "SELECT t.metric, CAST(t.threshold AS DOUBLE) AS threshold FROM (VALUES ('a', 1.0), ('b', 0.95)) AS t(metric, threshold) ORDER BY t.metric",
+    "q26_distinct_star" ->
+      "SELECT COUNT(*) AS n FROM (SELECT DISTINCT * FROM nation) t",
+    "q27_latest_per_key" ->
+      "SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT o_custkey, o_orderkey, o_orderdate, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders) WHERE rn = 1 ORDER BY o_custkey LIMIT 100",
+    "q28_substr_group" ->
+      "SELECT SUBSTRING(c_name,10,2) AS pfx, COUNT(*) AS n FROM customer GROUP BY SUBSTRING(c_name,10,2) ORDER BY n DESC, pfx LIMIT 20",
+    "q29_mask_concat" ->
+      "SELECT c_custkey, CONCAT(SUBSTRING(c_name,1,4), '********') AS masked FROM customer ORDER BY c_custkey LIMIT 50",
+    "q30_sha2" ->
+      "SELECT c_custkey, sha256(c_name) AS h FROM customer ORDER BY c_custkey LIMIT 50",
+    "q31_case_coalesce" ->
+      "SELECT o_orderkey, COALESCE(o_orderpriority, 'N/A') AS pri, CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q32_date_trunc" ->
+      "SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n FROM orders GROUP BY DATE_TRUNC('month', o_orderdate) ORDER BY mo",
+    "q33_datediff" ->
+      "SELECT o_orderkey, CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS age_days FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q34_mod_bucket" ->
+      "SELECT l_orderkey % 100 AS bucket, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey % 100 ORDER BY bucket",
+    "q35_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id LIMIT 100",
+    "q36_frac_nullif" ->
+      "SELECT ROUND(SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN 1 ELSE 0 END)*1.0/NULLIF(COUNT(*),0),6) AS frac FROM lineitem",
+  )
+}
