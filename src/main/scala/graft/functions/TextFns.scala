@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything here is a composition of built-in (codegen'd) expressions —
+  * no UDFs — so filters/projections built from these stay inside
+  * whole-stage codegen and scale linearly with input splits.
+  *
+  * Each function has a DuckDB-SQL twin (the `*Sql` builders) generated from
+  * the same constants, so Spark results and the oracle can never drift.
+  */
+object TextFns {
+
+  /** Whitespace tokenizer (lowercased). A BPE-ish sub-word split is
+    * provided by [[bpeishTokens]]. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Regex sub-word tokenizer: alphanumeric runs or single punctuation
+    * marks — the common pre-BPE pretokenization shape. (extract-based,
+    * not split-with-lookaround: RE2-class engines can oracle it.) */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c)).cast("long")
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(c: Column): Column =
+    round(length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+      nullif(length(c), lit(0)), 4)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    round(length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") /
+      nullif(length(c), lit(0)), 4)
+
+  /** English stopword list used by quality scoring (fixed, tiny — ships to
+    * executors as a literal IN-list, no broadcast needed). */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    round(size(filter(toks, w => w.isInCollection(enStopwords))).cast("double") /
+      nullif(size(toks), lit(0)), 4)
+  }
+
+  /** Composite document-quality score in [0,1]: length saturation,
+    * letter density, and stopword presence — the three heuristics of the
+    * reference-style DQ layer applied to raw text (SURVEY.md §2.11 G2/G3
+    * recast for documents). */
+  def qualityScore(c: Column): Column =
+    round(
+      lit(0.3) * least(lit(1.0), tokenCount(c).cast("double") / lit(100.0)) +
+        lit(0.4) * alphaRatio(c) +
+        lit(0.3) * least(lit(1.0), stopwordRatio(c) * lit(4.0)), 4)
+
+  /** Language marker lists (n-gram heuristic). Order = tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  private def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(markers)))
+
+  /** Heuristic language ID: argmax of marker-word hits, ties broken by
+    * list order, no hits at all → "und". */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = langMarkers.map { case (l, m) => l -> langScore(toks, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), els) =>
+      when(best > 0 && sc === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Canonical document fingerprint: SHA-256 of whitespace-normalized,
+    * lowercased text — the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
+
+  // ---- DuckDB oracle twins (same constants, by construction) ----
+
+  def tokenCountSql(col: String): String =
+    s"len(string_split_regex(trim(lower($col)), '\\s+'))"
+
+  def alphaRatioSql(col: String): String =
+    s"ROUND(CAST(length(regexp_replace($col, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(length($col), 0), 4)"
+
+  def stopwordRatioSql(col: String): String = {
+    val inList = enStopwords.map(w => s"'$w'").mkString(", ")
+    s"ROUND(CAST(len(list_filter(string_split_regex(trim(lower($col)), '\\s+'), w -> w IN ($inList))) AS DOUBLE) / NULLIF(len(string_split_regex(trim(lower($col)), '\\s+')), 0), 4)"
+  }
+
+  def qualityScoreSql(col: String): String =
+    s"ROUND(0.3 * LEAST(1.0, CAST(${tokenCountSql(col)} AS DOUBLE) / 100.0) + 0.4 * ${alphaRatioSql(col)} + 0.3 * LEAST(1.0, ${stopwordRatioSql(col)} * 4.0), 4)"
+
+  def langIdSql(col: String): String = {
+    val toks = s"string_split_regex(trim(lower($col)), '\\s+')"
+    val scoreExprs = langMarkers.map { case (l, m) =>
+      val inList = m.map(w => s"'$w'").mkString(", ")
+      l -> s"len(list_filter($toks, w -> w IN ($inList)))"
+    }
+    val best = s"GREATEST(${scoreExprs.map(_._2).mkString(", ")})"
+    val cases = scoreExprs.map { case (l, sc) =>
+      s"WHEN $best > 0 AND $sc = $best THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  def fingerprintSql(col: String): String =
+    s"sha256(regexp_replace(lower(trim($col)), '\\s+', ' ', 'g'))"
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast)
+  *    query set against the corpus — the correctness baseline and the
+  *    re-rank stage of any ANN pipeline;
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are
+  *    bucketed by sign-bit signature, candidates come from an equi-join
+  *    on bucket keys (shuffle bounded by bucket sizes, never |Q|·|N|),
+  *    then exact cosine re-ranks within buckets.
+  *
+  * All math is native expressions over double-cast arrays (zip_with +
+  * aggregate), no UDFs; hyperplanes are seeded, literal-encoded vectors
+  * so every executor evaluates the identical signature function.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two array<double> columns (left-fold, deterministic
+    * summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two embedding columns (float arrays ok). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / nullif(l2Norm(ad) * l2Norm(bd), lit(0.0))
+  }
+
+  /** Exact top-k: broadcast the query set, score every corpus row,
+    * rank per query. The window partitions by query id, so ranking is a
+    * per-query shuffle — no global sort. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(d)` ∈ {-1,+1} from a
+    * seeded xorshift-free LCG — literal-encoded, identical on every
+    * executor and across runs. */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var state = seed
+    def next(): Long = { // splitmix64
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(numPlanes, dim)(if (next() >= 0) 1.0 else -1.0)
+  }
+
+  /** Sign-bit LSH signature: one bucket key per (table-id) from
+    * `numPlanes` hyperplane sign bits. */
+  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val v = asDouble(vecCol)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit(_)): _*)
+      when(dot(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets with multi-probe: each query probes its
+    * own bucket plus every 1-bit-flipped bucket (numPlanes+1 probes), so
+    * near neighbors that disagree on a single hyperplane are still
+    * candidates — the standard multi-probe recall fix (Lv et al.,
+    * VLDB'07). Only the (small) query side fans out; the corpus is
+    * bucketed once and the candidate join stays an equi-join on the
+    * bucket key, bounded by bucket sizes, never |Q|·|N|. Exact cosine
+    * re-ranks within candidates. Recall tunable by numPlanes (fewer
+    * planes → bigger buckets → higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val probeOffsets = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
+      .withColumn("bucket",
+        explode(array_distinct(transform(array(probeOffsets: _*),
+          m => col("bucket0").bitwiseXOR(m)))))
+      .drop("bucket0")
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked
+    * (the embedding analog of [[Dedup.minhashDedupPairs]]). */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators exposed as declared queries over the
+  * driver's `documents` / `embeddings` tables: deduplication (exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
+  * + LSH cosine), text analysis (tokens, quality, language ID,
+  * fingerprint), and multimodal plumbing.
+  *
+  * Oracle coverage: everything whose math DuckDB can replicate exactly
+  * gets SQL (token/quality/langid SQL is generated from the same constant
+  * tables as the Spark expressions). Hash-family ops (xxhash64-based
+  * MinHash/SimHash/LSH) have no DuckDB twin → rows-only checks, with
+  * ScalaTest suites asserting their semantics instead.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  // ---- text analysis ----
+
+  def t01Tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_tokens"),
+      TextFns.bpeishTokenCount(col("text")).as("n_subtokens"))
+      .orderBy("doc_id")
+
+  def t02Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextFns.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFns.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFns.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def t03LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFns.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- dedup ----
+
+  def d01DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+      .select("doc_id", "n_dups").orderBy("doc_id")
+
+  def d02DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def d03DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  def d04NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search ----
+
+  def v01AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, numPlanes = 6, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  def v03CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 6, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  // ---- multimodal plumbing ----
+
+  def m01MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text")
+      .select(col("asset_id"), col("kind"),
+        octet_length(col("data")).cast("long").as("byte_len"),
+        col("meta.width").as("width"), col("meta.codec").as("codec"))
+      .orderBy("asset_id")
+
+  def m02MultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text"))
+      .select(col("asset_id"), col("byte_len"),
+        size(col("feature")).as("feat_dims"),
+        round(aggregate(col("feature"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+      .orderBy("asset_id")
+
+  def m03FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text"), 4)
+      .orderBy("asset_id", "frame_idx")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_tokens" -> t01Tokens,
+    "t02_quality" -> t02Quality,
+    "t03_langid" -> t03LangId,
+    "t04_fingerprint" -> t04Fingerprint,
+    "d01_dedup_exact" -> d01DedupExact,
+    "d02_dedup_minhash" -> d02DedupMinhash,
+    "d03_dedup_simhash" -> d03DedupSimhash,
+    "d04_ngram_jaccard" -> d04NgramJaccard,
+    "v01_ann_brute" -> v01AnnBrute,
+    "v02_ann_lsh" -> v02AnnLsh,
+    "v03_cosine_near_dup" -> v03CosineNearDup,
+    "m01_multimodal_meta" -> m01MultimodalMeta,
+    "m02_multimodal_decode" -> m02MultimodalDecode,
+    "m03_frame_sample" -> m03FrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_tokens" ->
+      (s"SELECT doc_id, CAST(${TextFns.tokenCountSql("text")} AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens " +
+        "FROM documents ORDER BY doc_id"),
+    "t02_quality" ->
+      (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"${TextFns.alphaRatioSql("text")} AS alpha_ratio, " +
+        s"${TextFns.stopwordRatioSql("text")} AS stop_ratio, " +
+        s"${TextFns.qualityScoreSql("text")} AS quality " +
+        "FROM documents ORDER BY doc_id"),
+    "t03_langid" ->
+      (s"SELECT doc_id, ${TextFns.langIdSql("text")} AS lang_pred " +
+        "FROM documents ORDER BY doc_id"),
+    "t04_fingerprint" ->
+      (s"SELECT doc_id, ${TextFns.fingerprintSql("text")} AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "d01_dedup_exact" ->
+      (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups " +
+        s"FROM documents GROUP BY ${TextFns.fingerprintSql("text")} ORDER BY doc_id"),
+    "d04_ngram_jaccard" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, tk[1] AS blk,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+    "v01_ann_brute" ->
+      ("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
+    "m01_multimodal_meta" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS asset_id, " +
+        "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, " +
+        "CAST((doc_id % 64) * 16 + 64 AS INT) AS width, " +
+        "['png','opus','h264'][CAST(doc_id % 3 AS INT) + 1] AS codec " +
+        "FROM documents ORDER BY asset_id"),
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per normalized text and counts dups") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",   // same after normalization
+      3L -> "something else")
+    val out = Dedup.exactDedup(d, "doc_id", "text")
+      .select("doc_id", "n_dups").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds near-identical docs, skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("tonight", "today")
+    val unrelated = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash jaccard of identical docs is 1.0") {
+    val d = docs(1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta epsilon")
+    val row = Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.9)
+      .collect()
+    assert(row.length === 1)
+    assert(row(0).getDouble(2) === 1.0)
+  }
+
+  test("simhash of identical docs is equal; hamming pairs found") {
+    val d = docs(
+      1L -> "spark catalyst tungsten codegen shuffle partition broadcast join agg window",
+      2L -> "spark catalyst tungsten codegen shuffle partition broadcast join agg window",
+      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq")
+    val fps = Dedup.withSimhash(d, "doc_id", "text")
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
+  test("simhash blocking catches all pairs with hamming <= 3 (pigeonhole)") {
+    // identical except one low-weight token difference → small hamming;
+    // blocked pairs must equal brute-force pairs at the same cutoff
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val variant = base.replace("tok40", "tok41")
+    val d = docs(1L -> base, 2L -> variant)
+    val fps = Dedup.withSimhash(d, "doc_id", "text")
+      .orderBy("id").collect().map(_.getLong(1))
+    val hamming = java.lang.Long.bitCount(fps(0) ^ fps(1))
+    val blocked = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect()
+    if (hamming <= 3) assert(blocked.length === 1)
+    else assert(blocked.isEmpty)
+  }
+
+  test("ngram jaccard pairs: identical docs 1.0, prefix-blocked") {
+    val d = docs(
+      1L -> "shared prefix one two three four five",
+      2L -> "shared prefix one two three four five",
+      3L -> "shared prefix totally different tail words here",
+      4L -> "other block entirely")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("shingles: short docs fall back to whole-text shingle") {
+    val d = docs(1L -> "one two")
+    val sh = d.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("one two"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val d = Seq((
+      Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(-1.0f, 0.0f)
+    )).toDF("a", "b", "c", "d")
+    val r = d.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("d"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is null, not a crash") {
+    val d = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val r = d.select(Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, rank ordered") {
+    val d = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f),
+      3L -> Seq(0.8f, 0.2f), 4L -> Seq(-1f, 0f))
+    val out = Similarity.bruteForceTopK(d, d.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 2)
+    assert(out(0) === ((0L, 1L, 1L))) // closest is 1
+    assert(out(1) === ((0L, 3L, 2L))) // then 3
+  }
+
+  test("lsh bucket is deterministic and identical vectors collide") {
+    val d = vecs(0L -> Seq(1f, 2f, 3f, 4f), 1L -> Seq(1f, 2f, 3f, 4f))
+    val buckets = d.select(Similarity.lshBucket(col("embedding"), 8, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) === buckets(1))
+    val again = d.select(Similarity.lshBucket(col("embedding"), 8, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.toSeq === again.toSeq)
+  }
+
+  test("hyperplanes are seed-deterministic") {
+    val a = Similarity.hyperplanes(4, 8, 42L)
+    val b = Similarity.hyperplanes(4, 8, 42L)
+    val c = Similarity.hyperplanes(4, 8, 43L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq !== c.map(_.toSeq).toSeq)
+  }
+
+  test("lshTopK finds identical vector in same bucket with sim 1.0") {
+    val d = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f), 1L -> Seq(1f, 2f, 3f, 4f),
+      2L -> Seq(-1f, -2f, -3f, -4f))
+    val out = Similarity.lshTopK(d, d.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.contains((0L, 1L, 1.0)))
+    // opposite vector is in the complementary bucket — LSH prunes it
+    assert(!out.exists(_._2 == 2L))
+  }
+
+  test("lsh recall vs brute force on real embeddings (sf0.001)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 5,
+        numPlanes = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall unexpectedly low: $recall")
+  }
+}
