@@ -1,0 +1,103 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SnowFns
+
+/** The reference's data-quality framework (SURVEY.md §2.11 G1-G9,
+  * A4:731-930) as reusable library operators over arbitrary DataFrames.
+  *
+  * Scale posture: every check is a single-pass aggregation or a
+  * key-partitioned group-by — one scan per metric *batch*, not per
+  * metric. The multi-metric builders ([[nullProfile]], [[metricsBatch]])
+  * compute all their conditional aggregates in one `agg(...)` so a 100 TB
+  * table is read once, map-side-combined, and the shuffle carries a
+  * handful of partial sums per partition. Nothing here collects to the
+  * driver.
+  */
+object DqChecks {
+
+  /** G1 duplicate detection (A4:738-742): key groups with more than one
+    * row. `groupBy(keys).count.filter(>1)` — partial aggregation makes
+    * the shuffle one row per (key, partition). */
+  def duplicates(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
+  /** G2 range/type/staleness validation (A4:744-747): rows violating
+    * `value ∈ [lo, hi] ∧ value not null ∧ ts ≤ asOf`. The predicate is a
+    * scan-level filter — pushed to the parquet reader. `asOf` is an
+    * explicit parameter (not current_timestamp) so results are
+    * reproducible. */
+  def rangeViolations(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      tsCol: String, asOf: Column): DataFrame =
+    df.filter(col(valueCol).isNull || col(valueCol) < lo ||
+      col(valueCol) > hi || col(tsCol) > asOf)
+
+  /** G3 null-count profile (A4:749-756): null counts for every listed
+    * column in ONE pass (a single agg of conditional sums), unpivoted to
+    * (metric_name, metric_value) rows. */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    SnowFns.unpivot(df.agg(aggs.head, aggs.tail: _*),
+      idCols = Seq.empty, valueCols = cols.map(c => s"null_$c"))
+  }
+
+  /** G4 format validation (A4:758-760): rows whose column fails the
+    * regex. */
+  def formatViolations(df: DataFrame, c: String, pattern: String): DataFrame =
+    df.filter(!col(c).rlike(pattern) || col(c).isNull)
+
+  /** G5 sigma-outlier detection (A4:762-769): rows beyond
+    * mean ± nSigma·stddev. The 1-row moments aggregate is broadcast into
+    * a cross join, so the fact side is scanned twice but never shuffled
+    * (at 100 TB: scan cost, not shuffle cost; cache the input to halve
+    * it). */
+  def sigmaOutliers(df: DataFrame, valueCol: String,
+      nSigma: Double = 3.0): DataFrame = {
+    val stats = df.agg(avg(valueCol).as("__m"), stddev(valueCol).as("__sd"))
+    df.crossJoin(broadcast(stats))
+      .filter(col(valueCol) > col("__m") + lit(nSigma) * col("__sd"))
+      .drop("__m", "__sd")
+  }
+
+  /** G6 completeness/validity metric batch (A4:786-823): named ratio
+    * metrics — `avg(iff(pred,1,0))` per metric — computed in ONE
+    * aggregation pass and unpivoted to
+    * (metric_group, metric_name, metric_value) rows. */
+  def metricsBatch(df: DataFrame, metricGroup: String,
+      metrics: Seq[(String, Column)], scale: Int = 6): DataFrame = {
+    val aggs = metrics.map { case (name, pred) =>
+      round(avg(SnowFns.iff(pred, lit(1.0), lit(0.0))), scale).as(name)
+    }
+    SnowFns.unpivot(
+      df.agg(aggs.head, aggs.tail: _*).withColumn("metric_group", lit(metricGroup)),
+      idCols = Seq("metric_group"), valueCols = metrics.map(_._1))
+  }
+
+  /** G7 latest-value-per-metric dashboard (A4:824-836, W1): newest row
+    * per (metric_group, metric_name) by computed_at — the QUALIFY
+    * rewrite. */
+  def latestPerMetric(metrics: DataFrame): DataFrame =
+    SnowFns.qualifyRowNumber1(metrics,
+      partitionBy = Seq("metric_group", "metric_name"),
+      orderBy = Seq(col("computed_at").desc))
+
+  /** G8 threshold alerting (A4:901-918): latest metrics joined to an
+    * inline threshold table (U3 VALUES ≡ toDF), keeping metrics below
+    * threshold. The threshold side is a handful of rows — broadcast. */
+  def thresholdAlerts(latestMetrics: DataFrame,
+      thresholds: DataFrame): DataFrame =
+    latestMetrics.join(broadcast(thresholds), Seq("metric_name"))
+      .filter(col("metric_value") < col("threshold"))
+
+  /** G9 hourly metric trend (A4:924-930): aggregates over
+    * date_trunc('hour') buckets. */
+  def hourlyTrend(df: DataFrame, tsCol: String,
+      aggExprs: Seq[Column]): DataFrame =
+    df.groupBy(date_trunc("hour", col(tsCol)).as("bucket_hour"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+}

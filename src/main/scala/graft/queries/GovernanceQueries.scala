@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dq.DqChecks
+
+/** The reference's DQ/governance macro-operators (SURVEY.md §2.11 G1-G9,
+  * A4:731-930) exercised over the driver test tables as declared queries,
+  * each via the [[graft.dq.DqChecks]] library so the oracle checks the
+  * *library* semantics, not ad-hoc query code.
+  */
+object GovernanceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** G1 duplicate detection (A4:738-742). */
+  def g01Duplicates(s: SparkSession, dir: String): DataFrame =
+    DqChecks.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))
+      .orderBy("l_orderkey")
+
+  /** G2 range/staleness validation (A4:744-747): value out of bounds, null,
+    * or timestamp after the (explicit, reproducible) as-of instant. */
+  def g02RangeViolations(s: SparkSession, dir: String): DataFrame =
+    DqChecks.rangeViolations(t(s, dir, "events"), "value", 0.5, 99.5,
+        "ts", lit("2024-06-01 00:00:00").cast("timestamp"))
+      .select("event_id").orderBy("event_id")
+
+  /** G3 null-count profile in one pass (A4:749-756). */
+  def g03NullProfile(s: SparkSession, dir: String): DataFrame =
+    DqChecks.nullProfile(t(s, dir, "events"),
+        Seq("user_id", "event_type", "value", "props"))
+      .orderBy("metric_name")
+
+  /** G4 regex format validation (A4:758-760). */
+  def g04FormatViolations(s: SparkSession, dir: String): DataFrame =
+    DqChecks.formatViolations(t(s, dir, "events"), "event_type",
+        "^(click|view|purchase|signup)$")
+      .select("event_id").orderBy("event_id")
+
+  /** G5 sigma-outlier detection (A4:762-769) over the per-user event-count
+    * distribution (the base columns are uniform — no sigma tail). */
+  def g05SigmaOutliers(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    DqChecks.sigmaOutliers(perUser, "n", nSigma = 2.0)
+      .select("user_id", "n").orderBy("user_id")
+  }
+
+  /** G6 completeness/validity metric batch (A4:786-823): three ratio
+    * metrics over customer in ONE aggregation pass, unpivoted. */
+  def g06MetricsBatch(s: SparkSession, dir: String): DataFrame =
+    DqChecks.metricsBatch(t(s, dir, "customer"), "customer", Seq(
+        "positive_bal" -> (col("c_acctbal") > 0),
+        "non_null_segment" -> col("c_mktsegment").isNotNull,
+        "name_format_ok" -> col("c_name").rlike("^Customer#[0-9]{9}$")))
+      .orderBy("metric_name")
+
+  /** G7 latest-value-per-metric dashboard (A4:824-836): newest hourly
+    * ingest-rate metric row via the QUALIFY rewrite. */
+  def g07LatestMetric(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("computed_at"))
+      .agg(count(lit(1)).cast("double").as("metric_value"))
+      .select(lit("ingest").as("metric_group"),
+        lit("rows_per_hour").as("metric_name"),
+        col("metric_value"), col("computed_at"))
+    DqChecks.latestPerMetric(m).orderBy("metric_name")
+  }
+
+  /** G8 threshold alerting (A4:901-918): metric batch joined to an inline
+    * threshold table; alert rows where metric < threshold. Thresholds are
+    * chosen so exactly the non_null_segment alert fires regardless of data
+    * (ratios are always in [0,1]). */
+  def g08ThresholdAlerts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metrics = DqChecks.metricsBatch(t(s, dir, "customer"), "customer",
+      Seq("positive_bal" -> (col("c_acctbal") > 0),
+        "non_null_segment" -> col("c_mktsegment").isNotNull))
+    val thresholds = Seq(("positive_bal", 0.0), ("non_null_segment", 1.01))
+      .toDF("metric_name", "threshold")
+    DqChecks.thresholdAlerts(metrics, thresholds)
+      .select("metric_name", "metric_group", "metric_value", "threshold")
+      .orderBy("metric_name")
+  }
+
+  /** G9 hourly metric trend (A4:924-930). */
+  def g09HourlyTrend(s: SparkSession, dir: String): DataFrame =
+    DqChecks.hourlyTrend(t(s, dir, "events"), "ts",
+        Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")))
+      .orderBy("bucket_hour")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_duplicates" -> g01Duplicates,
+    "g02_range_violations" -> g02RangeViolations,
+    "g03_null_profile" -> g03NullProfile,
+    "g04_format_violations" -> g04FormatViolations,
+    "g05_sigma_outliers" -> g05SigmaOutliers,
+    "g06_metrics_batch" -> g06MetricsBatch,
+    "g07_latest_metric" -> g07LatestMetric,
+    "g08_threshold_alerts" -> g08ThresholdAlerts,
+    "g09_hourly_trend" -> g09HourlyTrend,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_duplicates" ->
+      "SELECT l_orderkey, COUNT(*) AS n_dups FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey",
+    "g02_range_violations" ->
+      "SELECT event_id FROM events WHERE value IS NULL OR value < 0.5 OR value > 99.5 OR ts > TIMESTAMP '2024-06-01 00:00:00' ORDER BY event_id",
+    "g03_null_profile" ->
+      ("SELECT 'null_event_type' AS metric_name, CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric_value FROM events " +
+        "UNION ALL SELECT 'null_props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'null_user_id', CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'null_value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+        "ORDER BY metric_name"),
+    "g04_format_violations" ->
+      "SELECT event_id FROM events WHERE NOT regexp_matches(event_type, '^(click|view|purchase|signup)$') OR event_type IS NULL ORDER BY event_id",
+    "g05_sigma_outliers" ->
+      "WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) SELECT user_id, n FROM pu CROSS JOIN (SELECT AVG(n) m, STDDEV(n) sd FROM pu) s WHERE pu.n > s.m + 2*s.sd ORDER BY user_id",
+    "g06_metrics_batch" ->
+      ("SELECT 'customer' AS metric_group, 'name_format_ok' AS metric_name, ROUND(AVG(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) AS metric_value FROM customer " +
+        "UNION ALL SELECT 'customer', 'non_null_segment', ROUND(AVG(CASE WHEN c_mktsegment IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) FROM customer " +
+        "UNION ALL SELECT 'customer', 'positive_bal', ROUND(AVG(CASE WHEN c_acctbal > 0 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) FROM customer " +
+        "ORDER BY metric_name"),
+    "g07_latest_metric" ->
+      ("WITH m AS (SELECT date_trunc('hour', ts) AS computed_at, CAST(COUNT(*) AS DOUBLE) AS metric_value FROM events GROUP BY date_trunc('hour', ts)) " +
+        "SELECT 'ingest' AS metric_group, 'rows_per_hour' AS metric_name, metric_value, computed_at FROM m " +
+        "QUALIFY row_number() OVER (ORDER BY computed_at DESC) = 1 ORDER BY metric_name"),
+    "g08_threshold_alerts" ->
+      ("WITH m AS (SELECT 'customer' AS metric_group, 'positive_bal' AS metric_name, ROUND(AVG(CASE WHEN c_acctbal > 0 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) AS metric_value FROM customer " +
+        "UNION ALL SELECT 'customer', 'non_null_segment', ROUND(AVG(CASE WHEN c_mktsegment IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) FROM customer), " +
+        "th AS (SELECT * FROM (VALUES ('positive_bal', CAST(0.0 AS DOUBLE)), ('non_null_segment', CAST(1.01 AS DOUBLE))) AS t(metric_name, threshold)) " +
+        "SELECT m.metric_name, m.metric_group, m.metric_value, th.threshold FROM m JOIN th ON m.metric_name = th.metric_name " +
+        "WHERE m.metric_value < th.threshold ORDER BY m.metric_name"),
+    "g09_hourly_trend" ->
+      "SELECT date_trunc('hour', ts) AS bucket_hour, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value FROM events GROUP BY date_trunc('hour', ts) ORDER BY bucket_hour",
+  )
+}

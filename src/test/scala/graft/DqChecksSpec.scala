@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.dq.DqChecks
+
+class DqChecksSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("duplicates keeps only keys with more than one row") {
+    val d = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "v")
+    val out = DqChecks.duplicates(d, Seq("k")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 2L)))
+  }
+
+  test("rangeViolations flags nulls, out-of-range, and future timestamps") {
+    val asOf = Timestamp.valueOf("2024-01-02 00:00:00")
+    val d = Seq(
+      (1, Some(5.0), Timestamp.valueOf("2024-01-01 00:00:00")),  // ok
+      (2, None, Timestamp.valueOf("2024-01-01 00:00:00")),       // null
+      (3, Some(-1.0), Timestamp.valueOf("2024-01-01 00:00:00")), // low
+      (4, Some(99.0), Timestamp.valueOf("2024-01-01 00:00:00")), // high
+      (5, Some(5.0), Timestamp.valueOf("2024-01-03 00:00:00")))  // future
+      .toDF("id", "v", "ts")
+    val out = DqChecks.rangeViolations(d, "v", 0, 10, "ts", lit(asOf))
+      .select("id").as[Int].collect().sorted
+    assert(out.toSeq === Seq(2, 3, 4, 5))
+  }
+
+  test("nullProfile counts nulls per column in one pass") {
+    val d = Seq((Some(1), Option.empty[String]), (None, Some("x")),
+      (None, Some("y"))).toDF("a", "b")
+    val out = DqChecks.nullProfile(d, Seq("a", "b")).orderBy("metric_name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("null_a", 2L), ("null_b", 1L)))
+  }
+
+  test("formatViolations flags non-matching and null values") {
+    val d = Seq(("1", "12-345"), ("2", "bad"), ("3", null))
+      .toDF("id", "phone")
+    val out = DqChecks.formatViolations(d, "phone", "^[0-9]{2}-[0-9]{3}$")
+      .select("id").as[String].collect().sorted
+    assert(out.toSeq === Seq("2", "3"))
+  }
+
+  test("sigmaOutliers keeps values beyond mean + n*sd") {
+    val vals = Seq.fill(50)(10.0) :+ 1000.0
+    val d = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    val out = DqChecks.sigmaOutliers(d, "v", 2.0).select("id").as[Int].collect()
+    assert(out.toSeq === Seq(50))
+  }
+
+  test("metricsBatch computes named ratios in one agg and unpivots") {
+    val d = Seq((1, "x"), (-1, "y"), (2, null)).toDF("n", "s")
+    val out = DqChecks.metricsBatch(d, "grp", Seq(
+        "pos_n" -> (col("n") > 0), "non_null_s" -> col("s").isNotNull))
+      .orderBy("metric_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out === Seq(("grp", "non_null_s", 0.666667), ("grp", "pos_n", 0.666667)))
+  }
+
+  test("latestPerMetric keeps the newest row per metric") {
+    val d = Seq(
+      ("g", "m1", 1.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("g", "m1", 2.0, Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("g", "m2", 3.0, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("metric_group", "metric_name", "metric_value", "computed_at")
+    val out = DqChecks.latestPerMetric(d).orderBy("metric_name").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(out === Seq(("m1", 2.0), ("m2", 3.0)))
+  }
+
+  test("thresholdAlerts fires only below threshold") {
+    val m = Seq(("g", "m1", 0.5), ("g", "m2", 0.99))
+      .toDF("metric_group", "metric_name", "metric_value")
+    val th = Seq(("m1", 0.9), ("m2", 0.9)).toDF("metric_name", "threshold")
+    val out = DqChecks.thresholdAlerts(m, th).select("metric_name")
+      .as[String].collect()
+    assert(out.toSeq === Seq("m1"))
+  }
+
+  test("hourlyTrend buckets by hour") {
+    val d = Seq(
+      (Timestamp.valueOf("2024-01-01 10:15:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), 3.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), 5.0)).toDF("ts", "v")
+    val out = DqChecks.hourlyTrend(d, "ts", Seq(count(lit(1)).as("n"),
+        avg("v").as("m"))).orderBy("bucket_hour").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((2L, 2.0), (1L, 5.0)))
+  }
+}
