@@ -1,0 +1,87 @@
+package graft.pii
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII governance (SURVEY.md §2.11 G10-G14): classification registry,
+  * masked projections, role-parameterized masking policy, retention, and
+  * anonymization snapshots — all as compositions of codegen'd builtins
+  * (sha2/substring/concat/regexp_replace/when), no custom expressions
+  * (SURVEY.md §4, UD3).
+  */
+object Masking {
+
+  /** G11/G12 auditor mask (A4:988, 1022): 12-hex-char SHA-256 prefix +
+    * '...' + last 4 in clear — referenceable but not reversible. */
+  def maskPanAuditor(v: Column): Column =
+    concat(substring(sha2(v, 256), 1, 12), lit("..."), substring(v, -4, 4))
+
+  /** G11/G12 analyst mask (A4:983, 1023): card-shaped values keep only the
+    * last 4 digits; non-card-shaped values pass through unchanged —
+    * reference-faithful regexp_replace semantics. */
+  def maskPanAnalyst(v: Column): Column =
+    regexp_replace(v, "^([0-9]{0,15})([0-9]{4})$", "***************$2")
+
+  /** G12/UD3 masking policy resolved at view-build time (A4:1019-1026):
+    * the role is a session parameter of the view factory, so each role's
+    * view compiles to a plan with zero branching overhead. */
+  def maskPan(v: Column, role: String): Column = role match {
+    case "admin"   => v
+    case "auditor" => maskPanAuditor(v)
+    case "analyst" => maskPanAnalyst(v)
+    case _         => lit("MASKED")
+  }
+
+  /** G12 masking policy as a runtime expression (the reference's
+    * current_role() branching form, A4:1019-1026) for multi-tenant rows. */
+  def maskPanExpr(v: Column, role: Column): Column =
+    when(role === "admin", v)
+      .when(role === "auditor", maskPanAuditor(v))
+      .when(role === "analyst", maskPanAnalyst(v))
+      .otherwise(lit("MASKED"))
+
+  /** G10 PII classification registry (A4:950-970): constant governance
+    * table mapping (table, column) → category + sensitivity. */
+  val piiClassification: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_name",     "DIRECT_IDENTIFIER", "HIGH"),
+    ("customer", "c_acctbal",  "FINANCIAL",         "MEDIUM"),
+    ("customer", "c_nationkey","QUASI_IDENTIFIER",  "LOW"),
+    ("events",   "user_id",    "PSEUDO_IDENTIFIER", "MEDIUM"),
+    ("events",   "props",      "PAYLOAD",           "LOW"),
+    ("supplier", "s_name",     "DIRECT_IDENTIFIER", "HIGH"))
+
+  def piiRegistry(s: SparkSession): DataFrame = {
+    import s.implicits._
+    piiClassification
+      .toDF("table_name", "column_name", "category", "sensitivity")
+  }
+
+  /** G13 retention (A4:1028-1035): keep rows within the trailing window.
+    * `asOf` is explicit for reproducibility; at scale this predicate
+    * prunes whole date partitions instead of row-filtering 100 TB. */
+  def retentionKeep(df: DataFrame, tsCol: String, asOf: Column,
+      days: Int): DataFrame =
+    df.filter(col(tsCol) >= asOf - expr(s"INTERVAL $days DAY"))
+
+  /** G14 surrogate key (A4:1060): 12-hex-char SHA-256 of the natural key —
+    * stable across runs, join-preserving, irreversible. */
+  def surrogateKey(v: Column): Column =
+    substring(sha2(v.cast("string"), 256), 1, 12)
+
+  /** G14 generalization bucket (A4:1061). */
+  def bucket(v: Column, n: Int): Column = abs(v) % n
+
+  /** G14 anonymization snapshot (A4:1038-1067): hash the key columns to
+    * surrogates, bucket the quasi-identifiers, keep everything else. */
+  def anonymize(df: DataFrame, keyCols: Seq[String],
+      bucketCols: Map[String, Int]): DataFrame = {
+    val cols = df.columns.map { c =>
+      if (keyCols.contains(c)) surrogateKey(col(c)).as(s"${c}_sk")
+      else bucketCols.get(c) match {
+        case Some(n) => bucket(col(c), n).as(s"${c}_bucket")
+        case None    => col(c)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+}

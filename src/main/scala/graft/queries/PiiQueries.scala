@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pii.Masking
+
+/** PII governance surface (SURVEY.md §2.11 G10-G14) as declared queries.
+  * The card-shaped PII stand-in is the 9-digit suffix of c_name
+  * (testdata has no phone/card column); mask semantics follow
+  * A4:980-1026 exactly.
+  */
+object PiiQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def digits = substring(col("c_name"), 10, 9)
+
+  /** G10 PII classification registry (A4:950-970). */
+  def p01PiiRegistry(s: SparkSession, dir: String): DataFrame =
+    Masking.piiRegistry(s).orderBy("table_name", "column_name")
+
+  /** G11 auditor masked view (A4:988): sha2 prefix + clear last-4. */
+  def p02MaskAuditor(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), Masking.maskPanAuditor(digits).as("masked"))
+      .orderBy("c_custkey").limit(100)
+
+  /** G11 analyst masked view (A4:983): regex mask, last-4 only. */
+  def p03MaskAnalyst(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), Masking.maskPanAnalyst(digits).as("masked"))
+      .orderBy("c_custkey").limit(100)
+
+  /** G12 role-dependent policy, all four roles side by side
+    * (A4:1019-1026). */
+  def p04MaskRoles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        Masking.maskPan(digits, "admin").as("as_admin"),
+        Masking.maskPan(digits, "auditor").as("as_auditor"),
+        Masking.maskPan(digits, "analyst").as("as_analyst"),
+        Masking.maskPan(digits, "intern").as("as_other"))
+      .orderBy("c_custkey").limit(100)
+
+  /** G13 retention window (A4:1028-1035): rows kept by the 90-day policy
+    * at an explicit as-of instant. */
+  def p05Retention(s: SparkSession, dir: String): DataFrame =
+    Masking.retentionKeep(t(s, dir, "events"), "ts",
+        lit("2024-06-01 00:00:00").cast("timestamp"), days = 90)
+      .agg(count(lit(1)).as("kept"))
+
+  /** G14 anonymization snapshot (A4:1038-1067): surrogate key + bucketed
+    * quasi-identifier, PII column dropped. */
+  def p06Anonymize(s: SparkSession, dir: String): DataFrame =
+    Masking.anonymize(
+        t(s, dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment"),
+        keyCols = Seq("c_custkey"),
+        bucketCols = Map("c_nationkey" -> 10))
+      .orderBy("c_custkey_sk").limit(100)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_pii_registry" -> p01PiiRegistry,
+    "p02_mask_auditor" -> p02MaskAuditor,
+    "p03_mask_analyst" -> p03MaskAnalyst,
+    "p04_mask_roles" -> p04MaskRoles,
+    "p05_retention" -> p05Retention,
+    "p06_anonymize" -> p06Anonymize,
+  )
+
+  private val regSql = Masking.piiClassification
+    .map { case (t, c, cat, s) => s"('$t','$c','$cat','$s')" }
+    .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "p01_pii_registry" ->
+      (s"SELECT * FROM (VALUES $regSql) AS t(table_name, column_name, category, sensitivity) " +
+        "ORDER BY table_name, column_name"),
+    "p02_mask_auditor" ->
+      ("SELECT c_custkey, substring(sha256(substring(c_name,10,9)),1,12) || '...' || right(substring(c_name,10,9),4) AS masked " +
+        "FROM customer ORDER BY c_custkey LIMIT 100"),
+    "p03_mask_analyst" ->
+      ("SELECT c_custkey, regexp_replace(substring(c_name,10,9), '^([0-9]{0,15})([0-9]{4})$', '***************\\2') AS masked " +
+        "FROM customer ORDER BY c_custkey LIMIT 100"),
+    "p04_mask_roles" ->
+      ("SELECT c_custkey, substring(c_name,10,9) AS as_admin, " +
+        "substring(sha256(substring(c_name,10,9)),1,12) || '...' || right(substring(c_name,10,9),4) AS as_auditor, " +
+        "regexp_replace(substring(c_name,10,9), '^([0-9]{0,15})([0-9]{4})$', '***************\\2') AS as_analyst, " +
+        "'MASKED' AS as_other FROM customer ORDER BY c_custkey LIMIT 100"),
+    "p05_retention" ->
+      "SELECT COUNT(*) AS kept FROM events WHERE ts >= TIMESTAMP '2024-06-01 00:00:00' - INTERVAL 90 DAY",
+    "p06_anonymize" ->
+      ("SELECT substring(sha256(CAST(c_custkey AS VARCHAR)),1,12) AS c_custkey_sk, " +
+        "abs(c_nationkey) % 10 AS c_nationkey_bucket, c_mktsegment " +
+        "FROM customer ORDER BY c_custkey_sk LIMIT 100"),
+  )
+}
