@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CoreQueries, GovernanceQueries, PiiQueries, PipelineQueries}
+import graft.queries.{CoreQueries, GovernanceQueries, PiiQueries, PipelineQueries, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ PipelineQueries.all ++ GovernanceQueries.all ++
-      PiiQueries.all
+      PiiQueries.all ++ SourceQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++
-      GovernanceQueries.oracles ++ PiiQueries.oracles
+      GovernanceQueries.oracles ++ PiiQueries.oracles ++ SourceQueries.oracles
 }

@@ -1,0 +1,103 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** One ledger row per loaded file — the engine's analog of Snowflake's
+  * load history + copy_history table function (A4:380-399, 692-712). */
+case class LoadRecord(file_name: String, row_count: Long, status: String,
+    load_ts: Timestamp)
+
+/** S6/S7: `COPY INTO` from a staged-file landing directory —
+  * pattern-filtered, idempotent, ledgered.
+  *
+  * Snowflake's COPY skips files its load history already ingested
+  * (A4:519-526); here the ledger table provides that exactly-once-per-file
+  * contract: list → anti-join against the ledger → load only new files →
+  * append ledger. The listing is driver-side (a directory listing is
+  * metadata-scale), but all parsing/writing is executor-parallel.
+  * PURGE=TRUE ≡ `purge = true` deletes source files after commit
+  * (batch_insert.py:66-73).
+  */
+object CopyInto {
+
+  /** LIST @stage (S7): files in the landing dir matching the pattern
+    * (A4:387 `.*cc_txn_.*\.json(\.gz)?$`). */
+  def listStage(spark: SparkSession, landingDir: String,
+      pattern: String): Seq[String] = {
+    val p = new Path(landingDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches(pattern))
+      .map(_.getPath.toUri.getPath).sorted
+  }
+
+  def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(ledgerDir)
+    else spark.emptyDataset[LoadRecord].toDF()
+  }
+
+  /** COPY INTO: load every not-yet-loaded matching file into `targetDir`,
+    * record each in the ledger, optionally purge sources. Returns the
+    * newly loaded files. `onError` FAILFAST ≡ ABORT_STATEMENT. */
+  def copyInto(spark: SparkSession, landingDir: String, pattern: String,
+      schema: StructType, targetDir: String, ledgerDir: String,
+      format: String = "json", onError: String = "FAILFAST",
+      purge: Boolean = false,
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
+      : Seq[LoadRecord] = {
+    import spark.implicits._
+    val staged = listStage(spark, landingDir, pattern)
+    if (staged.isEmpty) return Seq.empty
+    // Load-history skip: anti-join the listing against the ledger. Both
+    // sides are file-count-scale (metadata), so collect is bounded.
+    val seen = ledger(spark, ledgerDir).select("file_name")
+    val newFiles = staged.toDF("file_name")
+      .join(seen, Seq("file_name"), "left_anti")
+      .as[String].collect().toSeq.sorted
+    if (newFiles.isEmpty) return Seq.empty
+
+    val reader = spark.read.schema(schema).option("mode", onError)
+    val df = format match {
+      case "json"    => reader.json(newFiles: _*)
+      case "parquet" => reader.parquet(newFiles: _*)
+      case other     => sys.error(s"unsupported stage format: $other")
+    }
+    df.write.mode(SaveMode.Append).parquet(targetDir)
+
+    // Per-file row counts in ONE scan (not one job per file): group by
+    // input_file_name, normalized back from URI form to the listed path.
+    val counts = df.groupBy(input_file_name().as("uri"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+      .toMap
+    val records = newFiles.map { f =>
+      LoadRecord(f, counts.getOrElse(f, 0L), "LOADED", now())
+    }
+    spark.createDataset(records).toDF()
+      .write.mode(SaveMode.Append).parquet(ledgerDir)
+
+    if (purge) {
+      val fs = new Path(landingDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      newFiles.foreach(f => fs.delete(new Path(f), false))
+    }
+    records
+  }
+
+  /** copy_history(...) observability queries (A4:706-712, ST11): volume
+    * accounting over the ledger. */
+  def copyHistory(spark: SparkSession, ledgerDir: String): DataFrame =
+    ledger(spark, ledgerDir)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_files"), sum("row_count").as("n_rows"),
+        max("load_ts").as("last_load_ts"))
+}

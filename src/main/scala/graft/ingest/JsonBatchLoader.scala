@@ -1,0 +1,67 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1/S2/S5 + P12: JSON-lines batch ingest.
+  *
+  * The reference pipes JSON-lines through a Python accumulator into
+  * pandas→Arrow→Parquet→`COPY INTO` (batch_insert.py:43-73). In Spark the
+  * whole chain is one declarative job: schema-checked JSON scan →
+  * normalization projection → Parquet append; Catalyst parallelizes the
+  * parse and the columnar write across executors (SURVEY.md §3.1).
+  * Schemas are always explicit — never inferred — matching the
+  * reference's declared DDL (commands.sql:32-48).
+  */
+object JsonBatchLoader {
+
+  private val addressType = StructType(Seq(
+    StructField("street_address", StringType), StructField("city", StringType),
+    StructField("state", StringType), StructField("postalcode", StringType)))
+
+  private val contactType = StructType(Seq(
+    StructField("name", StringType), StructField("phone", StringType)))
+
+  /** CLIENT_BUY_ORDERS wire schema (commands.sql:32-48). */
+  val orderSchema: StructType = StructType(Seq(
+    StructField("txid", StringType, nullable = false),
+    StructField("rfid", StringType),
+    StructField("car_model", StringType),
+    StructField("brand", StringType),
+    StructField("engine", StringType),
+    StructField("horsepower", LongType),
+    StructField("sell_price", LongType),
+    StructField("purchase_time", TimestampType),
+    StructField("days", LongType),
+    StructField("name", StringType),
+    StructField("address", addressType),
+    StructField("phone", StringType),
+    StructField("email", StringType),
+    StructField("emergency_contact", contactType)))
+
+  /** Read JSON-lines (gzip auto-detected — S2) with the declared schema.
+    * `mode` FAILFAST ≡ ON_ERROR='ABORT_STATEMENT'; PERMISSIVE ≡ skip. */
+  def readOrders(spark: SparkSession, path: String,
+      mode: String = "FAILFAST"): DataFrame =
+    spark.read.schema(orderSchema).option("mode", mode).json(path)
+
+  /** P12 normalization (batch_insert.py:76-95): default the non-PII
+    * optionals, keep nullable PII as NULL. */
+  def normalize(df: DataFrame): DataFrame = df
+    .withColumn("brand", coalesce(col("brand"), lit("UNKNOWN")))
+    .withColumn("engine", coalesce(col("engine"), lit("UNKNOWN")))
+    .withColumn("horsepower", coalesce(col("horsepower"), lit(0L)))
+    .withColumn("sell_price", coalesce(col("sell_price"), lit(0L)))
+    .withColumn("days", coalesce(col("days"), lit(1L)))
+
+  /** S5 `COPY INTO … MATCH_BY_COLUMN_NAME` (batch_insert.py:71-73):
+    * by-name column mapping into the target's layout, then Parquet
+    * append. Returns rows loaded. */
+  def load(spark: SparkSession, inputPath: String, targetDir: String): Long = {
+    val df = normalize(readOrders(spark, inputPath))
+      .select(orderSchema.fieldNames.map(col).toSeq: _*) // by-name mapping
+    df.write.mode("append").parquet(targetDir)
+    spark.read.parquet(targetDir).count() // post-load validation count (commands.sql:106)
+  }
+}

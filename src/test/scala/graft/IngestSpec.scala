@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.gen.{CarCatalog, OrderGenerator}
+import graft.ingest.{CopyInto, JsonBatchLoader}
+
+class IngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("JSON-lines round trip: generate → write → load → parquet table") {
+    val json = tmp("graft_json")
+    val table = tmp("graft_table") + "/orders"
+    val enriched = OrderGenerator.enrich(
+      OrderGenerator.rawOrders(spark, 300, seed = 1), CarCatalog.df(spark))
+    enriched.write.mode("overwrite").json(json) // S1 wire format out
+    val n = JsonBatchLoader.load(spark, json, table)
+    assert(n === 300)
+    val back = spark.read.parquet(table)
+    assert(back.schema.fieldNames.toSeq ===
+      JsonBatchLoader.orderSchema.fieldNames.toSeq)
+    // nested structs survive the round trip
+    assert(back.filter($"address".isNotNull)
+      .filter($"address.state".isNull).count() === 0)
+  }
+
+  test("normalize defaults non-PII optionals, keeps PII nulls") {
+    val df = Seq("""{"txid":"t1","car_model":"X"}""").toDS()
+    val parsed = spark.read.schema(JsonBatchLoader.orderSchema)
+      .json(df)
+    val r = JsonBatchLoader.normalize(parsed).collect()(0)
+    assert(r.getAs[String]("brand") === "UNKNOWN")
+    assert(r.getAs[Long]("horsepower") === 0L)
+    assert(r.getAs[Long]("days") === 1L)
+    assert(r.getAs[String]("phone") === null) // PII stays null
+  }
+
+  test("copyInto is exactly-once per file, pattern-filtered, ledgered") {
+    val landing = tmp("graft_landing")
+    val target = tmp("graft_target") + "/t"
+    val ledgerDir = tmp("graft_ledger") + "/l"
+    def stage(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(landing, name),
+        rows.mkString("\n").getBytes)
+
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val clock = () => Timestamp.valueOf("2024-01-01 00:00:00")
+
+    stage("cc_txn_1.json", Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+    stage("ignore.txt", Seq("not json"))
+    val r1 = CopyInto.copyInto(spark, landing, "cc_txn_.*\\.json$", sch,
+      target, ledgerDir, now = clock)
+    assert(r1.map(x => (x.file_name.split('/').last, x.row_count)) ===
+      Seq(("cc_txn_1.json", 2L)))
+    assert(spark.read.parquet(target).count() === 2)
+
+    // re-run: load history skips the already-loaded file
+    val r2 = CopyInto.copyInto(spark, landing, "cc_txn_.*\\.json$", sch,
+      target, ledgerDir, now = clock)
+    assert(r2.isEmpty)
+    assert(spark.read.parquet(target).count() === 2)
+
+    // a new file loads incrementally
+    stage("cc_txn_2.json", Seq("""{"id":3,"v":"c"}"""))
+    val r3 = CopyInto.copyInto(spark, landing, "cc_txn_.*\\.json$", sch,
+      target, ledgerDir, now = clock)
+    assert(r3.map(_.row_count) === Seq(1L))
+    assert(spark.read.parquet(target).count() === 3)
+
+    // copy_history volume accounting
+    val h = CopyInto.copyHistory(spark, ledgerDir).collect()(0)
+    assert(h.getAs[Long]("n_files") === 2L)
+    assert(h.getAs[Long]("n_rows") === 3L)
+  }
+
+  test("copyInto purge removes staged files after commit") {
+    val landing = tmp("graft_purge")
+    val target = tmp("graft_purge_t") + "/t"
+    val ledgerDir = tmp("graft_purge_l") + "/l"
+    Files.write(java.nio.file.Paths.get(landing, "cc_txn_1.json"),
+      """{"id":1,"v":"a"}""".getBytes)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    CopyInto.copyInto(spark, landing, "cc_txn_.*\\.json$", sch, target,
+      ledgerDir, purge = true)
+    assert(CopyInto.listStage(spark, landing, ".*").isEmpty)
+    assert(spark.read.parquet(target).count() === 1)
+  }
+}
