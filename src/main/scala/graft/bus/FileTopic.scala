@@ -1,0 +1,106 @@
+package graft.bus
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** S12 + ST12-ST13: the reference's SQLite-backed Kafka clone
+  * (assignment3/simple_kafka_setup.py) re-expressed as a zero-dependency
+  * directory-per-topic log.
+  *
+  * Layout: `root/<topic>/part-%06d.jsonl` are immutable appended message
+  * files; `root/<topic>/offsets/<group>.<consumer>` holds the last
+  * fully-consumed file sequence per consumer (the `consumer_offsets`
+  * table, simple_kafka_setup.py:50-57).
+  *
+  * Delivery semantics, mapped from the claim-based broker (:146-177):
+  * within a consumer group, messages are hash-partitioned across the
+  * group's consumers — every message is delivered to exactly one member
+  * (the exclusive claim); independent groups each see every message.
+  * The broker is deliberately metadata-scale (driver-side file IO, like
+  * the reference's SQLite): high-volume streams belong on
+  * [[graft.streaming.PipeStream]], this is the pub/sub control plane.
+  */
+class FileTopic(root: String) {
+
+  private def topicDir(topic: String): Path = Paths.get(root, topic)
+  private def offsetsDir(topic: String): Path = topicDir(topic).resolve("offsets")
+
+  /** create_topic (simple_kafka_setup.py:80-93) — idempotent. */
+  def createTopic(topic: String): Unit = {
+    Files.createDirectories(offsetsDir(topic))
+  }
+
+  private def partFiles(topic: String): Seq[Path] =
+    Files.list(topicDir(topic)).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.matches("part-\\d{6}\\.jsonl"))
+      .sortBy(_.getFileName.toString)
+
+  private def nextSeq(topic: String): Int =
+    partFiles(topic).lastOption
+      .map(p => p.getFileName.toString.drop(5).take(6).toInt + 1)
+      .getOrElse(0)
+
+  /** publish_message (simple_kafka_setup.py:95-112): append one immutable
+    * file per publish batch. */
+  def publish(topic: String, messages: Seq[String]): Int = {
+    createTopic(topic)
+    val seq = nextSeq(topic)
+    val p = topicDir(topic).resolve(f"part-$seq%06d.jsonl")
+    Files.write(p, messages.asJava, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE_NEW)
+    seq
+  }
+
+  private def offsetFile(topic: String, group: String, consumer: Int): Path =
+    offsetsDir(topic).resolve(s"$group.$consumer")
+
+  private def committed(topic: String, group: String, consumer: Int): Int = {
+    val f = offsetFile(topic, group, consumer)
+    if (Files.exists(f)) new String(Files.readAllBytes(f)).trim.toInt else -1
+  }
+
+  /** subscribe+claim+commit (simple_kafka_setup.py:114-177): return the
+    * new messages owned by this consumer (stable hash split across the
+    * group) and advance its offset. */
+  def poll(topic: String, group: String, consumer: Int = 0,
+      groupSize: Int = 1): Seq[String] = {
+    createTopic(topic)
+    val last = committed(topic, group, consumer)
+    val files = partFiles(topic)
+      .filter(_.getFileName.toString.drop(5).take(6).toInt > last)
+    val mine = files.flatMap { f =>
+      val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      val fileSeq = f.getFileName.toString.drop(5).take(6).toInt
+      lines.zipWithIndex.collect {
+        case (m, i) if Math.floorMod(
+          scala.util.hashing.byteswap64(fileSeq.toLong << 32 | i), groupSize)
+          == consumer => m
+      }
+    }
+    files.lastOption.foreach { f =>
+      val seq = f.getFileName.toString.drop(5).take(6)
+      Files.write(offsetFile(topic, group, consumer), seq.getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    mine
+  }
+
+  /** get_topic_stats (simple_kafka_setup.py:179-198): total messages,
+    * files, consumer count, and queue depth (messages not yet consumed by
+    * the laggiest registered consumer). */
+  def stats(topic: String): Map[String, Long] = {
+    createTopic(topic)
+    val files = partFiles(topic)
+    val total = files.map(f => Files.readAllLines(f).size().toLong).sum
+    val offsets = Files.list(offsetsDir(topic)).iterator().asScala.toSeq
+    val minCommitted =
+      if (offsets.isEmpty) -1
+      else offsets.map(p => new String(Files.readAllBytes(p)).trim.toInt).min
+    val unconsumed = files
+      .filter(_.getFileName.toString.drop(5).take(6).toInt > minCommitted)
+      .map(f => Files.readAllLines(f).size().toLong).sum
+    Map("total_messages" -> total, "n_files" -> files.size.toLong,
+      "n_consumers" -> offsets.size.toLong, "queue_depth" -> unconsumed)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.flow
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SnowFns
+
+/** Task schedule (ST4/ST5): interval (`schedule='3 minute'`) or daily
+  * cron (`USING CRON 0 2 * * *`, A4:1029-1035). */
+sealed trait Schedule
+case class Every(seconds: Long) extends Schedule
+case class DailyAt(hour: Int, minute: Int) extends Schedule
+
+/** One task: root tasks have a schedule; child tasks run AFTER parents
+  * (A4:506-605). `when` is the `system$stream_has_data` gate (ST6). */
+case class TaskDef(name: String, schedule: Option[Schedule] = None,
+    after: Seq[String] = Seq.empty,
+    when: () => Boolean = () => true,
+    body: () => Unit)
+
+/** task_history row (ST11, A4:714-728). */
+case class TaskRun(task_name: String, scheduled_time: Timestamp,
+    completed_time: Timestamp, status: String)
+
+/** ST4-ST11: a deterministic, synchronous task-DAG scheduler.
+  *
+  * Snowflake TASKs form a DAG via AFTER edges with interval/cron roots,
+  * conditional gates, suspend/resume, and a queryable task_history
+  * (A4:364-683). This scheduler is deliberately synchronous with an
+  * injectable clock (SURVEY.md §7.4.2): `tick(now)` runs everything due
+  * at `now`, cascading through AFTER edges with proper fan-in barriers —
+  * a multi-parent task runs once per cycle, only after ALL its parents
+  * completed in that cycle (ST8). Determinism > thread pools: on a real
+  * cluster each body is itself a distributed Spark job, so the scheduler
+  * loop is metadata-scale and needs no parallelism of its own.
+  */
+class TaskGraph(clock: () => Timestamp = () =>
+    new Timestamp(System.currentTimeMillis())) {
+
+  private val tasks = mutable.LinkedHashMap.empty[String, TaskDef]
+  private val suspended = mutable.Set.empty[String]
+  private val lastFire = mutable.Map.empty[String, Long]
+  private val runs = mutable.ArrayBuffer.empty[TaskRun]
+
+  def add(t: TaskDef): this.type = {
+    require(!tasks.contains(t.name), s"duplicate task ${t.name}")
+    t.after.foreach(p => require(tasks.contains(p),
+      s"task ${t.name} AFTER unknown parent $p"))
+    tasks(t.name) = t
+    suspended += t.name // Snowflake tasks are created suspended (A4:369)
+    this
+  }
+
+  /** ALTER TASK ... RESUME; `system$task_dependents_enable` resumes the
+    * whole subtree (A4:543). */
+  def resume(name: String, dependents: Boolean = false): Unit = {
+    suspended -= name
+    if (dependents) children(name).foreach(c => resume(c.name, dependents = true))
+  }
+  def suspend(name: String): Unit = suspended += name
+  def isSuspended(name: String): Boolean = suspended(name)
+
+  private def children(name: String): Seq[TaskDef] =
+    tasks.values.filter(_.after.contains(name)).toSeq
+
+  private def due(t: TaskDef, now: Timestamp): Boolean = t.schedule match {
+    case None => false
+    case Some(Every(s)) =>
+      lastFire.get(t.name).forall(last => now.getTime - last >= s * 1000)
+    case Some(DailyAt(h, m)) =>
+      val cal = java.util.Calendar.getInstance(
+        java.util.TimeZone.getTimeZone("UTC"))
+      cal.setTimeInMillis(now.getTime)
+      cal.set(java.util.Calendar.HOUR_OF_DAY, h)
+      cal.set(java.util.Calendar.MINUTE, m)
+      cal.set(java.util.Calendar.SECOND, 0)
+      cal.set(java.util.Calendar.MILLISECOND, 0)
+      val boundary = cal.getTimeInMillis
+      boundary <= now.getTime &&
+        lastFire.get(t.name).forall(_ < boundary)
+  }
+
+  /** EXECUTE TASK (A4:405): run one root now, cascading through the DAG
+    * with fan-in barriers. */
+  def executeNow(root: String): Unit = runCycle(root, clock())
+
+  /** Scheduler heartbeat: fire every enabled, due root task. */
+  def tick(now: Timestamp = clock()): Unit =
+    tasks.values.toSeq
+      .filter(t => t.schedule.isDefined && !suspended(t.name) && due(t, now))
+      .foreach(t => runCycle(t.name, now))
+
+  private def runCycle(root: String, scheduled: Timestamp): Unit = {
+    lastFire(root) = scheduled.getTime
+    val completed = mutable.Set.empty[String]
+    val queue = mutable.Queue(root)
+    val enqueued = mutable.Set(root)
+    while (queue.nonEmpty) {
+      val t = tasks(queue.dequeue())
+      val status =
+        if (suspended(t.name) && t.name != root) "SUSPENDED"
+        else if (!t.when()) "SKIPPED" // ST6 gate: no data, no compute
+        else {
+          try { t.body(); "SUCCEEDED" }
+          catch { case e: Exception => s"FAILED: ${e.getMessage}" }
+        }
+      runs += TaskRun(t.name, scheduled, clock(), status)
+      if (status == "SUCCEEDED" || status == "SKIPPED") {
+        completed += t.name
+        // ST8 fan-in barrier: a child runs only when ALL parents
+        // completed in this cycle, and only once.
+        children(t.name)
+          .filter(c => !enqueued(c.name) && c.after.forall(completed))
+          .foreach { c => enqueued += c.name; queue.enqueue(c.name) }
+      }
+    }
+  }
+
+  /** information_schema.task_history (ST11, A4:425-431). */
+  def history: Seq[TaskRun] = runs.toSeq
+
+  def historyDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(runs.toSeq).toDF()
+  }
+
+  /** Latency/bottleneck observability (A15, A4:714-728): avg/max
+    * schedule→completion seconds per task. */
+  def latencyStats(spark: SparkSession): DataFrame =
+    historyDf(spark)
+      .groupBy("task_name")
+      .agg(count(lit(1)).as("n_runs"),
+        round(avg(SnowFns.datediffUnits("second",
+          col("scheduled_time"), col("completed_time"))), 4).as("avg_latency_s"),
+        max(SnowFns.datediffUnits("second",
+          col("scheduled_time"), col("completed_time"))).as("max_latency_s"))
+      .orderBy("task_name")
+}

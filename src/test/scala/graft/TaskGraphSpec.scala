@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.flow.{DailyAt, Every, TaskDef, TaskGraph}
+
+class TaskGraphSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def graphWithClock(start: String): (TaskGraph, () => Unit) = {
+    var now = ts(start)
+    val g = new TaskGraph(() => now)
+    (g, () => { now = new Timestamp(now.getTime + 60 * 1000) }) // +1 min
+  }
+
+  test("interval schedule fires on cadence; tasks are created suspended (ST4)") {
+    val (g, advance) = graphWithClock("2024-01-01 00:00:00")
+    var n = 0
+    g.add(TaskDef("gen", Some(Every(120)), body = () => n += 1))
+    g.tick(); assert(n === 0) // suspended at creation (A4:369)
+    g.resume("gen")
+    g.tick(); assert(n === 1)
+    advance(); g.tick(); assert(n === 1) // only 1 min elapsed
+    advance(); g.tick(); assert(n === 2) // 2 min → due again
+  }
+
+  test("daily cron fires once per day after the boundary (ST5)") {
+    var now = ts("2024-01-01 01:59:00")
+    val g = new TaskGraph(() => now)
+    var n = 0
+    g.add(TaskDef("retention", Some(DailyAt(2, 0)), body = () => n += 1))
+    g.resume("retention")
+    g.tick(); assert(n === 0)           // before 02:00
+    now = ts("2024-01-01 02:00:01"); g.tick(); assert(n === 1)
+    now = ts("2024-01-01 08:00:00"); g.tick(); assert(n === 1) // same day
+    now = ts("2024-01-02 02:00:01"); g.tick(); assert(n === 2) // next day
+  }
+
+  test("linear chain runs in order; failure stops the cascade (ST7)") {
+    val (g, _) = graphWithClock("2024-01-01 00:00:00")
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    g.add(TaskDef("root", Some(Every(60)), body = () => order += "root"))
+    g.add(TaskDef("load", after = Seq("root"), body = () => order += "load"))
+    g.add(TaskDef("refine", after = Seq("load"), body = () => order += "refine"))
+    Seq("root", "load", "refine").foreach(g.resume(_))
+    g.executeNow("root")
+    assert(order.toSeq === Seq("root", "load", "refine"))
+
+    order.clear()
+    val (g2, _) = graphWithClock("2024-01-01 00:00:00")
+    g2.add(TaskDef("root", Some(Every(60)), body = () => order += "root"))
+    g2.add(TaskDef("load", after = Seq("root"),
+      body = () => sys.error("boom")))
+    g2.add(TaskDef("refine", after = Seq("load"), body = () => order += "refine"))
+    Seq("root", "load", "refine").foreach(g2.resume(_))
+    g2.executeNow("root")
+    assert(order.toSeq === Seq("root")) // refine never ran
+    assert(g2.history.exists(r => r.task_name == "load" &&
+      r.status.startsWith("FAILED")))
+  }
+
+  test("fan-in barrier: multi-parent task runs once, after ALL parents (ST8)") {
+    val (g, _) = graphWithClock("2024-01-01 00:00:00")
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    g.add(TaskDef("root", Some(Every(60)), body = () => order += "root"))
+    g.add(TaskDef("genA", after = Seq("root"), body = () => order += "genA"))
+    g.add(TaskDef("genB", after = Seq("root"), body = () => order += "genB"))
+    g.add(TaskDef("waitAll", after = Seq("genA", "genB"),
+      body = () => order += "waitAll"))
+    Seq("root", "genA", "genB", "waitAll").foreach(g.resume(_))
+    g.executeNow("root")
+    assert(order.count(_ == "waitAll") === 1)
+    assert(order.indexOf("waitAll") > order.indexOf("genA"))
+    assert(order.indexOf("waitAll") > order.indexOf("genB"))
+  }
+
+  test("conditional gate skips the body but not the cascade (ST6)") {
+    val (g, _) = graphWithClock("2024-01-01 00:00:00")
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    var hasData = false
+    g.add(TaskDef("load", Some(Every(60)), when = () => hasData,
+      body = () => order += "load"))
+    g.add(TaskDef("dq", after = Seq("load"), body = () => order += "dq"))
+    Seq("load", "dq").foreach(g.resume(_))
+    g.executeNow("load")
+    // stream_has_data=false → body skipped; downstream still evaluated
+    assert(!order.contains("load") && order.contains("dq"))
+    assert(g.history.exists(r => r.task_name == "load" && r.status == "SKIPPED"))
+    hasData = true
+    g.executeNow("load")
+    assert(order.contains("load"))
+  }
+
+  test("history + latencyStats are queryable (ST11/A15)") {
+    val (g, _) = graphWithClock("2024-01-01 00:00:00")
+    g.add(TaskDef("t", Some(Every(60)), body = () => ()))
+    g.resume("t")
+    g.executeNow("t")
+    val stats = g.latencyStats(spark).collect()
+    assert(stats.length === 1)
+    assert(stats(0).getAs[String]("task_name") === "t")
+    assert(stats(0).getAs[Long]("n_runs") === 1L)
+  }
+}
