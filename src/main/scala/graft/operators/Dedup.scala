@@ -40,12 +40,30 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
-  /** MinHash signature: numHashes permutations approximated by seeding
-    * xxhash64 with the hash index (the standard single-hash-family trick,
-    * cf. Broder '97). Output: array<long> of length numHashes. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
+  /** MinHash signatures as a hash AGGREGATION, not a per-row nested
+    * higher-order expression: explode each doc's shingle hashes to
+    * (id, h) rows, then take numHashes `min(xxhash64(i, h))` aggregates
+    * in one codegen'd, map-side-combined groupBy(id). Seeded fixed-width
+    * rehashing of a long is orders of magnitude cheaper than re-hashing
+    * every shingle STRING once per permutation, and the only shuffle
+    * carries partial minima — numHashes longs per (id, partition)
+    * (Broder '97 single-hash-family minhash). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesFromShingles(docs.select(col(idCol).as("id"),
+      shingles(col(textCol), k).as("sh")), numHashes)
+
+  /** Same, over a prepared (id, sh) frame — callers that already hold the
+    * shingle frame (e.g. for verification) avoid re-shingling. */
+  def signaturesFromShingles(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val hashed = sh.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows; docs sharing any band bucket are candidates.
@@ -55,16 +73,17 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** Candidate pairs via LSH: explode band keys, self-join per
-    * (band, bucket), dedupe pairs. The join is a shuffle on the band-key
-    * hash — bounded by bucket sizes, never |docs|². */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val r = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+  /** Candidate pairs via LSH over a (id, sig) frame: explode band keys,
+    * self-join per (band, bucket), dedupe pairs. The join is a shuffle on
+    * the band-key hash — bounded by bucket sizes, never |docs|². The
+    * exploded side is persisted: a self-join would otherwise recompute
+    * the whole signature lineage once per side. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     val exploded = sig.select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bucket")))
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+      .persist()
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -74,19 +93,23 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs, verified: candidates from LSH, then exact
-    * Jaccard over the true shingle sets, keep pairs ≥ threshold. */
+    * Jaccard over the true shingle sets, keep pairs ≥ threshold. The
+    * shingle frame is persisted once and probed twice (id_a, id_b). */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-    val cands = lshCandidatePairs(docs, idCol, textCol, k, numHashes, bands)
+      shingles(col(textCol), k).as("sh")).persist()
+    val cands = lshCandidatePairs(
+      signaturesFromShingles(sh, numHashes), bands, numHashes / bands)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
+      // op per pair instead of two
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -97,27 +120,24 @@ object Dedup {
   def tokenHashes(textCol: Column): Column =
     transform(array_distinct(TextFns.tokens(textCol)), t => xxhash64(t))
 
-  /** 64-bit SimHash from a token-hash array column named `__th`: per bit,
-    * sign of the summed ±1 contributions across token hashes, bits then
-    * assembled into one long (bit 63 lands on the sign bit — well-defined
-    * two's-complement, shifts don't overflow-check under ANSI).
-    * expr-based because the Scala API's shiftleft/shiftright take only
-    * literal shift amounts, and here the amount is the lambda variable. */
-  private val simhashFromHashes: Column = expr(
-    """aggregate(
-      |  zip_with(
-      |    transform(sequence(0, 63), b ->
-      |      case when aggregate(__th, cast(0 as bigint),
-      |        (acc, h) -> acc + (cast(shiftrightunsigned(h, b) & 1 as bigint) * 2 - 1)) > 0
-      |      then 1 else 0 end),
-      |    sequence(0, 63),
-      |    (bit, i) -> if(bit = 1, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-      |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
-
-  /** id → 64-bit SimHash fingerprint. */
-  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
-      .select(col("id"), simhashFromHashes.as("fp"))
+  /** id → 64-bit SimHash fingerprint, as a hash AGGREGATION: explode the
+    * token hashes to (id, h) rows, sum the ±1 contribution of every bit
+    * position in 64 codegen'd sum-aggregates (map-side combined — the
+    * shuffle carries 64 longs per (id, partition)), then assemble the
+    * positive-sum bits into one long. Bit 63 lands on the sign bit —
+    * well-defined two's-complement, no ANSI overflow (bitwise OR). */
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(tokenHashes(col(textCol))).as("h"))
+    val aggs = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"__b$b"))
+    val fp = (0 until 64)
+      .map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), fp.as("fp"))
+  }
 
   /** Near-dup pairs by SimHash: block on the four 16-bit chunks of the
     * fingerprint (any shared chunk → candidate; by pigeonhole this
@@ -125,7 +145,8 @@ object Dedup {
     * bit_count(xor). The self-join shuffles on (chunk_idx, chunk). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withFp = withSimhash(docs, idCol, textCol)
+    // persisted: the chunk self-join probes this twice
+    val withFp = withSimhash(docs, idCol, textCol).persist()
     val chunkCols = (0 until 4).map(i =>
       struct(lit(i).as("chunk_idx"),
         shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk")))
@@ -147,20 +168,34 @@ object Dedup {
   // ---- n-gram Jaccard (blocked) ----
 
   /** Pairwise n-gram Jaccard with cheap blocking (docs sharing their
-    * first token are compared). At scale the blocking key should be an
-    * LSH band ([[lshCandidatePairs]]); this variant is the transparent,
+    * first token are compared), computed as an INVERTED-INDEX join: the
+    * distinct shingles are exploded and pairs meet per (block, shingle) —
+    * so intersection sizes come from a count aggregate and the shuffle
+    * carries single shingles, never whole shingle arrays. Pairs with zero
+    * shared shingles vanish, which is exactly right for any
+    * threshold > 0. |A∪B| = |A|+|B|-|A∩B| (shingles are distinct).
+    * At scale the blocking key should be an LSH band
+    * ([[lshCandidatePairs]]); this variant is the transparent,
     * oracle-checkable baseline. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    require(threshold > 0, "inverted-index jaccard requires threshold > 0")
     val sh = docs.select(col(idCol).as("id"),
       get(TextFns.tokens(col(textCol)), lit(0)).as("blk"),
       shingles(col(textCol), k).as("sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))), 4))
+      .persist() // reused: sizes projection + exploded self-join
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__i"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (col("sz_a") + col("sz_b") - col("__i")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select("id_a", "id_b", "jaccard")
   }
 }

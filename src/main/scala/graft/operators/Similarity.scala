@@ -43,11 +43,16 @@ object Similarity {
     * per-query shuffle — no global sort. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    // norms precomputed per ROW (|N|+|Q| norm passes), so each of the
+    // |N|·|Q| scored pairs pays one dot product, not three
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
       .crossJoin(broadcast(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))))
+        queries.select(col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * col("vn"), lit(0.0)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -95,10 +100,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"),
       lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
     val probeOffsets = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"),
         lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
       .withColumn("bucket",
         explode(array_distinct(transform(array(probeOffsets: _*),
@@ -107,7 +114,8 @@ object Similarity {
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * col("vn"), lit(0.0)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -121,11 +129,16 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    // persisted (self-joined) + per-row norms: each candidate pair pays
+    // one dot product, and the signature lineage runs once, not twice
+    val c = corpus.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
+        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+      .persist()
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .withColumn("sim", dot(col("a.v"), col("b.v")) /
+        nullif(col("a.n") * col("b.n"), lit(0.0)))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("sim"), 4).as("sim"))
