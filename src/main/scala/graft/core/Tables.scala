@@ -34,4 +34,24 @@ object Tables {
     * the analog of Snowflake's `USE SCHEMA` + name resolution (A4:71-74). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** S10 `CREATE OR REPLACE TABLE ... AS SELECT` (commands.sql:126-128):
+    * materialize a result as a parquet table. */
+  def ctas(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** S10 `CREATE TABLE IF NOT EXISTS ... LIKE` (A4:1038): an empty table
+    * with the source's exact schema. */
+  def createLike(spark: SparkSession, src: DataFrame, dir: String): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      src.schema).write.mode("ignore").parquet(dir)
+
+  /** S9 row-at-a-time parameterized INSERT (README_teacher.md:336-342) —
+    * retained as semantics only: in Spark a single-row append is a
+    * tiny-DataFrame append (the reference itself documents this path as
+    * far slower than batching; so do we). */
+  def insertRow(spark: SparkSession, dir: String, row: org.apache.spark.sql.Row,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    spark.createDataFrame(java.util.List.of(row), schema)
+      .write.mode("append").parquet(dir)
 }

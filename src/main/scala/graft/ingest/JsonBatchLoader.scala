@@ -46,6 +46,12 @@ object JsonBatchLoader {
       mode: String = "FAILFAST"): DataFrame =
     spark.read.schema(orderSchema).option("mode", mode).json(path)
 
+  /** S3 `strip_outer_array` (A4:125-131, 208-214): each staged file is one
+    * JSON array of records; multiLine mode explodes it to rows. */
+  def readJsonArray(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", true).json(path)
+
   /** P12 normalization (batch_insert.py:76-95): default the non-PII
     * optionals, keep nullable PII as NULL. */
   def normalize(df: DataFrame): DataFrame = df
