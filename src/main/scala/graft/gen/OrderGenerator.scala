@@ -77,7 +77,7 @@ object OrderGenerator {
           states(r.nextInt(states.length)),
           f"${10000 + r.nextInt(89999)}%05d")),
         phone = opt(f"+1-${200 + r.nextInt(799)}%03d-${r.nextInt(999)}%03d-${r.nextInt(9999)}%04d"),
-        email = opt(s"${first.toLowerCase}.${last.toLowerCase}@example.com"),
+        email = opt(s"${first.toLowerCase}.${last.toLowerCase}.${r.nextInt(10000)}@example.com"),
         emergency_contact = opt(EmergencyContact(
           s"${firstNames(r.nextInt(firstNames.length))} $last",
           f"+1-${200 + r.nextInt(799)}%03d-${r.nextInt(999)}%03d-${r.nextInt(9999)}%04d")))
