@@ -63,6 +63,33 @@ object Masking {
       days: Int): DataFrame =
     df.filter(col(tsCol) >= asOf - expr(s"INTERVAL $days DAY"))
 
+  /** G13 at scale: write date-partitioned so retention can DROP whole
+    * partition directories instead of rewriting 100 TB of rows. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(dir)
+
+  /** G13 partition-prune deletion: remove partitions strictly older than
+    * the cutoff — a metadata-scale operation (one directory delete per
+    * expired day), the 100 TB form of the reference's row-level
+    * `DELETE WHERE ts < dateadd(day, -90, now)` (A4:1033-1034). Returns
+    * the dropped partition names. */
+  def retentionDropPartitions(spark: SparkSession, dir: String,
+      asOf: java.time.LocalDate, days: Int): Seq[String] = {
+    val cutoff = asOf.minusDays(days)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+      .filter { s =>
+        val d = java.time.LocalDate.parse(
+          s.getPath.getName.stripPrefix("p_date="))
+        d.isBefore(cutoff)
+      }
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+  }
+
   /** G14 surrogate key (A4:1060): 12-hex-char SHA-256 of the natural key —
     * stable across runs, join-preserving, irreversible. */
   def surrogateKey(v: Column): Column =

@@ -60,6 +60,24 @@ class MaskingSpec extends SparkSuite {
     assert(kept === 2) // cutoff is 2024-03-03 00:00:00 inclusive
   }
 
+  test("partitioned retention drops whole expired partitions (G13 scale path)") {
+    val dir = java.nio.file.Files.createTempDirectory("ret").toString + "/t"
+    val d = Seq("2024-01-01 10:00:00", "2024-02-15 10:00:00",
+      "2024-05-30 10:00:00")
+      .zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    Masking.writeDatePartitioned(d, "ts", dir)
+    val dropped = Masking.retentionDropPartitions(spark, dir,
+      java.time.LocalDate.parse("2024-06-01"), days = 90)
+    assert(dropped.sorted === Seq("p_date=2024-01-01", "p_date=2024-02-15"))
+    val left = spark.read.parquet(dir)
+    assert(left.count() === 1)
+    assert(left.select("id").as[Int].collect().toSeq === Seq(2))
+    // idempotent: nothing more to drop
+    assert(Masking.retentionDropPartitions(spark, dir,
+      java.time.LocalDate.parse("2024-06-01"), 90).isEmpty)
+  }
+
   test("anonymize hashes keys, buckets quasi-ids, keeps the rest") {
     val d = Seq((7L, 23, "seg")).toDF("id", "nk", "seg")
     val r = Masking.anonymize(d, Seq("id"), Map("nk" -> 10)).collect()(0)
