@@ -124,6 +124,60 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path beside LSH.
+    *
+    * Build: centroids are a deterministic hash-ordered sample of corpus
+    * vectors (no iterative k-means needed for a recall baseline); every
+    * corpus vector is assigned to its nearest centroid — one pass of
+    * |N|·|C| dot products against a BROADCAST centroid table, the IVF
+    * build cost. Search: each query scores the same centroid table,
+    * probes its `nProbe` nearest lists, and scans only those lists via an
+    * equi-join on centroid id — per-query work is |C| + the probed-list
+    * sizes, never |N|. At 100 TB the assignment table is the persisted
+    * index; here it's persisted for the query's lifetime. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    // deterministic sample: the nCentroids corpus rows with smallest
+    // xxhash64(id) — stable across runs and partitionings
+    val centroids = c
+      .withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy("__h").limit(nCentroids)
+      .select(col("neighbor_id").as("cid"), col("v").as("cv"),
+        col("vn").as("cn"))
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("csim", dot(col("v"), col("cv")) /
+        nullif(col("vn") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
+      .persist()
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", dot(col("qv"), col("cv")) /
+        nullif(col("qn") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * col("vn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked
     * (the embedding analog of [[Dedup.minhashDedupPairs]]). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

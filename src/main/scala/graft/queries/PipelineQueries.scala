@@ -88,6 +88,13 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  def v04AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def v03CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.4, numPlanes = 6, dim = 64)
@@ -128,6 +135,7 @@ object PipelineQueries {
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
+    "v04_ann_ivf" -> v04AnnIvf,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,

@@ -69,6 +69,22 @@ class SimilaritySpec extends SparkSuite {
     assert(!out.exists(_._2 == 2L))
   }
 
+  test("ivfTopK: exact match found via probed lists; recall vs brute force") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall unexpectedly low: $recall")
+    // every query produced k candidates (probed lists are non-empty)
+    val counts = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 8, 4)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ === 5L))
+  }
+
   test("lsh recall vs brute force on real embeddings (sf0.001)") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
