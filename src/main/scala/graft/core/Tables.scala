@@ -46,6 +46,20 @@ object Tables {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       src.schema).write.mode("ignore").parquet(dir)
 
+  /** Bucketed table write: co-locates rows by join key so repeated
+    * big-big joins/aggregations on that key run WITHOUT a shuffle (both
+    * sides pre-partitioned the same way). At 100 TB this converts every
+    * fact⋈fact join on the bucket key from a full-network exchange into
+    * a local zip of bucket files. Requires the session catalog
+    * (`saveAsTable`); bucket count should match target parallelism. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** S9 row-at-a-time parameterized INSERT (README_teacher.md:336-342) —
     * retained as semantics only: in Spark a single-row append is a
     * tiny-DataFrame append (the reference itself documents this path as
