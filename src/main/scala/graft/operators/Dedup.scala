@@ -76,42 +76,47 @@ object Dedup {
   /** Candidate pairs via LSH over a (id, sig) frame: explode band keys,
     * self-join per (band, bucket), dedupe pairs. The join is a shuffle on
     * the band-key hash — bounded by bucket sizes, never |docs|². The
-    * exploded side is persisted: a self-join would otherwise recompute
-    * the whole signature lineage once per side. */
+    * exploded side is cached for the self-join (a self-join would
+    * otherwise recompute the whole signature lineage once per side) and
+    * released before returning ([[Caches.scoped]]). */
   def lshCandidatePairs(sig: DataFrame, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val exploded = sig.select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "bucket")))
-      .persist()
-    exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      posexplode(bandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    Caches.scoped(exploded) {
+      exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    }
   }
 
   /** MinHash near-dup pairs, verified: candidates from LSH, then exact
     * Jaccard over the true shingle sets, keep pairs ≥ threshold. The
-    * shingle frame is persisted once and probed twice (id_a, id_b). */
+    * shingle frame is cached once, probed twice (id_a, id_b), and
+    * released before returning. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh")).persist()
-    val cands = lshCandidatePairs(
-      signaturesFromShingles(sh, numHashes), bands, numHashes / bands)
-    cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
-      // op per pair instead of two
-      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("__i").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      shingles(col(textCol), k).as("sh"))
+    Caches.scoped(sh) {
+      val cands = lshCandidatePairs(
+        signaturesFromShingles(sh, numHashes), bands, numHashes / bands)
+      cands
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
+        // op per pair instead of two
+        .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", round(col("__i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   // ---- SimHash ----
@@ -145,24 +150,26 @@ object Dedup {
     * bit_count(xor). The self-join shuffles on (chunk_idx, chunk). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persisted: the chunk self-join probes this twice
-    val withFp = withSimhash(docs, idCol, textCol).persist()
-    val chunkCols = (0 until 4).map(i =>
-      struct(lit(i).as("chunk_idx"),
-        shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk")))
-    val chunks = withFp.select(col("id"), col("fp"),
-        explode(array(chunkCols: _*)).as("c"))
-      .select(col("id"), col("fp"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // cached for the chunk self-join (two probes), released on return
+    val withFp = withSimhash(docs, idCol, textCol)
+    Caches.scoped(withFp) {
+      val chunkCols = (0 until 4).map(i =>
+        struct(lit(i).as("chunk_idx"),
+          shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk")))
+      val chunks = withFp.select(col("id"), col("fp"),
+          explode(array(chunkCols: _*)).as("c"))
+        .select(col("id"), col("fp"),
+          col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
   }
 
   // ---- n-gram Jaccard (blocked) ----
@@ -183,19 +190,21 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       get(TextFns.tokens(col(textCol)), lit(0)).as("blk"),
       shingles(col(textCol), k).as("sh"))
-      .persist() // reused: sizes projection + exploded self-join
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val ex = sh.select(col("id"), col("blk"), explode(col("sh")).as("s"))
-    ex.as("a").join(ex.as("b"),
-        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("__i"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard", round(col("__i").cast("double") /
-        (col("sz_a") + col("sz_b") - col("__i")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // cached: sizes projection + exploded self-join; released on return
+    Caches.scoped(sh) {
+      val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+      val ex = sh.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+      ex.as("a").join(ex.as("b"),
+          col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("__i"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("jaccard", round(col("__i").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__i")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 }

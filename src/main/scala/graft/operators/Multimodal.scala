@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,42 +48,53 @@ object Multimodal {
         element_at(array(lit("png"), lit("opus"), lit("h264")),
           (pmod(col(idCol), lit(3)) + 1).cast("int")).as("codec")).as("meta"))
 
-  /** STUB decode: bytes → fixed-width feature vector. Stands in for an
-    * image decode + CNN embed; deterministic (rolling polynomial hash per
-    * stripe) so tests can assert exact values. */
-  private def stubFeature(bytes: Array[Byte], dims: Int): Array[Float] = {
+  /** STUB decode: bytes → per-stripe accumulators. Stands in for an image
+    * decode + CNN embed; deterministic AND modular at every step
+    * (`acc = (acc*31 + byte) mod 1000003`, never exceeding 31·10⁶), so
+    * the exact integers are reproducible by any engine — the DuckDB
+    * oracle replays the same fold. Stripe d folds the bytes at positions
+    * ≡ d (mod dims), in order. */
+  private[graft] val StubMod = 1000003L
+  private[graft] def stubAccumulators(bytes: Array[Byte], dims: Int): Array[Long] = {
     val acc = new Array[Long](dims)
     var i = 0
     while (i < bytes.length) {
       val d = i % dims
-      acc(d) = acc(d) * 31 + (bytes(i) & 0xff)
+      acc(d) = (acc(d) * 31 + (bytes(i) & 0xff)) % StubMod
       i += 1
     }
-    acc.map(v => (v % 1000003L).toFloat / 1000003f)
+    acc
   }
 
-  /** Per-partition decode/feature-extract. mapPartitions (not per-row) is
-    * the load-bearing choice: real decoders pay per-task init (model
-    * load, codec context) once per split. */
+  /** Decoded-asset row: feature vector (floats, as a real embed would
+    * yield) plus an exact integer checksum of the accumulators so
+    * correctness checks never ride on float rounding. */
+  private[graft] case class DecodedAsset(asset_id: Long, kind: String,
+    byte_len: Long, feature: Array[Float], feat_checksum: Long)
+
+  /** Per-partition decode/feature-extract. Two load-bearing choices:
+    *  - mapPartitions (not per-row): real decoders pay per-task init
+    *    (model load, codec context) once per split;
+    *  - the TYPED `Dataset.mapPartitions`, not `df.rdd`: the plan stays a
+    *    single DeserializeToObject → MapPartitions → SerializeFromObject
+    *    pipeline inside the SQL engine — no RDD scan boundary, no
+    *    row-format round-trip, and Catalyst can still prune the three
+    *    input columns at the parquet scan. */
   def decodeFeatures(assets: DataFrame, dims: Int = 16): DataFrame = {
     val spark = assets.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType, nullable = false),
-      StructField("kind", StringType),
-      StructField("byte_len", LongType, nullable = false),
-      StructField("feature", ArrayType(FloatType))))
-    val idIdx = assets.schema.fieldIndex("asset_id")
-    val kindIdx = assets.schema.fieldIndex("kind")
-    val dataIdx = assets.schema.fieldIndex("data")
-    val rdd = assets.rdd.mapPartitions { rows =>
-      // decoder/context init would happen here, once per partition
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](dataIdx)
-        Row(r.getLong(idIdx), r.getString(kindIdx),
-          bytes.length.toLong, stubFeature(bytes, dims).toSeq)
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("kind"),
+        col("data").cast("binary"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // decoder/context init would happen here, once per partition
+        rows.map { case (id, kind, bytes) =>
+          val acc = stubAccumulators(bytes, dims)
+          DecodedAsset(id, kind, bytes.length.toLong,
+            acc.map(v => v.toFloat / StubMod), acc.sum)
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** Frame sampling STUB: slice the byte payload into n equal "frames"
@@ -96,6 +107,6 @@ object Multimodal {
       .withColumn("frame_bytes",
         expr(s"substring(data, frame_idx * (octet_length(data) div $nFrames) + 1, " +
           s"octet_length(data) div $nFrames)"))
-      .select(col("asset_id"), col("frame_idx"),
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
         octet_length(col("frame_bytes")).cast("long").as("frame_len"))
 }

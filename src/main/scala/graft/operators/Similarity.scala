@@ -133,8 +133,11 @@ object Similarity {
     * build cost. Search: each query scores the same centroid table,
     * probes its `nProbe` nearest lists, and scans only those lists via an
     * equi-join on centroid id — per-query work is |C| + the probed-list
-    * sizes, never |N|. At 100 TB the assignment table is the persisted
-    * index; here it's persisted for the query's lifetime. */
+    * sizes, never |N|. At 100 TB both the centroid table and the
+    * assignment table are what you'd write out as the persistent index;
+    * in-query, the centroid table is materialized once (it feeds both
+    * the build and the search side) and the assignment feeds its single
+    * consumer join directly. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -147,15 +150,19 @@ object Similarity {
       .orderBy("__h").limit(nCentroids)
       .select(col("neighbor_id").as("cid"), col("v").as("cv"),
         col("vn").as("cn"))
+      // tiny (nCentroids rows) but referenced by build AND search side:
+      // materialize once so the corpus isn't scanned twice for it
+      .localCheckpoint()
     val wAssign = Window.partitionBy("neighbor_id")
       .orderBy(col("csim").desc, col("cid"))
+    // single consumer (the probe join below) — no cache needed; at 100 TB
+    // this frame is what you'd WRITE as the persistent IVF index instead
     val assigned = c.crossJoin(broadcast(centroids))
       .withColumn("csim", dot(col("v"), col("cv")) /
         nullif(col("vn") * col("cn"), lit(0.0)))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
-      .persist()
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
     val wProbe = Window.partitionBy("query_id")
@@ -183,18 +190,20 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    // persisted (self-joined) + per-row norms: each candidate pair pays
-    // one dot product, and the signature lineage runs once, not twice
+    // cached for the self-join (signature lineage runs once, not twice),
+    // released on return; per-row norms so each candidate pair pays one
+    // dot product
     val c = corpus.select(col(idCol).as("id"),
-        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
-        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
-      .persist()
-    c.as("a").join(c.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", dot(col("a.v"), col("b.v")) /
-        nullif(col("a.n") * col("b.n"), lit(0.0)))
-      .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("sim"), 4).as("sim"))
+      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
+      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    Caches.scoped(c) {
+      c.as("a").join(c.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .withColumn("sim", dot(col("a.v"), col("b.v")) /
+          nullif(col("a.n") * col("b.n"), lit(0.0)))
+        .filter(col("sim") >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(col("sim"), 4).as("sim"))
+    }
   }
 }

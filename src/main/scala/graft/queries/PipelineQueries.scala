@@ -114,8 +114,7 @@ object PipelineQueries {
         Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text"))
       .select(col("asset_id"), col("byte_len"),
         size(col("feature")).as("feat_dims"),
-        round(aggregate(col("feature"), lit(0.0),
-          (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+        col("feat_checksum"))
       .orderBy("asset_id")
 
   def m03FrameSample(s: SparkSession, dir: String): DataFrame =
@@ -193,5 +192,24 @@ object PipelineQueries {
         "CAST((doc_id % 64) * 16 + 64 AS INT) AS width, " +
         "['png','opus','h264'][CAST(doc_id % 3 AS INT) + 1] AS codec " +
         "FROM documents ORDER BY asset_id"),
+    // replays Multimodal.stubAccumulators per stripe: fold over the bytes
+    // at positions ≡ d (mod 16) with (acc*31 + byte) % 1000003 — documents
+    // are ASCII so ascii(char) == byte value. Exact-integer checksum.
+    "m02_multimodal_decode" -> {
+      val stripes = (0 until 16).map { d =>
+        s"(CASE WHEN length(text) > $d THEN list_reduce(" +
+          s"[ascii(substr(text, p + 1, 1)) for p in range($d, length(text), 16)], " +
+          "(acc, x) -> (acc * 31 + x) % 1000003) ELSE 0 END)"
+      }.mkString(" + ")
+      "SELECT CAST(doc_id AS BIGINT) AS asset_id, " +
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, " +
+        "CAST(16 AS INT) AS feat_dims, " +
+        s"CAST($stripes AS BIGINT) AS feat_checksum " +
+        "FROM documents ORDER BY asset_id"
+    },
+    "m03_frame_sample" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(t.range AS BIGINT) AS frame_idx, " +
+        "CAST(octet_length(CAST(text AS BLOB)) // 4 AS BIGINT) AS frame_len " +
+        "FROM documents, range(4) t ORDER BY asset_id, frame_idx"),
   )
 }
