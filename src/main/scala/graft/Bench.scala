@@ -27,8 +27,13 @@ object Bench {
     try SparkEntry.queries("q01_count_global")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // dev aid: SPARK_GRAFT_ONLY=d02_dedup_minhash,d03_dedup_simhash
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = selected.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output row/column (count() would let
       // Catalyst prune the projections and under-report)

@@ -20,4 +20,19 @@ private[graft] object Caches {
     try out.localCheckpoint()
     finally intermediates.foreach(_.unpersist())
   }
+
+  /** Spread a compute-heavy-but-byte-light input across the cluster.
+    *
+    * A small parquet file arrives as ONE scan split, so per-row-expensive
+    * pipelines (shingling, hashing, signatures) run single-threaded no
+    * matter how many cores exist — bytes-based split sizing is the wrong
+    * proxy when compute ≫ I/O. An explicit hash repartition on the row
+    * key fixes the parallelism AND pre-satisfies the downstream
+    * groupBy(key) distribution (no second exchange). The partition count
+    * is pinned (repartition(n, key)) so AQE's size-based coalescing
+    * doesn't fold the tiny-by-bytes rows back into one partition. */
+  def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    df.repartition(n.toInt, key)
+  }
 }

@@ -55,9 +55,24 @@ object Dedup {
 
   /** Same, over a prepared (id, sh) frame — callers that already hold the
     * shingle frame (e.g. for verification) avoid re-shingling. */
-  def signaturesFromShingles(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val hashed = sh.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+  def signaturesFromShingles(sh: DataFrame, numHashes: Int = 64): DataFrame =
+    minhashAgg(sh.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h")), numHashes)
+
+  /** Hashed shingle sets: distinct xxhash64 of each shingle — 8-byte
+    * longs instead of ~20-char strings, so downstream signature explodes
+    * and verification intersects move fixed-width integers. Jaccard on
+    * the hashed sets equals jaccard on the string sets up to 64-bit
+    * collision odds (~1e-15 per pair at 300 shingles/doc). */
+  def hashedShingles(textCol: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(textCol, k), s => xxhash64(s)))
+
+  /** Signatures over a prepared (id, hs: array<long>) hashed-shingle
+    * frame. */
+  def signaturesFromHashes(hs: DataFrame, numHashes: Int = 64): DataFrame =
+    minhashAgg(hs.select(col("id"), explode(col("hs")).as("h")), numHashes)
+
+  private def minhashAgg(hashed: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
     hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -95,25 +110,29 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs, verified: candidates from LSH, then exact
-    * Jaccard over the true shingle sets, keep pairs ≥ threshold. The
-    * shingle frame is cached once, probed twice (id_a, id_b), and
-    * released before returning. */
+    * Jaccard over the hashed shingle sets, keep pairs ≥ threshold. The
+    * hashed-shingle frame (longs, not strings) is cached once, feeds the
+    * signature aggregation AND both verification probes, and is released
+    * before returning. The output is brute-force oracle-checkable:
+    * verification makes precision exact, and banding (16 bands × 4 rows
+    * by default) makes recall a fixed deterministic property of the
+    * corpus — every missed-pair probability is < 4e-8 at jaccard ≥ 0.9. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-    Caches.scoped(sh) {
+    val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
+      hashedShingles(col(textCol), k).as("hs"))
+    Caches.scoped(hs) {
       val cands = lshCandidatePairs(
-        signaturesFromShingles(sh, numHashes), bands, numHashes / bands)
+        signaturesFromHashes(hs, numHashes), bands, numHashes / bands)
       cands
-        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
         // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
         // op per pair instead of two
-        .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
         .withColumn("jaccard", round(col("__i").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 4))
+          (size(col("hs_a")) + size(col("hs_b")) - col("__i")), 4))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }
@@ -132,7 +151,7 @@ object Dedup {
     * positive-sum bits into one long. Bit 63 lands on the sign bit —
     * well-defined two's-complement, no ANSI overflow (bitwise OR). */
   def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
+    val exploded = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       explode(tokenHashes(col(textCol))).as("h"))
     val aggs = (0 until 64).map(b =>
       sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)
@@ -172,6 +191,87 @@ object Dedup {
     }
   }
 
+  // ---- SimHash (portable, md5-derived) ----
+
+  /** md5-portable SimHash, as four 16-bit chunks `c0..c3`.
+    *
+    * Token bits come from the first 16 hex chars of md5(token): bits
+    * 31..0 from hex digits 9..16 ("lo"), bits 63..32 from digits 1..8
+    * ("hi"). md5 is bit-identical across engines, so the DuckDB oracle
+    * replays the exact fingerprint digit-for-digit — unlike the
+    * xxhash64 variant ([[withSimhash]]), which is faster but has no
+    * cross-engine twin. Chunked (not one i64) output is sign-safe and
+    * doubles as the pigeonhole blocking key. */
+  def withSimhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val halves = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"),
+        // slice: the packed sums below stay < 2^63 (ANSI-safe) iff each
+        // lane count ≤ 32767, so at most 32767 distinct tokens
+        // contribute per document
+        explode(slice(array_distinct(TextFns.tokens(col(textCol))), 1, 32767)).as("tok"))
+      .select(col("id"), md5(col("tok").cast("binary")).as("hx"))
+      .select(col("id"),
+        conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("lo"))
+    // 64 per-bit set-counts, LANE-PACKED into 16 sum aggregates (bits
+    // 4g..4g+3 in four 16-bit lanes of agg __s<g>): 4× fewer aggregate
+    // buffers and update calls, and the generated aggregate class stays
+    // small enough to compile+JIT fast. Lanes can't borrow: each lane
+    // count ≤ 32767 (the slice above), which also keeps the top lane's
+    // running sum below 2^63 under ANSI arithmetic.
+    def bitOf(b: Int): Column = {
+      val (src, sh) = if (b < 32) (col("lo"), b) else (col("hi"), b - 32)
+      shiftrightunsigned(src, sh).bitwiseAND(lit(1L))
+    }
+    val aggs = (0 until 16).map { g =>
+      sum((0 until 4).map(t => bitOf(4 * g + t) * lit(1L << (16 * t))).reduce(_ + _))
+        .as(s"__s$g")
+    } :+ count(lit(1L)).as("__n")
+    // bit b set ⟺ signed sum positive ⟺ 2·count(b) > n_tokens
+    def countOf(b: Int): Column =
+      shiftrightunsigned(col(s"__s${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(0xFFFFL))
+    val chunkCols = (0 until 4).map { j =>
+      (0 until 16).map { t =>
+        when(countOf(16 * j + t) * 2 > col("__n"), lit(1L << t)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as(s"c$j")
+    }
+    halves.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id") +: chunkCols: _*)
+  }
+
+  /** Near-dup pairs by portable SimHash. With 4 chunks and
+    * maxHamming ≤ 3 the pigeonhole blocking is EXACT (any pair within
+    * hamming 3 shares at least one whole chunk), so the blocked join
+    * returns precisely the brute-force all-pairs answer — fully
+    * oracle-checkable, no recall asterisk. */
+  def simhashPortablePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
+    val withFp = withSimhashChunks(docs, idCol, textCol)
+    Caches.scoped(withFp) {
+      val chunks = withFp.select(
+        col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("chunk_idx", "chunk")))
+      val hamming = (0 until 4).map(j =>
+        bit_count(col(s"a.c$j").bitwiseXOR(col(s"b.c$j")))).reduce(_ + _)
+      // first-shared-chunk rule: a pair sharing several chunks would match
+      // in several buckets, so each match also requires every EARLIER
+      // chunk to differ — exactly one emission per pair, no distinct()
+      // shuffle over the (large) candidate stream
+      val firstMatch = (0 until 3).map(j =>
+        when(col("a.chunk_idx") > j, col(s"a.c$j") =!= col(s"b.c$j"))
+          .otherwise(lit(true))).reduce(_ && _)
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id") &&
+            firstMatch && hamming <= maxHamming)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hamming.cast("long").as("hamming"))
+    }
+  }
+
   // ---- n-gram Jaccard (blocked) ----
 
   /** Pairwise n-gram Jaccard with cheap blocking (docs sharing their
@@ -187,7 +287,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 3): DataFrame = {
     require(threshold > 0, "inverted-index jaccard requires threshold > 0")
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       get(TextFns.tokens(col(textCol)), lit(0)).as("blk"),
       shingles(col(textCol), k).as("sh"))
     // cached: sizes projection + exploded self-join; released on return

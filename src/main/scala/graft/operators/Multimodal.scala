@@ -83,7 +83,8 @@ object Multimodal {
   def decodeFeatures(assets: DataFrame, dims: Int = 16): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select(col("asset_id").cast("long"), col("kind"),
+    Caches.spreadByKey(assets, col("asset_id"))
+      .select(col("asset_id").cast("long"), col("kind"),
         col("data").cast("binary"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>

@@ -44,8 +44,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     // norms precomputed per ROW (|N|+|Q| norm passes), so each of the
-    // |N|·|Q| scored pairs pays one dot product, not three
-    val scored = corpus.select(col(idCol).as("neighbor_id"),
+    // |N|·|Q| scored pairs pays one dot product, not three; corpus
+    // spread so the |N|·|Q| dot products use every core, not one split
+    val scored = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
       .crossJoin(broadcast(
         queries.select(col(idCol).as("query_id"),
@@ -100,9 +102,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"),
-      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"),
+        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
     val probeOffsets = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"),
@@ -141,8 +144,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
     // deterministic sample: the nCentroids corpus rows with smallest
     // xxhash64(id) — stable across runs and partitionings
     val centroids = c
@@ -193,9 +197,10 @@ object Similarity {
     // cached for the self-join (signature lineage runs once, not twice),
     // released on return; per-row norms so each candidate pair pays one
     // dot product
-    val c = corpus.select(col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
-      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
+        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
     Caches.scoped(c) {
       c.as("a").join(c.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -64,7 +64,7 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
 
   def d03DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPortablePairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   def d04NgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -140,6 +140,39 @@ object PipelineQueries {
     "m03_frame_sample" -> m03FrameSample,
   )
 
+  /** DuckDB twin of [[Dedup.withSimhashChunks]] + brute-force all-pairs
+    * hamming: md5(token) hex digits → hi/lo 32-bit halves → 64 signed
+    * bit-sums → 4 16-bit chunks → bit_count(xor) over every pair. Same
+    * bit layout, same constants, generated — it cannot drift from the
+    * Spark expressions by hand-editing one side. */
+  private lazy val simhashOracleSql: String = {
+    def hexval(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
+    // 8 hex digits starting at 1-based `start` → 32-bit big-endian value
+    def word(start: Int) = (0 until 8)
+      .map(i => s"${hexval(s"substr(hx, ${start + i}, 1)")} * ${math.pow(16, 7 - i).toLong}")
+      .mkString("(", " + ", ")")
+    val bitSums = (0 until 64).map { b =>
+      val (src, sh) = if (b < 32) ("lo", b) else ("hi", b - 32)
+      s"SUM(CASE WHEN (($src // ${1L << sh}) % 2) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }
+    val chunkExprs = (0 until 4).map { j =>
+      (0 until 16).map(t => s"(CASE WHEN b${16 * j + t} > 0 THEN ${1L << t} ELSE 0 END)")
+        .mkString("(", " + ", s") AS c$j")
+    }
+    val ham = (0 until 4).map(j => s"bit_count(xor(a.c$j, b.c$j))").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+       |hl AS (SELECT doc_id, ${word(1)} AS hi, ${word(9)} AS lo FROM h),
+       |bits AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM hl GROUP BY doc_id),
+       |fp AS (SELECT doc_id, ${chunkExprs.mkString(", ")} FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($ham AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t01_tokens" ->
       (s"SELECT doc_id, CAST(${TextFns.tokenCountSql("text")} AS BIGINT) AS n_tokens, " +
@@ -160,6 +193,30 @@ object PipelineQueries {
     "d01_dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups " +
         s"FROM documents GROUP BY ${TextFns.fingerprintSql("text")} ORDER BY doc_id"),
+    // brute-force ground truth: ALL-pairs jaccard over the same word
+    // 3-shingles, no blocking. The Spark side only ever sees LSH
+    // candidates, so a green hash here is a real recall-vs-truth gate
+    // (precision is exact by construction — candidates are verified).
+    "d02_dedup_minhash" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+    // replays Dedup.withSimhashChunks digit-for-digit (md5 is the shared
+    // hash), then brute-force all-pairs hamming — exact, because the
+    // Spark side's 4-chunk pigeonhole blocking is lossless at hamming<=3
+    "d03_dedup_simhash" -> simhashOracleSql,
     "d04_ngram_jaccard" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
