@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -272,37 +273,120 @@ object Dedup {
     }
   }
 
-  // ---- n-gram Jaccard (blocked) ----
+  // ---- n-gram Jaccard (exact) ----
 
-  /** Pairwise n-gram Jaccard with cheap blocking (docs sharing their
-    * first token are compared), computed as an INVERTED-INDEX join: the
-    * distinct shingles are exploded and pairs meet per (block, shingle) —
-    * so intersection sizes come from a count aggregate and the shuffle
-    * carries single shingles, never whole shingle arrays. Pairs with zero
-    * shared shingles vanish, which is exactly right for any
-    * threshold > 0. |A∪B| = |A|+|B|-|A∩B| (shingles are distinct).
-    * At scale the blocking key should be an LSH band
-    * ([[lshCandidatePairs]]); this variant is the transparent,
-    * oracle-checkable baseline. */
+  /** EXACT pairwise n-gram Jaccard as a count-based inverted-index join:
+    * every (repeated) shingle posts its documents, pairs meet once per
+    * shared shingle, and the intersection size IS the meet count — one
+    * aggregate, no per-pair array work at all. Singleton shingles
+    * (df = 1, the long tail) are dropped up front: they cannot
+    * contribute to any intersection.
+    *
+    * Skew posture for 100 TB: a shingle shared by d documents emits
+    * d·(d-1)/2 meet rows into ONE reducer — the "every document contains
+    * 'the quick brown'" key would melt it. Shingles with df > `hotDf`
+    * therefore run through an exact salted self-join (a-side salted,
+    * b-side replicated `salts`×, same algebra as [[Skew.saltedJoin]]),
+    * spreading each hot shingle over `salts` reducers; cold shingles
+    * join directly. Union before the count preserves exactness: each
+    * shared shingle contributes exactly one meet row on exactly one
+    * path. For an index-size-bounded alternative see
+    * [[ngramJaccardPairsPrefix]]. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, k: Int = 3): DataFrame = {
-    require(threshold > 0, "inverted-index jaccard requires threshold > 0")
-    val sh = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
-      get(TextFns.tokens(col(textCol)), lit(0)).as("blk"),
-      shingles(col(textCol), k).as("sh"))
-    // cached: sizes projection + exploded self-join; released on return
-    Caches.scoped(sh) {
-      val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-      val ex = sh.select(col("id"), col("blk"), explode(col("sh")).as("s"))
-      ex.as("a").join(ex.as("b"),
-          col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
-            col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("__i"))
-        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      threshold: Double = 0.5, k: Int = 3,
+      hotDf: Int = 4096, salts: Int = 16): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "jaccard threshold in (0, 1]")
+    val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
+      hashedShingles(col(textCol), k).as("hs"))
+    Caches.scoped(hs) {
+      val ex = hs.select(col("id"), size(col("hs")).as("sz"),
+        explode(col("hs")).as("s"))
+      val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(1L))
+      val withDf = ex.join(dfTab, "s")
+      val cold = withDf.filter(col("df") <= lit(hotDf.toLong))
+      val hot = withDf.filter(col("df") > lit(hotDf.toLong))
+      def pairCols(side: DataFrame, other: DataFrame, extraKey: Seq[String]) =
+        side.as("a").join(other.as("b"),
+            (Seq(col("a.s") === col("b.s")) ++
+              extraKey.map(k0 => col(s"a.$k0") === col(s"b.$k0")))
+              .reduce(_ && _) && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      val coldPairs = pairCols(cold, cold, Nil)
+      val hotL = hot.withColumn("__salt",
+        pmod(xxhash64(col("id"), col("s")), lit(salts.toLong)))
+      val hotR = hot.withColumn("__salt",
+        explode(sequence(lit(0L), lit(salts - 1L))))
+      val hotPairs = pairCols(hotL, hotR, Seq("__salt"))
+      coldPairs.unionByName(hotPairs)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("__i"),
+          first(col("sz_a")).as("__sa"), first(col("sz_b")).as("__sb"))
         .withColumn("jaccard", round(col("__i").cast("double") /
-          (col("sz_a") + col("sz_b") - col("__i")), 4))
+          (col("__sa") + col("__sb") - col("__i")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+  }
+
+  /** EXACT pairwise n-gram Jaccard via prefix filtering (AllPairs /
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): order
+    * every document's shingles by one global rank (rarest first), index
+    * only each document's first `|d| - ⌈t·|d|⌉ + 1` shingles, and let
+    * candidates meet on shared PREFIX shingles. Any pair with
+    * jaccard ≥ t must share a prefix element under a common global
+    * order, so — unlike first-token or LSH blocking — this is lossless:
+    * the result is identical to the all-pairs join. Candidates then pass
+    * the PPJoin positional filter before full set verification.
+    *
+    * Trade-off vs [[ngramJaccardPairs]]: the candidate join only ever
+    * touches prefix (= globally rare) shingles, so its buckets stay
+    * small without any salting — the index is what's bounded. The price
+    * is a per-candidate array intersection; on corpora whose documents
+    * share large fractions of their shingles (template-heavy crawls) the
+    * count-based variant is faster. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "prefix filtering needs 0 < t <= 1")
+    val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
+      hashedShingles(col(textCol), k).as("hs"))
+    Caches.scoped(hs) {
+      val ex = hs.select(col("id"), size(col("hs")).as("sz"),
+        explode(col("hs")).as("s"))
+      // document frequency of every REPEATED shingle (df=1 rows would
+      // dominate the table and add nothing: missing ⇒ df 1)
+      val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(1L))
+      // global order = (df asc, shingle asc); prefix keeps the rarest
+      // |d| - ceil(t·|d|) + 1 shingles of each doc
+      val wRank = Window.partitionBy("id").orderBy(col("df"), col("s"))
+      val prefix = ex.join(broadcast(dfTab), Seq("s"), "left")
+        .withColumn("df", coalesce(col("df"), lit(1L)))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+        .select("id", "s", "rn", "sz")
+      // positional filter (PPJoin): with c shared prefix shingles, the
+      // last of them at rank ra/rb, the overlap can't exceed
+      // c + min(|a|-ra, |b|-rb); pairs whose bound misses the required
+      // overlap α = ⌈t/(1+t)·(|a|+|b|)⌉ die here, before the (expensive)
+      // set verification
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("__c"),
+          max(col("a.rn")).as("__ra"), max(col("b.rn")).as("__rb"),
+          first(col("a.sz")).as("__sa"), first(col("b.sz")).as("__sb"))
+        .filter(col("__c") +
+          least(col("__sa") - col("__ra"), col("__sb") - col("__rb")) >=
+          ceil(lit(threshold / (1 + threshold)) * (col("__sa") + col("__sb"))))
+        .select("id_a", "id_b")
+      cands
+        .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("jaccard", round(col("__i").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("__i")), 4))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }

@@ -217,19 +217,24 @@ object PipelineQueries {
     // hash), then brute-force all-pairs hamming — exact, because the
     // Spark side's 4-chunk pigeonhole blocking is lossless at hamming<=3
     "d03_dedup_simhash" -> simhashOracleSql,
+    // same all-pairs truth as d02 — but here the Spark side is EXACT
+    // (prefix filtering is lossless), so this green is unconditional,
+    // not a recall property of the corpus
     "d04_ngram_jaccard" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
         |sh AS (
-        |  SELECT doc_id, tk[1] AS blk,
+        |  SELECT doc_id,
         |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
         |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
         |    END AS sh
         |  FROM toks)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-        |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 4) >= 0.5
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
     "v01_ann_brute" ->
       ("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),

@@ -79,6 +79,41 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("ngram jaccard: count-based and prefix-filtered variants agree") {
+    // template-ish corpus: twins, a near-twin, an overlapping-but-below-
+    // threshold doc, and an unrelated doc
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      4L -> "alpha beta gamma delta other words entirely now here yes",
+      5L -> "unrelated text with completely different content thanks")
+    def norm(df0: org.apache.spark.sql.DataFrame) =
+      df0.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val count = norm(Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.3))
+    val prefix = norm(Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", threshold = 0.3))
+    assert(count === prefix)
+    assert(count.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("ngram jaccard: salted hot-shingle path is exact (hotDf=1)") {
+    val d = docs(
+      1L -> "one two three four five six seven eight",
+      2L -> "one two three four five six seven nine",
+      3L -> "one two three ten eleven twelve thirteen fourteen")
+    // hotDf=1 forces EVERY repeated shingle through the salted join
+    val salted = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        threshold = 0.2, hotDf = 1, salts = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("shingles: short docs fall back to whole-text shingle") {
     val d = docs(1L -> "one two")
     val sh = d.select(Dedup.shingles(col("text"), 3).as("sh"))
