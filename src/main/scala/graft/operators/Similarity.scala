@@ -148,10 +148,11 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
     // deterministic sample: the nCentroids corpus rows with smallest
-    // xxhash64(id) — stable across runs and partitionings
+    // md5(id-as-string) — stable across runs/partitionings AND
+    // reproducible by any engine with md5 (the DuckDB oracle replays it)
     val centroids = c
-      .withColumn("__h", xxhash64(col("neighbor_id")))
-      .orderBy("__h").limit(nCentroids)
+      .withColumn("__h", md5(col("neighbor_id").cast("string")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(nCentroids)
       .select(col("neighbor_id").as("cid"), col("v").as("cv"),
         col("vn").as("cn"))
       // tiny (nCentroids rows) but referenced by build AND search side:

@@ -173,7 +173,80 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- ANN replica oracles ----
+  // The hyperplanes are seeded, literal-encoded constants
+  // (Similarity.hyperplanes); embedding them in the SQL makes DuckDB
+  // replay the exact same bucketing, probing, and re-ranking as the
+  // Spark plan — sign/ordering decisions ride on well-separated doubles
+  // (min top-k gap ≈ 2e-4 on this corpus, float noise ≈ 1e-15).
+
+  private def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+
+  private def bucketSql(vc: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vc, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private lazy val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+
+  private lazy val v02OracleSql: String = {
+    val probes = (Seq(0L) ++ (0 until 6).map(i => 1L << i)).mkString(", ")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v", annPlanes)} AS bucket FROM c),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+       |qb AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn, ${bucketSql("qv", annPlanes)} AS bucket0 FROM q),
+       |qp AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket
+       |       FROM qb, (SELECT unnest([$probes]) AS m)),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn
+       |         FROM qp JOIN cb USING (bucket) WHERE query_id <> neighbor_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    list_dot_product(qv, v) / NULLIF(qn * vn, 0.0) AS sim FROM cand)
+       |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val v03OracleSql: String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v", annPlanes)} AS bucket FROM c)
+       |SELECT a.id AS id_a, bb.id AS id_b,
+       |  ROUND(list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0), 4) AS sim
+       |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+       |WHERE list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val v04OracleSql: String =
+    """WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cn AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+      |cent AS (SELECT neighbor_id AS cid, v AS cv, vn AS cn FROM cn
+      |         ORDER BY md5(CAST(neighbor_id AS VARCHAR)), neighbor_id LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, v, vn, cid FROM (
+      |    SELECT cn.neighbor_id, cn.v, cn.vn, cent.cid,
+      |      row_number() OVER (PARTITION BY cn.neighbor_id
+      |        ORDER BY list_dot_product(cn.v, cent.cv) / NULLIF(cn.vn * cent.cn, 0.0) DESC, cent.cid) AS rn
+      |    FROM cn, cent) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+      |qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+      |probes AS (
+      |  SELECT query_id, qv, qn, cid FROM (
+      |    SELECT qn.query_id, qn.qv, qn.qn, cent.cid,
+      |      row_number() OVER (PARTITION BY qn.query_id
+      |        ORDER BY list_dot_product(qn.qv, cent.cv) / NULLIF(qn.qn * cent.cn, 0.0) DESC, cent.cid) AS rn
+      |    FROM qn, cent) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    list_dot_product(p.qv, a.v) / NULLIF(p.qn * a.vn, 0.0) AS sim
+      |  FROM probes p JOIN assigned a USING (cid)
+      |  WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v02_ann_lsh" -> v02OracleSql,
+    "v03_cosine_near_dup" -> v03OracleSql,
+    "v04_ann_ivf" -> v04OracleSql,
     "t01_tokens" ->
       (s"SELECT doc_id, CAST(${TextFns.tokenCountSql("text")} AS BIGINT) AS n_tokens, " +
         "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens " +
