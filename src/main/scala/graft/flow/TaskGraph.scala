@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
 import graft.functions.SnowFns
 
 /** Task schedule (ST4/ST5): interval (`schedule='3 minute'`) or daily
-  * cron (`USING CRON 0 2 * * *`, A4:1029-1035). */
+  * cron with an IANA timezone (`USING CRON 0 2 * * * Europe/Paris`,
+  * A4:1029-1035). DST rules follow java.time resolution: a wall time
+  * inside a spring-forward gap shifts forward by the gap (02:00 on the
+  * missing night fires at 03:00), and a fall-back overlap uses the
+  * earlier offset — one fire per day either way. */
 sealed trait Schedule
 case class Every(seconds: Long) extends Schedule
-case class DailyAt(hour: Int, minute: Int) extends Schedule
+case class DailyAt(hour: Int, minute: Int, zone: String = "UTC") extends Schedule
 
 /** One task: root tasks have a schedule; child tasks run AFTER parents
   * (A4:506-605). `when` is the `system$stream_has_data` gate (ST6). */
@@ -71,15 +75,11 @@ class TaskGraph(clock: () => Timestamp = () =>
     case None => false
     case Some(Every(s)) =>
       lastFire.get(t.name).forall(last => now.getTime - last >= s * 1000)
-    case Some(DailyAt(h, m)) =>
-      val cal = java.util.Calendar.getInstance(
-        java.util.TimeZone.getTimeZone("UTC"))
-      cal.setTimeInMillis(now.getTime)
-      cal.set(java.util.Calendar.HOUR_OF_DAY, h)
-      cal.set(java.util.Calendar.MINUTE, m)
-      cal.set(java.util.Calendar.SECOND, 0)
-      cal.set(java.util.Calendar.MILLISECOND, 0)
-      val boundary = cal.getTimeInMillis
+    case Some(DailyAt(h, m, zone)) =>
+      val zid = java.time.ZoneId.of(zone)
+      val today = java.time.Instant.ofEpochMilli(now.getTime)
+        .atZone(zid).toLocalDate
+      val boundary = today.atTime(h, m).atZone(zid).toInstant.toEpochMilli
       boundary <= now.getTime &&
         lastFire.get(t.name).forall(_ < boundary)
   }

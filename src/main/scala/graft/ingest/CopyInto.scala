@@ -71,14 +71,38 @@ object CopyInto {
       case "parquet" => reader.parquet(newFiles: _*)
       case other     => sys.error(s"unsupported stage format: $other")
     }
-    df.write.mode(SaveMode.Append).parquet(targetDir)
 
-    // Per-file row counts in ONE scan (not one job per file): group by
-    // input_file_name, normalized back from URI form to the listed path.
-    val counts = df.groupBy(input_file_name().as("uri"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
-      .toMap
+    // Per-file row counts piggyback on the WRITE itself: one observe()
+    // metric per file (count of rows whose input_file_name ends with
+    // "/<basename>" — basenames are unique within one listed directory,
+    // and the suffix match is URI-scheme-proof). One scan total: the
+    // old groupBy(input_file_name) re-read every source file — doubled
+    // ingest I/O at TB-scale landing dirs. Metric-column count scales
+    // with the file batch, so very large batches fall back to caching
+    // the parsed batch and counting from the cache (source still
+    // scanned once).
+    val counts: Map[String, Long] =
+      if (newFiles.size <= 256) {
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = newFiles.zipWithIndex.map { case (f, i) =>
+          count(when(input_file_name().endsWith("/" + new Path(f).getName),
+            lit(1))).as(s"f$i")
+        }
+        df.observe(obs, aggs.head, aggs.tail: _*)
+          .write.mode(SaveMode.Append).parquet(targetDir)
+        val m = obs.get
+        newFiles.zipWithIndex
+          .map { case (f, i) => f -> m(s"f$i").asInstanceOf[Long] }.toMap
+      } else {
+        df.persist()
+        try {
+          df.write.mode(SaveMode.Append).parquet(targetDir)
+          df.groupBy(input_file_name().as("uri"))
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+            .toMap
+        } finally { df.unpersist(); () }
+      }
     val records = newFiles.map { f =>
       LoadRecord(f, counts.getOrElse(f, 0L), "LOADED", now())
     }

@@ -271,6 +271,18 @@ object CoreQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id").limit(100)
 
+  /** §1.3 VariantType staging: parse_json once, variant_get typed paths
+    * (the Spark-4 analog of the reference's payload VARIANT staging,
+    * A4:95-97) — then a grouped aggregate over the shredded column. */
+  def q37VariantStage(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.query.Variants.stage(t(s, dir, "events"), "props")
+    graft.query.Variants.typedView(staged, "payload",
+        Seq(("$.k", "bigint", "k")))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k_bucket")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -317,6 +329,7 @@ object CoreQueries {
     "q33_datediff" -> q33DateDiff,
     "q34_mod_bucket" -> q34ModBucket,
     "q35_json_extract" -> q35JsonExtract,
+    "q37_variant_stage" -> q37VariantStage,
     "q36_frac_nullif" -> q36FracNullif,
   )
 
@@ -393,5 +406,9 @@ object CoreQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id LIMIT 100",
     "q36_frac_nullif" ->
       "SELECT ROUND(SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN 1 ELSE 0 END)*1.0/NULLIF(COUNT(*),0),6) AS frac FROM lineitem",
+    "q37_variant_stage" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, " +
+        "COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value " +
+        "FROM events GROUP BY 1 ORDER BY k_bucket"),
   )
 }

@@ -37,6 +37,29 @@ class TaskGraphSpec extends SparkSuite {
     now = ts("2024-01-02 02:00:01"); g.tick(); assert(n === 2) // next day
   }
 
+  test("daily cron honors IANA timezone across a DST gap (ST5, A4:1031)") {
+    // Europe/Paris springs forward 2026-03-29: 02:00 CET -> 03:00 CEST,
+    // so the 02:00 wall time doesn't exist; it must fire at 03:00 CEST
+    // (01:00 UTC), once.
+    def utc(s: String): Timestamp =
+      Timestamp.from(java.time.Instant.parse(s))
+    var now = utc("2026-03-28T00:55:00Z")
+    val g = new TaskGraph(() => now)
+    var n = 0
+    g.add(TaskDef("retention", Some(DailyAt(2, 0, "Europe/Paris")),
+      body = () => n += 1))
+    g.resume("retention")
+    g.tick(); assert(n === 0)  // 01:55 CET, before 02:00 boundary
+    now = utc("2026-03-28T01:05:00Z"); g.tick(); assert(n === 1) // 02:05 CET
+    // DST day: 01:30 CET is before the (shifted) boundary
+    now = utc("2026-03-29T00:30:00Z"); g.tick(); assert(n === 1)
+    // 03:05 CEST: the gap-shifted boundary (03:00 CEST = 01:00 UTC) passed
+    now = utc("2026-03-29T01:05:00Z"); g.tick(); assert(n === 2)
+    now = utc("2026-03-29T09:00:00Z"); g.tick(); assert(n === 2) // same day
+    // after DST the boundary is 02:00 CEST = 00:00 UTC
+    now = utc("2026-03-30T00:05:00Z"); g.tick(); assert(n === 3)
+  }
+
   test("linear chain runs in order; failure stops the cascade (ST7)") {
     val (g, _) = graphWithClock("2024-01-01 00:00:00")
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
