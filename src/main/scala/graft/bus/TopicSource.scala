@@ -1,0 +1,149 @@
+package graft.bus
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S12 as a REAL Spark streaming source: the [[FileTopic]] log exposed
+  * through the standard DataSource V2 `readStream.format("graft-topic")`
+  * surface, with the Kafka connector's 7-column schema — a consumer
+  * written against `format("kafka")` ports by changing the format string
+  * and options, nothing else (the reference's broker consumers,
+  * simple_kafka_setup.py:114-177).
+  *
+  * Mapping: one topic part-file = one (partition, offset-range) unit —
+  * `partition` carries the file sequence, `offset` the line index.
+  * Streaming offsets advance at file granularity (the log's append unit);
+  * the sink-side checkpoint provides the consumer-group contract:
+  * checkpoint == group offset, restart == resume, each group sees every
+  * message exactly once. Claim-splitting INSIDE a group is Spark's own
+  * partition parallelism — every file is an [[InputPartition]] read by
+  * whichever executor claims the task.
+  */
+object TopicSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Convenience reader: `readStream.format("graft-topic")` bound. */
+  def readStream(spark: SparkSession, root: String, topic: String): DataFrame =
+    spark.readStream.format("graft-topic")
+      .option("path", root).option("topic", topic).load()
+}
+
+class TopicSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-topic"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TopicSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(
+      sys.error("graft-topic source requires option 'path' (the topic root)"))
+    val topic = Option(opts.get("topic")).getOrElse(
+      sys.error("graft-topic source requires option 'topic'"))
+    new TopicTable(root, topic)
+  }
+}
+
+private[bus] class TopicTable(root: String, topic: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-topic:$topic"
+  override def schema(): StructType = TopicSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TopicSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new TopicMicroBatchStream(root, topic)
+    }
+}
+
+/** Offset = highest fully-published file sequence (files are immutable
+  * once written — [[FileTopic.publish]] uses CREATE_NEW). */
+private[bus] case class TopicOffset(seq: Int) extends Offset {
+  override def json(): String = s"""{"seq":$seq}"""
+}
+
+private[bus] class TopicMicroBatchStream(root: String, topic: String)
+    extends MicroBatchStream {
+
+  private def maxSeq(): Int = {
+    val dir = Paths.get(root, topic)
+    if (!Files.isDirectory(dir)) -1
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("part-\\d{6}\\.jsonl"))
+      .map(_.drop(5).take(6).toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  override def initialOffset(): Offset = TopicOffset(-1)
+  override def latestOffset(): Offset = TopicOffset(maxSeq())
+  override def deserializeOffset(json: String): Offset =
+    TopicOffset("""-?\d+""".r.findFirstIn(json).get.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TopicOffset].seq
+    val e = end.asInstanceOf[TopicOffset].seq
+    ((s + 1) to e).map { seq =>
+      TopicFilePartition(
+        Paths.get(root, topic, f"part-$seq%06d.jsonl").toString, topic, seq)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TopicReaderFactory
+}
+
+private[bus] case class TopicFilePartition(file: String, topic: String, seq: Int)
+    extends InputPartition
+
+private[bus] object TopicReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = p.asInstanceOf[TopicFilePartition]
+      private lazy val lines: IndexedSeq[String] = {
+        val path = Paths.get(part.file)
+        Files.readAllLines(path, StandardCharsets.UTF_8).asScala.toIndexedSeq
+      }
+      private lazy val mtimeMicros: Long =
+        Files.getLastModifiedTime(Paths.get(part.file)).toMillis * 1000L
+      private var i = -1
+
+      override def next(): Boolean = { i += 1; i < lines.size }
+      override def get(): InternalRow = InternalRow(
+        null, // key: the jsonl log has no message keys
+        lines(i).getBytes(StandardCharsets.UTF_8),
+        UTF8String.fromString(part.topic),
+        part.seq,
+        i.toLong,
+        mtimeMicros,
+        0) // TimestampType.CREATE_TIME, as the kafka source reports
+      override def close(): Unit = ()
+    }
+}
