@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan snapshot helpers: normalize a plan string so that
+  * run-to-run noise (expression ids, plan ids, absolute paths, stats)
+  * disappears and only STRUCTURE remains — the thing that must not
+  * silently regress (a new shuffle, a lost broadcast, a cartesian
+  * product slipping in). Used by [[graft.Explain]] to dump versioned
+  * snapshots and by PlanRegressionSpec to gate changes. */
+object PlanSnapshots {
+
+  /** The pre-execution physical plan (for AQE plans this is the initial
+    * plan — deterministic for fixed code + data, unlike the adaptively
+    * re-optimized final plan). */
+  def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  def normalize(plan: String): String = plan
+    .replaceAll("#\\d+", "#x")
+    .replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("file:[^,\\s\\]\\)]*", "<path>")
+    .replaceAll("Location [^,\\]]*\\[[^\\]]*\\]", "Location <path>")
+    .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+
+  /** Shuffle exchanges only — BroadcastExchange is usually the GOOD
+    * outcome and is counted separately. */
+  def shuffleCount(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+
+  def broadcastCount(plan: String): Int =
+    plan.linesIterator.count(_.contains("BroadcastExchange"))
+
+  def hasCartesian(plan: String): Boolean =
+    plan.contains("CartesianProduct")
+}

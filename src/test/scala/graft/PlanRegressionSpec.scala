@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.plans.PlanSnapshots
+
+/** Plan-shape regression gate over EVERY declared query at sf0.001:
+  *
+  *  - no CartesianProduct may ever appear (scalar-stat cross joins must
+  *    compile to BroadcastNestedLoopJoin over a broadcast 1-row side);
+  *  - the shuffle-exchange count per query must not EXCEED the
+  *    checked-in budget (plans/exchange_budget.tsv, regenerated via
+  *    `SPARK_GRAFT_PLAN_DIR=plans runMain graft.Explain`) — a new
+  *    shuffle is a deliberate, reviewed change, not a silent one.
+  *
+  * Caveat: the eager dedup/similarity operators (Caches.scoped)
+  * materialize during construction, so their recorded plan is the
+  * checkpoint scan; their internal shape is covered by their own specs
+  * and the bench, not this gate.
+  */
+class PlanRegressionSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val budgets: Map[String, Int] = {
+    val p = Paths.get("plans/exchange_budget.tsv")
+    assert(Files.exists(p),
+      "plans/exchange_budget.tsv missing — regenerate with " +
+        "SPARK_GRAFT_PLAN_DIR=plans sbt \"runMain graft.Explain\"")
+    Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .map { l => val Array(n, c) = l.split("\t"); n -> c.toInt }.toMap
+  }
+
+  test("no declared query plans a CartesianProduct; shuffles within budget") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = PlanSnapshots.normalize(
+        PlanSnapshots.planString(fn(spark, sfDir)))
+      if (PlanSnapshots.hasCartesian(plan))
+        offenders += s"$name: CartesianProduct in plan"
+      val shuffles = PlanSnapshots.shuffleCount(plan)
+      budgets.get(name).foreach { budget =>
+        if (shuffles > budget)
+          offenders += s"$name: $shuffles shuffle exchanges > budget $budget"
+      }
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every declared query has a recorded exchange budget") {
+    val missing = SparkEntry.queries.keySet -- budgets.keySet
+    assert(missing.isEmpty,
+      s"queries without a plan snapshot budget: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+}
