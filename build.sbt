@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~70 distinct query plans × whole-stage-codegen classes overflow the
+  // default 240 MB JIT code cache mid-run; HotSpot then silently stops
+  // compiling and later queries run interpreted at ~10x. Measured: the
+  // full sf0.1 bench drops from 150 s to ~100 s with headroom here.
+  "-XX:ReservedCodeCacheSize=1g",
 )
