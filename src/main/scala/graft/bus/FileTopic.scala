@@ -86,6 +86,58 @@ class FileTopic(root: String) {
     mine
   }
 
+  // ---- claim-based consumption with dynamic rebalancing ----
+
+  private def claimsDir(topic: String): Path = topicDir(topic).resolve("claims")
+  private def claimFile(topic: String, group: String, seq: Int): Path =
+    claimsDir(topic).resolve(f"$group.$seq%06d")
+
+  /** The reference broker's claim model (simple_kafka_setup.py:146-177)
+    * at file granularity: a consumer CLAIMS a part file, processes it,
+    * and marks it DONE. A claim older than `claimTtlMs` whose file never
+    * reached DONE means its owner died mid-flight — any live member may
+    * reclaim it. So when a consumer disappears, its outstanding work
+    * rebalances to the survivors on their next poll with no coordinator:
+    * exactly-once per group for completed files, at-least-once takeover
+    * for a dead consumer's in-flight file (the same contract as the
+    * reference's claim table).
+    *
+    * `markDone = false` leaves this poll's claims in-flight — used by
+    * tests (and crash-simulations) to model a consumer dying after
+    * claiming. */
+  def pollClaims(topic: String, group: String, consumer: Int,
+      claimTtlMs: Long = 30000L,
+      now: () => Long = () => System.currentTimeMillis(),
+      markDone: Boolean = true): Seq[String] = {
+    createTopic(topic)
+    Files.createDirectories(claimsDir(topic))
+    val mine = partFiles(topic).flatMap { f =>
+      val seq = f.getFileName.toString.drop(5).take(6).toInt
+      val cf = claimFile(topic, group, seq)
+      val current =
+        if (Files.exists(cf))
+          Some(new String(Files.readAllBytes(cf), StandardCharsets.UTF_8)
+            .trim.split(":") match { case Array(o, ts, st) => (o.toInt, ts.toLong, st) })
+        else None
+      val claimable = current match {
+        case None => true // unclaimed
+        case Some((_, ts, "claimed")) => now() - ts > claimTtlMs // owner died
+        case _ => false // done, or freshly claimed by a live owner
+      }
+      if (!claimable) None
+      else {
+        Files.write(cf, s"$consumer:${now()}:claimed".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        val msgs = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+        if (markDone)
+          Files.write(cf, s"$consumer:${now()}:done".getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Some(msgs)
+      }
+    }
+    mine.flatten
+  }
+
   /** get_topic_stats (simple_kafka_setup.py:179-198): total messages,
     * files, consumer count, and queue depth (messages not yet consumed by
     * the laggiest registered consumer). */

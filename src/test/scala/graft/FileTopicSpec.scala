@@ -47,4 +47,32 @@ class FileTopicSpec extends SparkSuite {
     b.publish("t", Seq("c"))
     assert(b.stats("t")("queue_depth") === 1)
   }
+
+  test("claim polling rebalances a dead consumer's in-flight work") {
+    val b = broker()
+    var clock = 1000L
+    val now = () => clock
+    b.publish("t", Seq("m0"))
+    b.publish("t", Seq("m1", "m2"))
+
+    // consumer 0 claims everything but dies before finishing (no DONE)
+    val dying = b.pollClaims("t", "g", consumer = 0, claimTtlMs = 5000,
+      now = now, markDone = false)
+    assert(dying === Seq("m0", "m1", "m2"))
+
+    // survivor polls while the claims are fresh: nothing to take
+    clock += 1000
+    assert(b.pollClaims("t", "g", consumer = 1, claimTtlMs = 5000, now = now).isEmpty)
+
+    // after the claim TTL the dead consumer's files rebalance to it
+    clock += 10000
+    val taken = b.pollClaims("t", "g", consumer = 1, claimTtlMs = 5000, now = now)
+    assert(taken === Seq("m0", "m1", "m2"))
+
+    // completed files never redeliver — exactly-once per group
+    clock += 60000
+    assert(b.pollClaims("t", "g", consumer = 2, claimTtlMs = 5000, now = now).isEmpty)
+    // and an independent group still sees everything
+    assert(b.pollClaims("t", "g2", consumer = 0, claimTtlMs = 5000, now = now).size === 3)
+  }
 }
