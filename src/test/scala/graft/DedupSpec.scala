@@ -114,6 +114,38 @@ class DedupSpec extends SparkSuite {
     assert(salted.nonEmpty)
   }
 
+  test("portable simhash chunks match a plain-JVM reference on random docs") {
+    // guards the lane-packed aggregation: same md5-derived bit layout,
+    // computed here the slow obvious way
+    def refChunks(text: String): Seq[Long] = {
+      val toks = text.trim.toLowerCase.split("\\s+").distinct
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        val hx = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val hi = java.lang.Long.parseLong(hx.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+        (0 until 64).foreach { b =>
+          val bit = if (b < 32) (lo >> b) & 1L else (hi >> (b - 32)) & 1L
+          acc(b) += (if (bit == 1L) 1 else -1)
+        }
+      }
+      (0 until 4).map { j =>
+        (0 until 16).map(t => if (acc(16 * j + t) > 0) 1L << t else 0L).sum
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val texts = (1L to 20L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(40))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" ")
+    }
+    val got = Dedup.withSimhashChunks(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val want = texts.sortBy(_._1).map { case (i, t) => (i, refChunks(t)) }
+    assert(got.toSeq === want)
+  }
+
   test("shingles: short docs fall back to whole-text shingle") {
     val d = docs(1L -> "one two")
     val sh = d.select(Dedup.shingles(col("text"), 3).as("sh"))

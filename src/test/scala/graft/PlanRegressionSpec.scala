@@ -50,6 +50,23 @@ class PlanRegressionSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("filter queries push their predicates into the parquet scan") {
+    // the scans must carry PushedFilters — a filter evaluated only
+    // post-scan reads the whole table at 100 TB
+    val filterQueries = Seq("q11_filter_compare", "q12_between",
+      "q13_in_list", "q16_null_pred")
+    filterQueries.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val scanLines = PlanSnapshots.planString(df).linesIterator
+        .filter(_.contains("PushedFilters"))
+        .toSeq
+      assert(scanLines.exists(l => l.contains("PushedFilters: [") &&
+          !l.contains("PushedFilters: []")),
+        s"$name: no non-empty PushedFilters in scan\n" +
+          scanLines.mkString("\n"))
+    }
+  }
+
   test("every declared query has a recorded exchange budget") {
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty,
