@@ -44,14 +44,16 @@ object Bench {
             String.valueOf(e.getMessage)).take(300)
           false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // cleanup is NOT the query
       // no cross-query bleed: clearCache drops persisted blocks, and the
-      // explicit collection retires each query's garbage on ITS clock —
-      // otherwise a long concurrent-GC window taxes whoever runs next
-      // (measured: up to 10x on innocent bystander queries). Disable
-      // with SPARK_GRAFT_NO_GC to measure steady-state throughput.
+      // explicit collection retires each query's garbage between
+      // measurements — otherwise a long concurrent-GC window taxes
+      // whoever runs next (measured: up to 10x on innocent bystander
+      // queries). Disable with SPARK_GRAFT_NO_GC to measure
+      // steady-state throughput.
       spark.catalog.clearCache()
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
-      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+      if (ok) Some(name -> elapsed) else None
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
