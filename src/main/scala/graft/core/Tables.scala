@@ -20,7 +20,10 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects. Read nanos as long, then truncate to microseconds —
     // the same ns→µs truncation DuckDB applies when it loads the file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set once per session: a conf write invalidates cached session
+    // state, so doing it on every call taxes every reader.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {

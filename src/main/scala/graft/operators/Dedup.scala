@@ -192,6 +192,49 @@ object Dedup {
     }
   }
 
+  // ---- near-dup clustering ----
+
+  /** Connected components over a near-dup pair list → one cluster
+    * representative (the component's min id) per document. This is what
+    * a dedup pipeline actually consumes: pairs say "these two are dups",
+    * the cluster id says "keep exactly this one".
+    *
+    * Algorithm: min-label propagation — every round each node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup components are template
+    * cliques, so 2-3 rounds in practice; `maxRounds` bounds adversarial
+    * chains). Each round is one key-partitioned shuffle; labels are
+    * re-checkpointed per round so the iterative lineage never grows.
+    * At extreme diameters the O(log n) large-star/small-star rewrite
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * drops in behind the same signature. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // reused every round; pair lists are small
+    var labels = Caches.spreadByKey(docs.select(col(idCol).as("id")), col("id"))
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash (portable, md5-derived) ----
 
   /** md5-portable SimHash, as four 16-bit chunks `c0..c3`.

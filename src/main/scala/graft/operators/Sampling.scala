@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * Everything keys off md5(id) hex digits — a pure function of the row
+  * id, so assignments are stable across runs, partitionings, cluster
+  * sizes, AND engines (the DuckDB oracle replays the same digits).
+  * That stability is the property that matters at 100 TB: a re-run or
+  * a re-shard must never move a document between train and test. */
+object Sampling {
+
+  /** md5(id) first-k-hex-digits as an integer in [0, 16^k). */
+  private def hashBucket(idCol: Column, k: Int): Column =
+    conv(substring(md5(idCol.cast("string")), 1, k), 16, 10).cast("long")
+
+  /** Train/val/test assignment, ~90/5/5 by 256 buckets:
+    * bucket < 230 → train, < 243 → val, else test. */
+  def withSplit(df: DataFrame, idCol: String, as: String = "split"): DataFrame =
+    df.withColumn(as, {
+      val b = hashBucket(col(idCol), 2)
+      when(b < 230, lit("train")).when(b < 243, lit("val")).otherwise(lit("test"))
+    })
+
+  /** Keep ~`permille`/1000 of rows: 4 hex digits → [0, 65536) compared
+    * against permille·65536/1000 (an exact integer threshold so both
+    * engines make the identical cut). */
+  def sampleDeterministic(df: DataFrame, idCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    df.filter(hashBucket(col(idCol), 4) * 1000 < lit(permille.toLong * 65536L))
+  }
+}

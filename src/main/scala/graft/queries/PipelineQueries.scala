@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Training-data pipeline operators exposed as declared queries over the
   * driver's `documents` / `embeddings` tables: deduplication (exact,
@@ -72,6 +72,24 @@ object PipelineQueries {
         threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  def d05DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dupClusters(d, "doc_id",
+        Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5))
+      .orderBy("doc_id")
+  }
+
+  // ---- sampling / splits ----
+
+  def t05Split(s: SparkSession, dir: String): DataFrame =
+    Sampling.withSplit(docs(s, dir).select("doc_id"), "doc_id")
+      .orderBy("doc_id")
+
+  def t06Sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleDeterministic(docs(s, dir).select("doc_id"), "doc_id",
+        permille = 100)
+      .orderBy("doc_id")
+
   // ---- similarity search ----
 
   def v01AnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -131,6 +149,9 @@ object PipelineQueries {
     "d02_dedup_minhash" -> d02DedupMinhash,
     "d03_dedup_simhash" -> d03DedupSimhash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
+    "d05_dup_clusters" -> d05DupClusters,
+    "t05_split" -> t05Split,
+    "t06_sample" -> t06Sample,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -290,6 +311,45 @@ object PipelineQueries {
     // hash), then brute-force all-pairs hamming — exact, because the
     // Spark side's 4-chunk pigeonhole blocking is lossless at hamming<=3
     "d03_dedup_simhash" -> simhashOracleSql,
+    // transitive closure over the brute-force dup pairs (recursive CTE),
+    // min reachable id per doc = the cluster representative the Spark
+    // label propagation must agree with
+    "d05_dup_clusters" ->
+      ("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // replays Sampling.withSplit / sampleDeterministic digit-for-digit
+    "t05_split" ->
+      ("SELECT doc_id, CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' " +
+        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b " +
+        "FROM documents) ORDER BY doc_id"),
+    "t06_sample" ->
+      ("SELECT doc_id FROM (SELECT doc_id, " +
+        (1 to 4).map(i =>
+          s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+          .mkString("(", " + ", ")") +
+        " AS b FROM documents) WHERE b * 1000 < 100 * 65536 ORDER BY doc_id"),
     // same all-pairs truth as d02 — but here the Spark side is EXACT
     // (prefix filtering is lossless), so this green is unconditional,
     // not a recall property of the corpus

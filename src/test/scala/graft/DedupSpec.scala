@@ -114,6 +114,25 @@ class DedupSpec extends SparkSuite {
     assert(salted.nonEmpty)
   }
 
+  test("dupClusters: min-label propagation finds components incl. chains") {
+    val d = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} via chain, {5,6}, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(d, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dupClusters: no pairs → every doc is its own cluster") {
+    val d = (1L to 3L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(d, "doc_id", none)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("portable simhash chunks match a plain-JVM reference on random docs") {
     // guards the lane-packed aggregation: same md5-derived bit layout,
     // computed here the slow obvious way

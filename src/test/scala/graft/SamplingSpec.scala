@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("split is deterministic, complete, and ~90/5/5") {
+    val s1 = Sampling.withSplit(ids, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Sampling.withSplit(ids, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+    assert(s1.values.sum === 2000L)
+    assert(s1("train") > 1700 && s1("train") < 1880) // ~89.8%
+    assert(s1("val") > 50 && s1("val") < 160)
+    assert(s1("test") > 50 && s1("test") < 160)
+  }
+
+  test("a row's split never depends on partitioning") {
+    val a = Sampling.withSplit(ids.repartition(17), "id")
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val b = Sampling.withSplit(ids.repartition(3), "id")
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(a === b)
+  }
+
+  test("deterministic sample keeps ~permille/1000 and is a subset") {
+    val kept = Sampling.sampleDeterministic(ids, "id", permille = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size > 150 && kept.size < 260) // ~10% of 2000
+    // idempotent: sampling the sample keeps everything
+    val again = Sampling.sampleDeterministic(
+      ids.filter(col("id").isInCollection(kept)), "id", permille = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+    assert(Sampling.sampleDeterministic(ids, "id", 0).count() === 0L)
+    assert(Sampling.sampleDeterministic(ids, "id", 1000).count() === 2000L)
+  }
+}
