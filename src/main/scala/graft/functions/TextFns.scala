@@ -88,6 +88,30 @@ object TextFns {
   def fingerprint(c: Column): Column =
     sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
 
+  /** Context-window chunking: window-`window` token chunks with
+    * `overlap` tokens of overlap (stride = window - overlap) — the
+    * explode shape embedding/pretraining prep uses. A doc with ≤ window
+    * tokens is one chunk; the last chunk may be short. Pure
+    * per-row expressions: chunking 100 TB is a narrow map, no shuffle. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      "need window > 0 and 0 <= overlap < window")
+    val step = window - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__nc",
+        when(size(col("__tk")) <= window, lit(1L)).otherwise(
+          ceil((size(col("__tk")) - lit(window)).cast("double") / step)
+            .cast("long") + 1))
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .withColumn("__seg",
+        slice(col("__tk"), (col("chunk_idx") * step + 1).cast("int"), lit(window)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__seg")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__seg")).as("chunk_text"))
+  }
+
   // ---- DuckDB oracle twins (same constants, by construction) ----
 
   def tokenCountSql(col: String): String =

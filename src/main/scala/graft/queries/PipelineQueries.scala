@@ -90,6 +90,11 @@ object PipelineQueries {
         permille = 100)
       .orderBy("doc_id")
 
+  def t07Chunks(s: SparkSession, dir: String): DataFrame =
+    TextFns.chunkTokens(docs(s, dir), "doc_id", "text",
+        window = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   // ---- similarity search ----
 
   def v01AnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -152,6 +157,7 @@ object PipelineQueries {
     "d05_dup_clusters" -> d05DupClusters,
     "t05_split" -> t05Split,
     "t06_sample" -> t06Sample,
+    "t07_chunks" -> t07Chunks,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -311,6 +317,21 @@ object PipelineQueries {
     // hash), then brute-force all-pairs hamming — exact, because the
     // Spark side's 4-chunk pigeonhole blocking is lossless at hamming<=3
     "d03_dedup_simhash" -> simhashOracleSql,
+    // replays TextFns.chunkTokens (window 32, overlap 8 → stride 24)
+    "t07_chunks" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |n AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) <= 32 THEN 1
+        |         ELSE CAST(ceil(CAST(len(tk) - 32 AS DOUBLE) / 24) AS BIGINT) + 1 END AS n_chunks
+        |  FROM toks),
+        |ex AS (
+        |  SELECT doc_id, tk, unnest(range(n_chunks)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(len(tk[ci * 24 + 1 : ci * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(tk[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin),
     // transitive closure over the brute-force dup pairs (recursive CTE),
     // min reachable id per doc = the cluster representative the Spark
     // label propagation must agree with

@@ -53,4 +53,24 @@ class TextFnsSpec extends SparkSuite {
       TextFns.stopwordRatio(col("text"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("chunkTokens: stride/overlap arithmetic and short-doc fallback") {
+    import spark.implicits._
+    // 10 tokens, window 4, overlap 1 → stride 3 → chunks at 0,3,6,9
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = TextFns.chunkTokens(d, "doc_id", "text", window = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // n=10, w=4, stride=3 → ceil((10-4)/3)+1 = 3 chunks; the last one
+    // (start 6) already reaches token 10 — full coverage, no extra chunk
+    assert(got.toSeq === Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"),
+      (2L, 0L, 2L, "a b")))
+    // every token appears in at least one chunk; overlap tokens in two
+    val cover = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(cover === (1 to 10).map(i => s"w$i").toSet)
+  }
 }
