@@ -90,6 +90,26 @@ object PipelineQueries {
         permille = 100)
       .orderBy("doc_id")
 
+  /** Corpus vocabulary by document frequency — the first pass of any
+    * tokenizer/vocab build over a crawl. */
+  def t08Vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(array_distinct(TextFns.tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token")).limit(100)
+
+  /** Gopher-style repetition quality signal: the fraction of a
+    * document's 3-shingles that are duplicates (1 - distinct/raw).
+    * High ratio = boilerplate/spam; a standard pretraining filter. */
+  def t09Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val raw = when(size(toks) < 3, lit(1)).otherwise(size(toks) - 2)
+    docs(s, dir).select(col("doc_id"),
+        round(lit(1.0) - size(Dedup.shingles(col("text"), 3)).cast("double") / raw, 4)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   def t07Chunks(s: SparkSession, dir: String): DataFrame =
     TextFns.chunkTokens(docs(s, dir), "doc_id", "text",
         window = 32, overlap = 8)
@@ -158,6 +178,8 @@ object PipelineQueries {
     "t05_split" -> t05Split,
     "t06_sample" -> t06Sample,
     "t07_chunks" -> t07Chunks,
+    "t08_vocab" -> t08Vocab,
+    "t09_repetition" -> t09Repetition,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -317,6 +339,24 @@ object PipelineQueries {
     // hash), then brute-force all-pairs hamming — exact, because the
     // Spark side's 4-chunk pigeonhole blocking is lossless at hamming<=3
     "d03_dedup_simhash" -> simhashOracleSql,
+    "t08_vocab" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS token
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM toks GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin),
+    "t09_repetition" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN 1 ELSE len(tk) - 2 END AS n_raw,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks)
+        |SELECT doc_id, ROUND(1.0 - CAST(len(sh) AS DOUBLE) / n_raw, 4) AS rep_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin),
     // replays TextFns.chunkTokens (window 32, overlap 8 → stride 24)
     "t07_chunks" ->
       ("""WITH toks AS (
