@@ -104,7 +104,9 @@ object PipelineQueries {
   def t09Repetition(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     val raw = when(size(toks) < 3, lit(1)).otherwise(size(toks) - 2)
-    docs(s, dir).select(col("doc_id"),
+    // shingling is compute-heavy per row; spread the single-split scan
+    graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"),
         round(lit(1.0) - size(Dedup.shingles(col("text"), 3)).cast("double") / raw, 4)
           .as("rep_ratio"))
       .orderBy("doc_id")
