@@ -47,6 +47,28 @@ object TopicSource {
   def readStream(spark: SparkSession, root: String, topic: String): DataFrame =
     spark.readStream.format("graft-topic")
       .option("path", root).option("topic", topic).load()
+
+  /** True iff the real Kafka connector is on the classpath (it is NOT
+    * bundled with a stock Spark distribution). */
+  def kafkaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Deployment-portable reader: the real `format("kafka")` when the
+    * connector is present AND a bootstrap server is configured,
+    * otherwise the graft-topic log. Both produce the same 7-column
+    * row shape, so every consumer downstream is identical — the
+    * reference's broker consumers (simple_kafka_setup.py:114-177) map
+    * onto either backend unchanged. */
+  def readStreamAuto(spark: SparkSession, topic: String, root: String,
+      kafkaBootstrap: Option[String] = None): DataFrame =
+    kafkaBootstrap match {
+      case Some(servers) if kafkaAvailable =>
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topic).load()
+      case _ => readStream(spark, root, topic)
+    }
 }
 
 class TopicSourceProvider extends TableProvider with DataSourceRegister {

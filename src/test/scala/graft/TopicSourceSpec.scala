@@ -61,6 +61,19 @@ class TopicSourceSpec extends SparkSuite {
     assert(spark.read.parquet(out2).count() === 5L)
   }
 
+  test("readStreamAuto falls back to the topic log when kafka is absent") {
+    // this distribution ships no kafka connector; the shim must detect
+    // that and bind the graft-topic backend with the same row shape
+    assert(!TopicSource.kafkaAvailable)
+    val root = Files.createTempDirectory("topic_auto").toString
+    new FileTopic(root).publish("t", Seq("x"))
+    val df = TopicSource.readStreamAuto(spark, "t", root,
+      kafkaBootstrap = Some("broker:9092"))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+  }
+
   test("short name resolves via DataSourceRegister") {
     val root = Files.createTempDirectory("topic_sn").toString
     new FileTopic(root).publish("t", Seq("a"))
