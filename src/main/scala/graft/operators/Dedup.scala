@@ -69,8 +69,19 @@ object Dedup {
     array_distinct(transform(shingles(textCol, k), s => xxhash64(s)))
 
   /** Signatures over a prepared (id, hs: array<long>) hashed-shingle
-    * frame. */
+    * frame — native single-buffer aggregate ([[TextFns]] sibling
+    * [[graft.functions.MinHashSigAgg]]): one Array[Long] buffer and a
+    * tight per-row lane loop instead of `numHashes` separate aggregate
+    * buffers/projections. Bit-identical to the expression formulation
+    * ([[signaturesFromHashesExpr]], asserted in DedupSpec). */
   def signaturesFromHashes(hs: DataFrame, numHashes: Int = 64): DataFrame =
+    hs.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
+
+  /** Expression-level formulation of [[signaturesFromHashes]] (64
+    * codegen'd min-aggs) — kept as the cross-check twin. */
+  def signaturesFromHashesExpr(hs: DataFrame, numHashes: Int = 64): DataFrame =
     minhashAgg(hs.select(col("id"), explode(col("hs")).as("h")), numHashes)
 
   private def minhashAgg(hashed: DataFrame, numHashes: Int): DataFrame = {

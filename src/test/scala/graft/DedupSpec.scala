@@ -114,6 +114,19 @@ class DedupSpec extends SparkSuite {
     assert(salted.nonEmpty)
   }
 
+  test("native minhash aggregate is bit-identical to the 64-agg expression form") {
+    val rnd = new scala.util.Random(11)
+    val d = (1L to 50L).map { i =>
+      i -> Seq.fill(5 + rnd.nextInt(60))(rnd.nextLong())
+    }.toDF("id", "hs")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(sigs(Dedup.signaturesFromHashes(d, 64)) ===
+      sigs(Dedup.signaturesFromHashesExpr(d, 64)))
+    assert(sigs(Dedup.signaturesFromHashes(d, 16)) ===
+      sigs(Dedup.signaturesFromHashesExpr(d, 16)))
+  }
+
   test("dupClusters: min-label propagation finds components incl. chains") {
     val d = (1L to 7L).toDF("doc_id")
     // components: {1,2,3} via chain, {5,6}, singletons 4 and 7
