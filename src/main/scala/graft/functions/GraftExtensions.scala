@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL-surface registration for the engine's native functions, two ways:
+  *
+  *  - cluster config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    injects them at session build (the standard extension mechanism);
+  *  - [[GraftFunctions.register]]: the runtime twin for sessions that
+  *    already exist (notebooks, the driver harness).
+  *
+  * Surface: `minhash_sig(hash_col, k)` — the single-buffer MinHash
+  * signature aggregate ([[MinHashSigAgg]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigAgg].getCanonicalName, null,
+        "minhash_sig", GraftFunctions.minhashSigUsage, ""),
+      GraftFunctions.minhashSigBuilder))
+}
+
+object GraftFunctions {
+  private[functions] val minhashSigUsage =
+    "minhash_sig(hash_col, k) - aggregate: k-lane MinHash signature (array<bigint>) over a bigint hash column"
+
+  private[functions] val minhashSigBuilder: Seq[Expression] => Expression = {
+    case Seq(child, Literal(k: Int, _)) =>
+      MinHashSigAgg(child, k).toAggregateExpression()
+    case args => throw new IllegalArgumentException(
+      s"minhash_sig expects (hash_col, int literal k), got ${args.size} args")
+  }
+
+  /** Register on a live session: `spark.sql("... minhash_sig(h, 64) ...")`. */
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "minhash_sig", minhashSigUsage,
+      minhashSigBuilder)
+}

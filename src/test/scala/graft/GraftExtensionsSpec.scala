@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.operators.Dedup
+
+/** SQL-surface registration of the native functions. */
+class GraftExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("minhash_sig is callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("id", "h")
+      .createOrReplaceTempView("hashes")
+    val sql = spark.sql(
+      "SELECT id, minhash_sig(h, 16) AS sig FROM hashes GROUP BY id ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    // must equal the DataFrame-API formulation
+    val api = Dedup.signaturesFromHashesExpr(
+      Seq((1L, Seq(10L, 20L)), (2L, Seq(30L))).toDF("id", "hs"), 16)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(sql === api)
+  }
+
+  test("extensions class injects without a session (config-based deploys)") {
+    // instantiable + applies cleanly to a fresh extensions container —
+    // what spark.sql.extensions=graft.functions.GraftExtensions does
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+}
