@@ -283,6 +283,21 @@ object CoreQueries {
       .orderBy("k_bucket")
   }
 
+  /** Batch gap sessionization (the static twin of the streaming
+    * Sessionize operator): 30-minute gaps over the events table. */
+  def e01Sessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", gapMinutes = 30)
+      .orderBy("user_id", "session_idx")
+
+  /** As-of join: each event enriched with the user's latest order at or
+    * before the event time (point-in-time feature lookup). */
+  def e02AsofOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AsofJoin.joinAsOf(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      .orderBy("event_id")
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -330,6 +345,8 @@ object CoreQueries {
     "q34_mod_bucket" -> q34ModBucket,
     "q35_json_extract" -> q35JsonExtract,
     "q37_variant_stage" -> q37VariantStage,
+    "e01_sessions" -> e01Sessions,
+    "e02_asof_orders" -> e02AsofOrders,
     "q36_frac_nullif" -> q36FracNullif,
   )
 
@@ -410,5 +427,21 @@ object CoreQueries {
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, " +
         "COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value " +
         "FROM events GROUP BY 1 ORDER BY k_bucket"),
+    "e01_sessions" ->
+      ("""WITH l AS (SELECT user_id, event_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts,
+        |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""".stripMargin),
+    "e02_asof_orders" ->
+      ("""WITH j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, o_orderkey, o_orderdate FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin),
   )
 }

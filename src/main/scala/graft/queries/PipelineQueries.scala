@@ -112,6 +112,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document salient terms: top-3 by (term frequency DESC, corpus
+    * document frequency ASC, term ASC) — the integer-exact cousin of
+    * tf-idf ranking (frequent in the doc, rare in the corpus), chosen
+    * over tf·log(N/df) so the oracle can replay the ordering with no
+    * floating-point tie hazards. */
+  def t10Salient(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(desc("tf"), col("df"), col("token"))
+    tf.join(dfTab, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "tf", "df")
+      .orderBy("doc_id", "rank")
+  }
+
   def t07Chunks(s: SparkSession, dir: String): DataFrame =
     TextFns.chunkTokens(docs(s, dir), "doc_id", "text",
         window = 32, overlap = 8)
@@ -182,6 +202,7 @@ object PipelineQueries {
     "t07_chunks" -> t07Chunks,
     "t08_vocab" -> t08Vocab,
     "t09_repetition" -> t09Repetition,
+    "t10_salient" -> t10Salient,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -359,6 +380,15 @@ object PipelineQueries {
         |  FROM toks)
         |SELECT doc_id, ROUND(1.0 - CAST(len(sh) AS DOUBLE) / n_raw, 4) AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin),
+    "t10_salient" ->
+      ("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |r AS (SELECT t.doc_id, t.token, t.tf, d.df,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.token) AS rn
+        |  FROM tf t JOIN df d USING (token))
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin),
     // replays TextFns.chunkTokens (window 32, overlap 8 → stride 24)
     "t07_chunks" ->
       ("""WITH toks AS (

@@ -57,4 +57,27 @@ object Sessionize {
           }
       }
   }
+
+  /** Batch twin of [[sessions]]: gap sessionization over a static event
+    * table via the classic lag-break/cumulative-sum window pair — one
+    * shuffle on the user key, per-user sorted scan, no state machinery.
+    * Gap comparison runs on epoch MICROSECONDS (exact integers, so an
+    * external oracle replays it bit-for-bit). */
+  def batchSessions(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsCol: String, idCol: String, gapMinutes: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val brk = when(lag(col(tsCol), 1).over(w).isNull ||
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapUs,
+      lit(1L)).otherwise(lit(0L))
+    events
+      .withColumn("__brk", brk)
+      .withColumn("__sid", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+  }
 }
