@@ -134,9 +134,20 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
-    Caches.scoped(hs) {
-      val cands = lshCandidatePairs(
-        signaturesFromHashes(hs, numHashes), bands, numHashes / bands)
+    // candidate generation inlined (vs calling lshCandidatePairs) so the
+    // shingle frame AND the exploded band rows share ONE cache scope —
+    // a single eager materialization instead of nested ones
+    val exploded = signaturesFromHashes(hs, numHashes)
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "bucket")))
+    Caches.scoped(hs, exploded) {
+      val cands = exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
       cands
         .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
         .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
