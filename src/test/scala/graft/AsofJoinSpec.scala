@@ -30,6 +30,31 @@ class AsofJoinSpec extends SparkSuite {
     assert(got === Seq(100L -> 7L, 101L -> 8L, 103L -> 10L))
   }
 
+  test("as-of join equals the naive join+rank reference on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val events = (1L to 200L).map(i =>
+      (i, rnd.nextInt(10).toLong, new Timestamp(base + rnd.nextInt(86400) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val orders = (1L to 100L).map(i =>
+      (i, rnd.nextInt(10).toLong, new Timestamp(base + rnd.nextInt(86400) * 1000L)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = AsofJoin.joinAsOf(events, "user_id", "ts", "event_id",
+        orders, "o_custkey", "o_orderdate", "o_orderkey")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = Window.partitionBy("event_id")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val naive = events.join(orders,
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("o_orderkey"))).toSeq
+    assert(got === naive)
+  }
+
   test("batch sessionization splits on gaps > N minutes, counts per session") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),

@@ -73,4 +73,32 @@ class TextFnsSpec extends SparkSuite {
     val cover = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
     assert(cover === (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("chunkTokens invariants hold on random docs and window shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docsDf = (1L to 30L).map { i =>
+      i -> Seq.tabulate(1 + rnd.nextInt(120))(j => s"t$j").mkString(" ")
+    }.toDF("doc_id", "text")
+    for ((w, o) <- Seq((16, 0), (16, 4), (7, 6))) {
+      val step = w - o
+      val chunks = TextFns.chunkTokens(docsDf, "doc_id", "text", w, o)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val byDoc = chunks.groupBy(_._1)
+      docsDf.collect().foreach { row =>
+        val id = row.getLong(0)
+        val toks = row.getString(1).split(" ").toSeq
+        val cs = byDoc(id).sortBy(_._2)
+        // indices are 0..n-1 contiguous; widths ≤ w; full ordered coverage
+        assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong))
+        assert(cs.forall(_._3 <= w))
+        cs.foreach { case (_, ci, _, text) =>
+          assert(text.split(" ").toSeq ===
+            toks.slice((ci * step).toInt, (ci * step).toInt + w))
+        }
+        val lastStart = (cs.last._2 * step).toInt
+        assert(lastStart + w >= toks.size, "last chunk must reach the end")
+      }
+    }
+  }
 }
