@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   * row at exactly the left row's time DOES match (right sorts before
   * left at equal time), and among right rows with equal time the
   * largest `rightId` wins — both choices are deterministic and replayed
-  * by the oracle. */
+  * by the oracle.
+  *
+  * Skew: one window partition per key. A pathologically hot key (one
+  * entity holding a large fraction of all rows) would serialize on one
+  * task; the standard mitigation is time-range sub-partitioning with a
+  * per-range boundary fix-up pass (carry each range's last right row
+  * into the next range) — same algebra, two stages. */
 object AsofJoin {
 
   def joinAsOf(left: DataFrame, leftKey: String, leftTime: String, leftId: String,

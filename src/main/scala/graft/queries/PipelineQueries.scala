@@ -121,8 +121,12 @@ object PipelineQueries {
     val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfTab = tok.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df from the tf frame: (doc, token) rows are already distinct, so a
+    // plain count with map-side combine replaces a countDistinct expand —
+    // and hot tokens pre-reduce to one row per partition before the
+    // shuffle. (The tf⋈df attach join itself would take Skew.saltedJoin
+    // at corpus scale.)
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(desc("tf"), col("df"), col("token"))
     tf.join(dfTab, "token")
