@@ -136,6 +136,11 @@ object PipelineQueries {
       .orderBy("doc_id", "rank")
   }
 
+  def t11Pack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packBins(docs(s, dir), "doc_id",
+        TextFns.tokenCount(col("text")), budget = 2048L)
+      .orderBy("doc_id")
+
   def t07Chunks(s: SparkSession, dir: String): DataFrame =
     TextFns.chunkTokens(docs(s, dir), "doc_id", "text",
         window = 32, overlap = 8)
@@ -207,6 +212,7 @@ object PipelineQueries {
     "t08_vocab" -> t08Vocab,
     "t09_repetition" -> t09Repetition,
     "t10_salient" -> t10Salient,
+    "t11_pack" -> t11Pack,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -384,6 +390,19 @@ object PipelineQueries {
         |  FROM toks)
         |SELECT doc_id, ROUND(1.0 - CAST(len(sh) AS DOUBLE) / n_raw, 4) AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin),
+    // replays Packing.packBins: global token cumsum in doc_id order,
+    // bins cut every 2048 tokens
+    "t11_pack" ->
+      ("""WITH n AS (
+        |  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+        |  FROM n)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(prev_cum // 2048 AS BIGINT) AS bin_id,
+        |  CAST(prev_cum % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin),
     "t10_salient" ->
       ("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
