@@ -174,6 +174,20 @@ object PipelineQueries {
         threshold = 0.4, numPlanes = 6, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** Per-label embedding centroid norms — the first pass of
+    * centroid-based dataset cleaning (a vector far from its label's
+    * centroid is a labeling-error candidate). One grouped aggregate,
+    * 64 per-dimension means. */
+  def v05LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val avgs = (1 to 64).map(k =>
+      avg(element_at(col("embedding"), k).cast("double")).as(s"a$k"))
+    val norm = sqrt((1 to 64).map(k => col(s"a$k") * col(s"a$k")).reduce(_ + _))
+    emb(s, dir).groupBy("label")
+      .agg(count(lit(1)).as("n"), avgs: _*)
+      .select(col("label"), col("n"), round(norm, 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   // ---- multimodal plumbing ----
 
   def m01MultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -217,6 +231,7 @@ object PipelineQueries {
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
     "v04_ann_ivf" -> v04AnnIvf,
+    "v05_label_centroids" -> v05LabelCentroids,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
@@ -325,7 +340,16 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  private lazy val v05OracleSql: String = {
+    val avgs = (1 to 64).map(k =>
+      s"avg(CAST(embedding[$k] AS DOUBLE)) AS a$k").mkString(", ")
+    val norm = (1 to 64).map(k => s"a$k * a$k").mkString(" + ")
+    s"""WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $avgs FROM embeddings GROUP BY label)
+       |SELECT label, n, ROUND(sqrt($norm), 4) AS centroid_norm FROM c ORDER BY label""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "v05_label_centroids" -> v05OracleSql,
     "v02_ann_lsh" -> v02OracleSql,
     "v03_cosine_near_dup" -> v03OracleSql,
     "v04_ann_ivf" -> v04OracleSql,
