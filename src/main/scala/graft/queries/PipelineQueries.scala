@@ -90,6 +90,27 @@ object PipelineQueries {
         permille = 100)
       .orderBy("doc_id")
 
+  /** The composed cleaning verdict — what an actual pretraining filter
+    * pass computes per document: quality score, language, repetition
+    * ratio, and the keep/drop decision (quality ≥ 0.3 AND lang = en AND
+    * repetition < 0.2). One narrow projection; filters of this shape are
+    * the first trillion-token pass of every corpus build. */
+  def t12FilterPass(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val raw = when(size(toks) < 3, lit(1)).otherwise(size(toks) - 2)
+    val rep = round(lit(1.0) -
+      size(Dedup.shingles(col("text"), 3)).cast("double") / raw, 4)
+    graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.langId(col("text")).as("lang_pred"),
+        rep.as("rep_ratio"))
+      .withColumn("keep",
+        (col("quality") >= 0.3 && col("lang_pred") === "en" &&
+          col("rep_ratio") < 0.2).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary by document frequency — the first pass of any
     * tokenizer/vocab build over a crawl. */
   def t08Vocab(s: SparkSession, dir: String): DataFrame =
@@ -227,6 +248,7 @@ object PipelineQueries {
     "t09_repetition" -> t09Repetition,
     "t10_salient" -> t10Salient,
     "t11_pack" -> t11Pack,
+    "t12_filter_pass" -> t12FilterPass,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -414,6 +436,25 @@ object PipelineQueries {
         |  FROM toks)
         |SELECT doc_id, ROUND(1.0 - CAST(len(sh) AS DOUBLE) / n_raw, 4) AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin),
+    "t12_filter_pass" ->
+      (s"""WITH toks AS (
+        |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(tk) < 3 THEN 1 ELSE len(tk) - 2 END AS n_raw,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS shl
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    ${TextFns.qualityScoreSql("text")} AS quality,
+        |    ${TextFns.langIdSql("text")} AS lang_pred,
+        |    ROUND(1.0 - CAST(len(shl) AS DOUBLE) / n_raw, 4) AS rep_ratio
+        |  FROM sh)
+        |SELECT doc_id, quality, lang_pred, rep_ratio,
+        |  CAST(quality >= 0.3 AND lang_pred = 'en' AND rep_ratio < 0.2 AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
     // replays Packing.packBins: global token cumsum in doc_id order,
     // bins cut every 2048 tokens
     "t11_pack" ->
