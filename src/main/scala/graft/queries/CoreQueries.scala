@@ -298,6 +298,24 @@ object CoreQueries {
         t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
       .orderBy("event_id")
 
+  /** ROLLUP subtotal hierarchy over (priority, status) — the
+    * grouping-sets tier of the aggregate surface. */
+  def q38Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority").as("pri"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(asc_nulls_first("pri"), asc_nulls_first("status"))
+
+  /** Exact interpolated percentiles per group (median + p90) —
+    * sort-based `percentile`, not the sketch-based approx variant, so
+    * the oracle's quantile_cont reproduces it. */
+  def q39Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
+      .orderBy("pri")
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -347,6 +365,8 @@ object CoreQueries {
     "q37_variant_stage" -> q37VariantStage,
     "e01_sessions" -> e01Sessions,
     "e02_asof_orders" -> e02AsofOrders,
+    "q38_rollup" -> q38Rollup,
+    "q39_percentiles" -> q39Percentiles,
     "q36_frac_nullif" -> q36FracNullif,
   )
 
@@ -427,6 +447,16 @@ object CoreQueries {
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, " +
         "COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value " +
         "FROM events GROUP BY 1 ORDER BY k_bucket"),
+    "q38_rollup" ->
+      ("SELECT o_orderpriority AS pri, o_orderstatus AS status, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) " +
+        "ORDER BY pri NULLS FIRST, status NULLS FIRST"),
+    "q39_percentiles" ->
+      ("SELECT o_orderpriority AS pri, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price, " +
+        "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY pri"),
     "e01_sessions" ->
       ("""WITH l AS (SELECT user_id, event_id, ts,
         |   CASE WHEN lag(ts) OVER w IS NULL
