@@ -31,8 +31,15 @@ class FileTopic(root: String) {
     Files.createDirectories(offsetsDir(topic))
   }
 
+  /** Files.list returns a stream holding a directory fd — must be closed
+    * eagerly, not left to finalization, or busy brokers exhaust fds. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def partFiles(topic: String): Seq[Path] =
-    Files.list(topicDir(topic)).iterator().asScala.toSeq
+    listDir(topicDir(topic))
       .filter(p => p.getFileName.toString.matches("part-\\d{6}\\.jsonl"))
       .sortBy(_.getFileName.toString)
 
@@ -104,7 +111,21 @@ class FileTopic(root: String) {
     *
     * `markDone = false` leaves this poll's claims in-flight — used by
     * tests (and crash-simulations) to model a consumer dying after
-    * claiming. */
+    * claiming.
+    *
+    * Claim atomicity: the initial claim is a CREATE_NEW — the filesystem
+    * picks exactly one winner among concurrent claimers, so two members
+    * polling the same unclaimed file can never both consume it (the
+    * exactly-once-per-group-for-completed-files contract holds under
+    * concurrency, not just in single-threaded tests). A TTL reclaim of a
+    * dead owner's file can't use CREATE_NEW (the stale file exists), so
+    * it writes a uniquely-nonced token and re-reads to confirm ownership
+    * before consuming — concurrent reclaimers that lose the last-write
+    * race observe the winner's token and back off. A reclaim race that
+    * interleaves exactly between a loser's write and re-read can still
+    * double-deliver, which is the documented at-least-once takeover
+    * semantics for dead-owner files (same contract as the reference's
+    * claim table). */
   def pollClaims(topic: String, group: String, consumer: Int,
       claimTtlMs: Long = 30000L,
       now: () => Long = () => System.currentTimeMillis(),
@@ -114,20 +135,34 @@ class FileTopic(root: String) {
     val mine = partFiles(topic).flatMap { f =>
       val seq = f.getFileName.toString.drop(5).take(6).toInt
       val cf = claimFile(topic, group, seq)
-      val current =
+      // token fields: owner:timestamp:state:nonce — the nonce
+      // disambiguates two claim attempts by the same (owner, timestamp)
+      val token = s"$consumer:${now()}:claimed:${java.util.UUID.randomUUID()}"
+      def readToken(): Option[String] =
         if (Files.exists(cf))
-          Some(new String(Files.readAllBytes(cf), StandardCharsets.UTF_8)
-            .trim.split(":") match { case Array(o, ts, st) => (o.toInt, ts.toLong, st) })
+          Some(new String(Files.readAllBytes(cf), StandardCharsets.UTF_8).trim)
         else None
-      val claimable = current match {
-        case None => true // unclaimed
-        case Some((_, ts, "claimed")) => now() - ts > claimTtlMs // owner died
-        case _ => false // done, or freshly claimed by a live owner
+      val owned = readToken() match {
+        case None =>
+          // atomic initial claim: CREATE_NEW admits exactly one creator
+          try {
+            Files.write(cf, token.getBytes(StandardCharsets.UTF_8),
+              StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        case Some(cur) => cur.split(":") match {
+          case Array(_, ts, "claimed", _*) if now() - ts.toLong > claimTtlMs =>
+            // TTL reclaim: write, then re-read to confirm we won the race
+            Files.write(cf, token.getBytes(StandardCharsets.UTF_8),
+              StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+            readToken().contains(token)
+          case _ => false // done, or freshly claimed by a live owner
+        }
       }
-      if (!claimable) None
+      if (!owned) None
       else {
-        Files.write(cf, s"$consumer:${now()}:claimed".getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         val msgs = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
         if (markDone)
           Files.write(cf, s"$consumer:${now()}:done".getBytes(StandardCharsets.UTF_8),
@@ -145,7 +180,7 @@ class FileTopic(root: String) {
     createTopic(topic)
     val files = partFiles(topic)
     val total = files.map(f => Files.readAllLines(f).size().toLong).sum
-    val offsets = Files.list(offsetsDir(topic)).iterator().asScala.toSeq
+    val offsets = listDir(offsetsDir(topic))
     val minCommitted =
       if (offsets.isEmpty) -1
       else offsets.map(p => new String(Files.readAllBytes(p)).trim.toInt).min

@@ -114,11 +114,19 @@ private[bus] class TopicMicroBatchStream(root: String, topic: String)
   private def maxSeq(): Int = {
     val dir = Paths.get(root, topic)
     if (!Files.isDirectory(dir)) -1
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("part-\\d{6}\\.jsonl"))
-      .map(_.drop(5).take(6).toInt)
-      .foldLeft(-1)(math.max)
+    else {
+      // close the directory stream eagerly: latestOffset() runs every
+      // micro-batch trigger, and each unclosed Files.list holds a
+      // directory fd until finalization — a busy driver would leak one
+      // fd per trigger
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("part-\\d{6}\\.jsonl"))
+        .map(_.drop(5).take(6).toInt)
+        .foldLeft(-1)(math.max)
+      finally s.close()
+    }
   }
 
   override def initialOffset(): Offset = TopicOffset(-1)

@@ -32,7 +32,11 @@ private[graft] object Caches {
     * is pinned (repartition(n, key)) so AQE's size-based coalescing
     * doesn't fold the tiny-by-bytes rows back into one partition. */
   def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    df.repartition(n.toInt, key)
+    // the conf can hold a non-integer on AQE-managed platforms ("auto");
+    // fall back to the cluster's default parallelism rather than throwing
+    val n = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(n, key)
   }
 }

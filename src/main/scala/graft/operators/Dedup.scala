@@ -229,7 +229,13 @@ object Dedup {
     * re-checkpointed per round so the iterative lineage never grows.
     * At extreme diameters the O(log n) large-star/small-star rewrite
     * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    * drops in behind the same signature. */
+    * drops in behind the same signature.
+    *
+    * Throws `IllegalStateException` if propagation is still changing
+    * labels after `maxRounds` — truncated propagation would silently
+    * return SPLIT clusters (two labels for one component), and a dedup
+    * pipeline acting on those would keep duplicates it believes it
+    * removed. Raise `maxRounds` for adversarially deep chains. */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     val edges = pairs
@@ -254,6 +260,10 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxRounds rounds — component " +
+          "diameter exceeds the bound; labels would be split. Raise maxRounds.")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -424,9 +434,12 @@ object Dedup {
       val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > lit(1L))
       // global order = (df asc, shingle asc); prefix keeps the rarest
-      // |d| - ceil(t·|d|) + 1 shingles of each doc
+      // |d| - ceil(t·|d|) + 1 shingles of each doc. dfTab holds every
+      // REPEATED shingle — corpus-scale cardinality, so it joins
+      // unhinted (AQE broadcasts it only when it actually fits), never
+      // with a forced broadcast that would OOM the driver at 100 TB
       val wRank = Window.partitionBy("id").orderBy(col("df"), col("s"))
-      val prefix = ex.join(broadcast(dfTab), Seq("s"), "left")
+      val prefix = ex.join(dfTab, Seq("s"), "left")
         .withColumn("df", coalesce(col("df"), lit(1L)))
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)

@@ -138,6 +138,21 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("dupClusters: truncated propagation throws instead of returning split labels") {
+    // a 5-chain needs ~4 propagation rounds; maxRounds=1 must be loud,
+    // not silently emit two labels for one component
+    val d = (1L to 5L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(d, "doc_id", chain, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    // the same chain converges fine under the default bound
+    val ok = Dedup.dupClusters(d, "doc_id", chain)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("dupClusters: no pairs → every doc is its own cluster") {
     val d = (1L to 3L).toDF("doc_id")
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -75,4 +75,25 @@ class FileTopicSpec extends SparkSuite {
     // and an independent group still sees everything
     assert(b.pollClaims("t", "g2", consumer = 0, claimTtlMs = 5000, now = now).size === 3)
   }
+
+  test("concurrent claim polling never double-delivers an unclaimed file") {
+    // the CREATE_NEW atomic-claim path: N members of one group race over
+    // the same fresh files; exactly-once requires the union to be exact
+    // with zero duplicates — a read-check-write protocol fails this
+    val b = broker()
+    val msgs = (1 to 24).map(i => f"m$i%03d")
+    msgs.grouped(2).foreach(g => b.publish("t", g)) // 12 part files
+    val nConsumers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nConsumers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = (0 until nConsumers).map { c =>
+      pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        def call(): Seq[String] = { start.await(); b.pollClaims("t", "g", c) }
+      })
+    }
+    start.countDown()
+    val got = results.flatMap(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(got.sorted === msgs.sorted) // complete AND duplicate-free
+  }
 }
