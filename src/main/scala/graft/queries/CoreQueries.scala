@@ -316,6 +316,86 @@ object CoreQueries {
         round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
       .orderBy("pri")
 
+  /** U5 INTERSECT (set semantics): customers appearing in BOTH the
+    * urgent and the low order populations. */
+  def q40Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .intersect(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** U6 EXCEPT (set semantics): customers who ordered but never at
+    * urgent priority. */
+  def q41Except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select("o_custkey").distinct()
+      .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** W4 navigation/distribution window functions — lag, lead, ntile,
+    * percent_rank, cume_dist, first over each customer's order timeline.
+    * The (date, key) ordering is tie-free, so ranks are deterministic. */
+  def q42WindowFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first("o_orderkey").over(w).as("first_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** A16 CUBE grouping sets with an explicit grouping id (grouping(col)
+    * per column, so the bit layout is pinned on both engines). */
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("gid"), col("n"), col("qty"))
+      .orderBy(col("gid"), asc_nulls_first("rf"), asc_nulls_first("ls"))
+
+  /** U7 PIVOT: priorities × order-status counts as columns (the
+    * conditional-aggregation rotation; explicit value list so the plan
+    * needs no extra distinct pass). Nulls for absent cells are folded to
+    * zero so the shape is dense. */
+  def q44Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("pri"),
+        coalesce(col("F"), lit(0L)).as("st_f"),
+        coalesce(col("O"), lit(0L)).as("st_o"),
+        coalesce(col("P"), lit(0L)).as("st_p"))
+      .orderBy("pri")
+
+  /** Range (interval) self-join: per event, how many events the same
+    * user fired in the preceding hour — burst/rate detection. The join
+    * keys on user and keeps the time band as a residual range predicate;
+    * at scale the equi key carries the shuffle, so the non-equi band
+    * never degenerates to a cartesian. */
+  def e03BurstWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") < col("a.ts") &&
+          col("b.ts") >= col("a.ts") - expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(col("b.event_id")).as("n_prev_hour"))
+      .orderBy("event_id")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -368,6 +448,12 @@ object CoreQueries {
     "q38_rollup" -> q38Rollup,
     "q39_percentiles" -> q39Percentiles,
     "q36_frac_nullif" -> q36FracNullif,
+    "q40_intersect" -> q40Intersect,
+    "q41_except" -> q41Except,
+    "q42_window_fns" -> q42WindowFns,
+    "q43_cube" -> q43Cube,
+    "q44_pivot" -> q44Pivot,
+    "e03_burst_window" -> e03BurstWindow,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -473,5 +559,41 @@ object CoreQueries {
         |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_orderdate FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin),
+    "q40_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW' " +
+        "ORDER BY o_custkey"),
+    "q41_except" ->
+      ("SELECT DISTINCT o_custkey FROM orders " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY o_custkey"),
+    "q42_window_fns" ->
+      ("""SELECT o_custkey, o_orderkey,
+        |  ROUND(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  ROUND(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS prank,
+        |  ROUND(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    "q43_cube" ->
+      ("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin),
+    "q44_pivot" ->
+      ("""SELECT o_orderpriority AS pri,
+        |  CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS st_f,
+        |  CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS st_o,
+        |  CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS st_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin),
+    "e03_burst_window" ->
+      ("""SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_prev_hour
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -162,6 +162,31 @@ object PipelineQueries {
         TextFns.tokenCount(col("text")), budget = 2048L)
       .orderBy("doc_id")
 
+  /** Boilerplate-phrase detection (the CCNet/paragraph-dedup pattern at
+    * phrase granularity, since this corpus has no line structure): the
+    * 3-shingles whose DOCUMENT frequency is high are template/boilerplate
+    * candidates a cleaning pass strips. Shingles are distinct per doc, so
+    * the count is a true document frequency; map-side combine keeps the
+    * shuffle at one row per (shingle, partition). */
+  def t13Boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .orderBy(desc("df"), col("shingle")).limit(100)
+
+  /** Per-source corpus profile — the split-by-provenance report every
+    * corpus build starts from: volume, size, language spread, and mean
+    * quality per source. One grouped pass over the table. */
+  def t14SourceProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(TextFns.qualityScore(col("text"))), 4).as("avg_quality"))
+      .orderBy("source")
+
   def t07Chunks(s: SparkSession, dir: String): DataFrame =
     TextFns.chunkTokens(docs(s, dir), "doc_id", "text",
         window = 32, overlap = 8)
@@ -209,6 +234,29 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  /** Int8 symmetric quantization fidelity, per vector: scale by
+    * 127/max|x|, round to the integer grid, and report the mean squared
+    * reconstruction error — the compression/recall trade every
+    * billion-vector ANN index makes. All element math is a single
+    * codegen'd projection (no UDF); `floor(x+0.5)` is the grid rounding
+    * on both engines so ties break identically, and the error fold is a
+    * left-to-right `aggregate`, the same order DuckDB's list_reduce
+    * replays. */
+  def v06QuantError(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    def deq(x: Column): Column =
+      floor(x * lit(127.0) / col("mx") + lit(0.5)) * col("mx") / lit(127.0)
+    emb(s, dir)
+      .select(col("vec_id"), v.as("v"), nullif(mx, lit(0.0)).as("mx"))
+      .select(col("vec_id"), round(col("mx"), 6).as("max_abs"),
+        round(
+          aggregate(
+            transform(col("v"), x => (x - deq(x)) * (x - deq(x))),
+            lit(0.0), (acc, e) => acc + e) / size(col("v")), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
   // ---- multimodal plumbing ----
 
   def m01MultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -249,6 +297,9 @@ object PipelineQueries {
     "t10_salient" -> t10Salient,
     "t11_pack" -> t11Pack,
     "t12_filter_pass" -> t12FilterPass,
+    "t13_boilerplate" -> t13Boilerplate,
+    "t14_source_profile" -> t14SourceProfile,
+    "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
     "v03_cosine_near_dup" -> v03CosineNearDup,
@@ -561,6 +612,41 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    "t13_boilerplate" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks),
+        |u AS (SELECT unnest(sh) AS shingle FROM sh)
+        |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM u GROUP BY shingle HAVING COUNT(*) >= 5
+        |ORDER BY df DESC, shingle LIMIT 100""".stripMargin),
+    "t14_source_profile" ->
+      (s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(AVG(n_chars), 4) AS avg_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  ROUND(AVG(${TextFns.qualityScoreSql("text")}), 4) AS avg_quality
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    "v06_quant_error" ->
+      ("""WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    NULLIF(list_max(list_transform(v, x -> abs(x))), 0.0) AS mx
+        |  FROM c),
+        |e AS (
+        |  SELECT vec_id, mx, len(v) AS d,
+        |    list_transform(v, x ->
+        |      (x - floor(x * 127.0 / mx + 0.5) * mx / 127.0) *
+        |      (x - floor(x * 127.0 / mx + 0.5) * mx / 127.0)) AS err
+        |  FROM m)
+        |SELECT vec_id, ROUND(mx, 6) AS max_abs,
+        |  ROUND(list_reduce(list_prepend(0.0, err), (acc, x) -> acc + x) / d, 9) AS mse
+        |FROM e ORDER BY vec_id""".stripMargin),
     "m01_multimodal_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS asset_id, " +
         "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
