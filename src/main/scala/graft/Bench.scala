@@ -55,7 +55,9 @@ object Bench {
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
       if (ok) Some(name -> elapsed) else None
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision is plenty, and the shorter values keep more of the
+    // per-query map visible inside any tail-sliced capture
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
@@ -64,8 +66,13 @@ object Bench {
     // excluded from `queries`/total and reported in `errors`/`n_err`
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // the full line above exceeds tail-window captures at ~90 queries
+    // (a consumer keeping only the last N chars of stdout sees it
+    // truncated mid-line and can't parse it) — so also emit a compact
+    // summary line, short enough to always survive a tail slice intact
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     // sbt appends its own trailing lines to stdout; a file copy keeps the
-    // JSON machine-readable regardless of how stdout is sliced
+    // FULL JSON machine-readable regardless of how stdout is sliced
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")), line)
     catch { case _: Throwable => () }
