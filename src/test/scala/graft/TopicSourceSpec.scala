@@ -61,6 +61,35 @@ class TopicSourceSpec extends SparkSuite {
     assert(spark.read.parquet(out2).count() === 5L)
   }
 
+  test("topic source composes end-to-end: parse → watermark → windowed agg") {
+    // the full consumer pipeline a kafka user would run, unchanged on
+    // this backend: kafka-shaped rows → JSON parse → event-time window
+    val root = Files.createTempDirectory("topic_pipe").toString
+    val bus = new FileTopic(root)
+    bus.publish("tx", Seq(
+      """{"k":"a","ts":"2024-01-01 10:01:00","v":1.0}""",
+      """{"k":"a","ts":"2024-01-01 10:04:00","v":3.0}""",
+      """{"k":"b","ts":"2024-01-01 10:07:00","v":5.0}"""))
+    val parsed = TopicSource.readStream(spark, root, "tx")
+      .select(
+        get_json_object(col("value").cast("string"), "$.k").as("k"),
+        get_json_object(col("value").cast("string"), "$.ts")
+          .cast("timestamp").as("ts"),
+        get_json_object(col("value").cast("string"), "$.v")
+          .cast("double").as("v"))
+    val agg = graft.streaming.EventTimeAgg.tumbling(parsed, "ts",
+      "5 minutes", "10 minutes", Seq("k"),
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+    val q = agg.writeStream.format("memory").queryName("topic_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("topic_agg").orderBy("window_start", "k")
+        .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(got.toSeq === Seq(("a", 2L, 4.0), ("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("readStreamAuto falls back to the topic log when kafka is absent") {
     // this distribution ships no kafka connector; the shim must detect
     // that and bind the graft-topic backend with the same row shape
