@@ -26,6 +26,19 @@ object DqChecks {
       .agg(count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
 
+  /** Referential-integrity check: count of `child` rows whose key has no
+    * match in `parent` — a LEFT ANTI join, so the child never widens and
+    * the parent side ships only its (distinct) key column. At dim-sized
+    * parents the anti join broadcasts; fact⋈fact relationships shuffle
+    * on the key like any equi join. Zero is the healthy result. */
+  def orphanCount(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, label: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(label).as("relationship"), col("n_orphans"))
+
   /** G2 range/type/staleness validation (A4:744-747): rows violating
     * `value ∈ [lo, hi] ∧ value not null ∧ ts ≤ asOf`. The predicate is a
     * scan-level filter — pushed to the parquet reader. `asOf` is an

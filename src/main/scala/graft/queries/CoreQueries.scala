@@ -396,6 +396,30 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A17 bivariate statistical aggregates — correlation, covariance,
+    * and least-squares regression of price on quantity. All are
+    * single-pass co-moment aggregates (partial-aggregated, one shuffle
+    * of constant-size state), the same execution shape as AVG. */
+  def q45StatsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("r"),
+      round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_s"),
+      round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("cov_p"),
+      round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+      round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))
+
+  /** A18 ordered string aggregation (LISTAGG/STRING_AGG): the distinct
+    * market segments present per nation, sorted then joined — sort
+    * before join makes the result partition-order-independent. */
+  def q46StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+        .as("segments"))
+      .orderBy("n_name")
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -453,6 +477,8 @@ object CoreQueries {
     "q42_window_fns" -> q42WindowFns,
     "q43_cube" -> q43Cube,
     "q44_pivot" -> q44Pivot,
+    "q45_stats_agg" -> q45StatsAgg,
+    "q46_string_agg" -> q46StringAgg,
     "e03_burst_window" -> e03BurstWindow,
   )
 
@@ -595,5 +621,17 @@ object CoreQueries {
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+    "q45_stats_agg" ->
+      ("""SELECT ROUND(corr(l_extendedprice, l_quantity), 4) AS r,
+        |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s,
+        |  ROUND(covar_pop(l_extendedprice, l_quantity), 4) AS cov_p,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+        |FROM lineitem""".stripMargin),
+    "q46_string_agg" ->
+      ("""SELECT n.n_name, string_agg(DISTINCT c.c_mktsegment, ','
+        |    ORDER BY c.c_mktsegment) AS segments
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
   )
 }

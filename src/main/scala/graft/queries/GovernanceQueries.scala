@@ -92,6 +92,21 @@ object GovernanceQueries {
         Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")))
       .orderBy("bucket_hour")
 
+  /** G10-style referential integrity: orphan counts for the schema's
+    * three foreign-key relationships via LEFT ANTI joins. All-zero is
+    * the expected healthy report. */
+  def g10RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    DqChecks.orphanCount(t(s, dir, "events"), "user_id", c, "c_custkey",
+        "events_customer")
+      .unionByName(DqChecks.orphanCount(t(s, dir, "lineitem"), "l_orderkey",
+        o, "o_orderkey", "lineitem_orders"))
+      .unionByName(DqChecks.orphanCount(o, "o_custkey", c, "c_custkey",
+        "orders_customer"))
+      .orderBy("relationship")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -102,6 +117,7 @@ object GovernanceQueries {
     "g07_latest_metric" -> g07LatestMetric,
     "g08_threshold_alerts" -> g08ThresholdAlerts,
     "g09_hourly_trend" -> g09HourlyTrend,
+    "g10_ref_integrity" -> g10RefIntegrity,
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +152,10 @@ object GovernanceQueries {
         "WHERE m.metric_value < th.threshold ORDER BY m.metric_name"),
     "g09_hourly_trend" ->
       "SELECT date_trunc('hour', ts) AS bucket_hour, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value FROM events GROUP BY date_trunc('hour', ts) ORDER BY bucket_hour",
+    "g10_ref_integrity" ->
+      ("SELECT 'events_customer' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_orphans FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id) " +
+        "UNION ALL SELECT 'lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "UNION ALL SELECT 'orders_customer', CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
+        "ORDER BY relationship"),
   )
 }
