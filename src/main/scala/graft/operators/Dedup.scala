@@ -161,6 +161,37 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination — the train/eval overlap sweep every
+    * corpus build runs before training: find train documents sharing at
+    * least `minShared` distinct k-gram shingles with ANY eval document
+    * (the n-gram-collision rule used for benchmark leakage checks).
+    *
+    * Shape: inverted-index equi-join on the shingle — eval-side postings
+    * only (the eval set is benchmark-sized, so the index is tiny and
+    * broadcastable; AQE decides), train side streams. Never all-pairs.
+    * `hashed = true` (default) joins on 64-bit shingle hashes — 8-byte
+    * keys at corpus scale; `hashed = false` joins on the shingle strings
+    * (bit-identical cross-engine, used by the oracle twin). */
+  def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, k: Int = 5, minShared: Long = 1L,
+      hashed: Boolean = true): DataFrame = {
+    val shCol = if (hashed) hashedShingles(col(textCol), k)
+      else shingles(col(textCol), k).cast("array<string>")
+    val sh = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), evalPred.as("is_eval"),
+        explode(shCol).as("s"))
+    val ev = sh.filter(col("is_eval"))
+      .select(col("s"), col("id").as("eval_id"))
+    sh.filter(!col("is_eval"))
+      .join(ev, "s")
+      .groupBy(col("id").as(idCol))
+      // shingles are distinct per doc, but one train shingle can meet
+      // several eval docs — count distinct on both axes
+      .agg(countDistinct(col("s")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
+
   // ---- SimHash ----
 
   /** Distinct-token xxhash64 array — the SimHash input. */

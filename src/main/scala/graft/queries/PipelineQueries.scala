@@ -175,6 +175,16 @@ object PipelineQueries {
       .filter(col("df") >= 5)
       .orderBy(desc("df"), col("shingle")).limit(100)
 
+  /** Benchmark decontamination over the corpus: docs 0-49 stand in as
+    * the eval/benchmark set; report every train doc sharing a 5-gram
+    * with it. String shingles here so the oracle replays bit-for-bit;
+    * production uses the hashed variant (same counts, 8-byte join
+    * keys). */
+  def t15Contamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminatedDocs(docs(s, dir), "doc_id", "text",
+        evalPred = col("doc_id") < 50, k = 5, hashed = false)
+      .orderBy("doc_id")
+
   /** Per-source corpus profile — the split-by-provenance report every
     * corpus build starts from: volume, size, language spread, and mean
     * quality per source. One grouped pass over the table. */
@@ -299,6 +309,7 @@ object PipelineQueries {
     "t12_filter_pass" -> t12FilterPass,
     "t13_boilerplate" -> t13Boilerplate,
     "t14_source_profile" -> t14SourceProfile,
+    "t15_contamination" -> t15Contamination,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
@@ -625,6 +636,22 @@ object PipelineQueries {
         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
         |FROM u GROUP BY shingle HAVING COUNT(*) >= 5
         |ORDER BY df DESC, shingle LIMIT 100""".stripMargin),
+    "t15_contamination" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk) - 3)])
+        |    END AS sh
+        |  FROM toks),
+        |u AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |ev AS (SELECT s, doc_id AS eval_id FROM u WHERE doc_id < 50),
+        |tr AS (SELECT s, doc_id FROM u WHERE doc_id >= 50)
+        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared_shingles,
+        |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev USING (s) GROUP BY doc_id
+        |HAVING count(DISTINCT s) >= 1 ORDER BY doc_id""".stripMargin),
     "t14_source_profile" ->
       (s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  ROUND(AVG(n_chars), 4) AS avg_chars,

@@ -138,6 +138,28 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("contaminatedDocs flags n-gram overlap with the eval slice; hashed ≡ string variant") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // eval
+      (2L, "one two three four five six"),         // eval
+      // shares the 5-gram "alpha beta gamma delta epsilon" with doc 1
+      (10L, "alpha beta gamma delta epsilon eta theta"),
+      // clean: no 5-gram in common with any eval doc
+      (11L, "seven eight nine ten eleven twelve"),
+      // shares with BOTH eval docs
+      (12L, "alpha beta gamma delta epsilon zeta one two three four five six")
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      Dedup.contaminatedDocs(d, "doc_id", "text", col("doc_id") < 10L,
+          k = 5, hashed = hashed)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(hashed = false)
+    assert(got.map(_._1) === Seq(10L, 12L)) // 11 is clean
+    assert(got.find(_._1 == 12L).get._3 === 2L) // hits both eval docs
+    assert(got === run(hashed = true)) // 8-byte-key path is equivalent
+  }
+
   test("dupClusters: truncated propagation throws instead of returning split labels") {
     // a 5-chain needs ~4 propagation rounds; maxRounds=1 must be loud,
     // not silently emit two labels for one component
