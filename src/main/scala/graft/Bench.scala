@@ -30,21 +30,29 @@ object Bench {
     // dev aid: SPARK_GRAFT_ONLY=d02_dedup_minhash,d03_dedup_simhash
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // dev aid: SPARK_GRAFT_REPEAT=3 times each query thrice and keeps the
+    // LAST measurement — separates first-plan codegen cost from
+    // steady-state throughput when hunting a slow query
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output row/column (count() would let
-      // Catalyst prune the projections and under-report)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors(name) = (e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage)).take(300)
-          false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9 // cleanup is NOT the query
+      var elapsed = 0.0
+      var ok = true
+      (1 to repeat).foreach { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output row/column (count() would
+        // let Catalyst prune the projections and under-report)
+        ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage)).take(300)
+            false
+          }
+        elapsed = (System.nanoTime() - t0) / 1e9 // cleanup is NOT the query
+      }
       // no cross-query bleed: clearCache drops persisted blocks, and the
       // explicit collection retires each query's garbage between
       // measurements — otherwise a long concurrent-GC window taxes
