@@ -185,6 +185,60 @@ object PipelineQueries {
         evalPred = col("doc_id") < 50, k = 5, hashed = false)
       .orderBy("doc_id")
 
+  /** Unigram-logprob quality signal — the perplexity-filter proxy: a
+    * document's mean negative log-probability under the corpus's own
+    * unigram distribution. Gibberish and boilerplate sit far from the
+    * corpus mean; a standard pretraining quality gate (the KenLM-style
+    * filter with the cheapest possible LM). Two aggregation passes: the
+    * unigram table (map-side combined counts) and the per-doc mean; the
+    * token→frequency attach join is skew-prone at corpus scale (hot
+    * tokens), where it would run through [[graft.operators.Skew]] — at
+    * dictionary-sized vocabularies AQE broadcasts it outright. */
+  def t16UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("n_total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("cnt").cast("double") / col("n_total"))), 4)
+        .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 keyword retrieval (Lucene's variant: idf = ln(1 + (N-df+0.5)/
+    * (df+0.5)), k1 = 1.2, b = 0.75) for a fixed two-term query — the
+    * text-retrieval sibling of the vector ANN tier. Postings join on the
+    * query terms only (two index probes, not a corpus scan at serving
+    * time if the postings are materialized); top-k via ORDER BY+LIMIT
+    * plans as TakeOrderedAndProject. */
+  def t17Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "vector")
+    val k1 = 1.2; val b = 0.75
+    val d = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("len"),
+        explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = d.groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"), first("len").as("len"))
+    val stats = docs(s, dir).agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextFns.tokens(col("text")))).as("avg_len"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avg_len")))
+    tf.join(df_, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfPart)
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), col("doc_id")).limit(10)
+  }
+
   /** Per-source corpus profile — the split-by-provenance report every
     * corpus build starts from: volume, size, language spread, and mean
     * quality per source. One grouped pass over the table. */
@@ -310,6 +364,8 @@ object PipelineQueries {
     "t13_boilerplate" -> t13Boilerplate,
     "t14_source_profile" -> t14SourceProfile,
     "t15_contamination" -> t15Contamination,
+    "t16_unigram_logprob" -> t16UnigramLogprob,
+    "t17_bm25" -> t17Bm25,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
@@ -652,6 +708,32 @@ object PipelineQueries {
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
         |FROM tr JOIN ev USING (s) GROUP BY doc_id
         |HAVING count(DISTINCT s) >= 1 ORDER BY doc_id""".stripMargin),
+    "t16_unigram_logprob" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM freq)
+        |SELECT doc_id,
+        |  ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_nll
+        |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "t17_bm25" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS len, unnest(tk) AS token FROM toks),
+        |f AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, any_value(len) AS len
+        |      FROM d WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
+        |       FROM documents),
+        |dfx AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM f GROUP BY token)
+        |SELECT doc_id,
+        |  ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms_hit
+        |FROM f JOIN dfx USING (token) CROSS JOIN st
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
     "t14_source_profile" ->
       (s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  ROUND(AVG(n_chars), 4) AS avg_chars,
