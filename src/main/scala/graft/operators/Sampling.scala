@@ -32,4 +32,23 @@ object Sampling {
     require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
     df.filter(hashBucket(col(idCol), 4) * 1000 < lit(permille.toLong * 65536L))
   }
+
+  /** Stratified deterministic sampling — per-stratum keep rates (the
+    * corpus-mixture rebalance: upsample rare languages/sources, downweigh
+    * the dominant one). Same md5-digit cut as [[sampleDeterministic]],
+    * with the threshold chosen per stratum value; unlisted strata fall
+    * back to `defaultPermille`. One scan, one codegen'd CASE — the rate
+    * table rides in the plan as literals (mixture tables are small), so
+    * there is no join and partitioning never matters. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+      permilleByStratum: Map[String, Int],
+      defaultPermille: Int = 0): DataFrame = {
+    (permilleByStratum.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, "permille in [0, 1000]"))
+    val threshold = permilleByStratum.foldLeft(
+      lit(defaultPermille.toLong * 65536L)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p.toLong * 65536L)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 4) * 1000 < threshold)
+  }
 }

@@ -185,6 +185,16 @@ object PipelineQueries {
         evalPred = col("doc_id") < 50, k = 5, hashed = false)
       .orderBy("doc_id")
 
+  /** Stratified corpus-mixture sampling: keep 10% of English, 30% of
+    * Chinese, 20% of everything else — the language-rebalance pass of a
+    * corpus build, on the engine-portable md5-digit cut so assignments
+    * never move between runs, shards, or engines. */
+  def t18Stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleStratified(docs(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 100, "zh" -> 300),
+        defaultPermille = 200)
+      .orderBy("doc_id")
+
   /** Unigram-logprob quality signal — the perplexity-filter proxy: a
     * document's mean negative log-probability under the corpus's own
     * unigram distribution. Gibberish and boilerplate sit far from the
@@ -366,6 +376,7 @@ object PipelineQueries {
     "t15_contamination" -> t15Contamination,
     "t16_unigram_logprob" -> t16UnigramLogprob,
     "t17_bm25" -> t17Bm25,
+    "t18_stratified" -> t18Stratified,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
@@ -708,6 +719,14 @@ object PipelineQueries {
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
         |FROM tr JOIN ev USING (s) GROUP BY doc_id
         |HAVING count(DISTINCT s) >= 1 ORDER BY doc_id""".stripMargin),
+    "t18_stratified" ->
+      ((("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+        (1 to 4).map(i =>
+          s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+          .mkString("(", " + ", ")")) +
+        " AS b FROM documents) WHERE b * 1000 < " +
+        "CASE WHEN lang = 'en' THEN 100 * 65536 WHEN lang = 'zh' THEN 300 * 65536 " +
+        "ELSE 200 * 65536 END ORDER BY doc_id")),
     "t16_unigram_logprob" ->
       ("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -28,6 +28,24 @@ class SamplingSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("stratified sample applies per-stratum rates; strata stay consistent with the flat cut") {
+    val d = ids.withColumn("grp",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Sampling.sampleStratified(d, "id", "grp",
+        Map("a" -> 100, "b" -> 500))
+      .groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") > 60 && kept("a") < 140)   // ~10% of 1000
+    assert(kept("b") > 420 && kept("b") < 580)  // ~50% of 1000
+    // same md5 cut as the flat sampler: a stratum at rate p keeps
+    // exactly the rows the flat p-sampler keeps
+    val flat = Sampling.sampleDeterministic(
+      d.filter(col("grp") === "a"), "id", 100).collect().map(_.getLong(0)).toSet
+    val strat = Sampling.sampleStratified(d, "id", "grp", Map("a" -> 100))
+      .collect().map(_.getLong(0)).toSet
+    assert(strat === flat) // default 0 drops all of b
+  }
+
   test("deterministic sample keeps ~permille/1000 and is a subset") {
     val kept = Sampling.sampleDeterministic(ids, "id", permille = 100)
       .collect().map(_.getLong(0)).toSet
