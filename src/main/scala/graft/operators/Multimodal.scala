@@ -98,16 +98,42 @@ object Multimodal {
       .toDF()
   }
 
-  /** Frame sampling STUB: slice the byte payload into n equal "frames"
-    * (stands in for video frame extraction); emits one row per frame with
-    * the frame index — the explode shape a real sampler produces. */
-  def sampleFrames(assets: DataFrame, nFrames: Int): DataFrame =
+  private def withFrameBytes(assets: DataFrame, nFrames: Int): DataFrame =
     assets
       .withColumn("frame_idx",
         explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_bytes",
         expr(s"substring(data, frame_idx * (octet_length(data) div $nFrames) + 1, " +
           s"octet_length(data) div $nFrames)"))
+
+  /** Frame sampling STUB: slice the byte payload into n equal "frames"
+    * (stands in for video frame extraction); emits one row per frame with
+    * the frame index — the explode shape a real sampler produces. */
+  def sampleFrames(assets: DataFrame, nFrames: Int): DataFrame =
+    withFrameBytes(assets, nFrames)
       .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
         octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+
+  /** Per-frame content fingerprints (md5 over the raw frame bytes —
+    * engine-portable, so an external oracle replays it). The input to
+    * frame-level dedup: identical frames collide on the fingerprint no
+    * matter which asset they came from. */
+  def frameFingerprints(assets: DataFrame, nFrames: Int): DataFrame =
+    withFrameBytes(assets, nFrames)
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame_bytes")).as("frame_md5"))
+
+  /** Frame-level exact dedup across assets: fingerprint every sampled
+    * frame and group — a hash-partitioned aggregate over fixed-width
+    * digests (the shuffle carries 32-char hashes, never frame bytes), so
+    * it scales exactly like row-level exact dedup. Returns fingerprint
+    * groups seen more than once: duplicated intros/stills/padding across
+    * a video corpus. */
+  def frameDedup(assets: DataFrame, nFrames: Int): DataFrame =
+    frameFingerprints(assets, nFrames)
+      .groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("asset_id")).as("n_assets"),
+        min(col("asset_id")).as("first_asset"))
+      .filter(col("n_frames") > 1)
 }

@@ -353,6 +353,22 @@ object PipelineQueries {
         Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text"), 4)
       .orderBy("asset_id", "frame_idx")
 
+  /** Frame-level dedup across assets. This corpus has near-dup but no
+    * byte-identical documents, so the duplicate population is modeled
+    * the way it actually arises in media pipelines: re-uploads — docs
+    * 0-19 appear a second time under new asset ids. frameDedup finds
+    * exactly the re-uploaded frames by content fingerprint. */
+  def m04FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val assets = Multimodal.syntheticAssets(base, "doc_id", "text")
+    val reuploads = Multimodal.syntheticAssets(
+      base.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000L),
+      "doc_id", "text")
+    Multimodal.frameDedup(assets.unionByName(reuploads), 4)
+      .orderBy("frame_md5")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_tokens" -> t01Tokens,
     "t02_quality" -> t02Quality,
@@ -386,6 +402,7 @@ object PipelineQueries {
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
+    "m04_frame_dedup" -> m04FrameDedup,
   )
 
   /** DuckDB twin of [[Dedup.withSimhashChunks]] + brute-force all-pairs
@@ -801,5 +818,23 @@ object PipelineQueries {
       ("SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(t.range AS BIGINT) AS frame_idx, " +
         "CAST(octet_length(CAST(text AS BLOB)) // 4 AS BIGINT) AS frame_len " +
         "FROM documents, range(4) t ORDER BY asset_id, frame_idx"),
+    // DuckDB has no BLOB substring/md5; the corpus is ASCII, so the
+    // VARCHAR slice hashes the same bytes the Spark binary slice does
+    "m04_frame_dedup" ->
+      ("""WITH a AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS asset_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 100000 AS BIGINT), text FROM documents WHERE doc_id < 20),
+        |f AS (
+        |  SELECT asset_id,
+        |    md5(substring(text,
+        |      CAST(t.range * (length(text) // 4) + 1 AS INT),
+        |      CAST(length(text) // 4 AS INT))) AS frame_md5
+        |  FROM a, range(4) t)
+        |SELECT frame_md5, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+        |  MIN(asset_id) AS first_asset
+        |FROM f GROUP BY frame_md5 HAVING COUNT(*) > 1
+        |ORDER BY frame_md5""".stripMargin),
   )
 }
