@@ -14,14 +14,21 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *    already exist (notebooks, the driver harness).
   *
   * Surface: `minhash_sig(hash_col, k)` — the single-buffer MinHash
-  * signature aggregate ([[MinHashSigAgg]]). */
+  * signature aggregate ([[MinHashSigAgg]]); `shingle_hashes(text, k)` —
+  * the native k-gram shingle hasher ([[ShingleHashes]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigAgg].getCanonicalName, null,
         "minhash_sig", GraftFunctions.minhashSigUsage, ""),
       GraftFunctions.minhashSigBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, null,
+        "shingle_hashes", GraftFunctions.shingleHashesUsage, ""),
+      GraftFunctions.shingleHashesBuilder))
+  }
 }
 
 object GraftFunctions {
@@ -35,8 +42,20 @@ object GraftFunctions {
       s"minhash_sig expects (hash_col, int literal k), got ${args.size} args")
   }
 
+  private[functions] val shingleHashesUsage =
+    "shingle_hashes(text, k) - distinct xxhash64 values of the text's word k-shingles (array<bigint>)"
+
+  private[functions] val shingleHashesBuilder: Seq[Expression] => Expression = {
+    case Seq(child, Literal(k: Int, _)) => ShingleHashes(child, k)
+    case args => throw new IllegalArgumentException(
+      s"shingle_hashes expects (text, int literal k), got ${args.size} args")
+  }
+
   /** Register on a live session: `spark.sql("... minhash_sig(h, 64) ...")`. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "minhash_sig", minhashSigUsage,
       minhashSigBuilder)
+    ColumnBridge.registerFunction(spark, "shingle_hashes", shingleHashesUsage,
+      shingleHashesBuilder)
+  }
 }

@@ -64,8 +64,18 @@ object Dedup {
     * longs instead of ~20-char strings, so downstream signature explodes
     * and verification intersects move fixed-width integers. Jaccard on
     * the hashed sets equals jaccard on the string sets up to 64-bit
-    * collision odds (~1e-15 per pair at 300 shingles/doc). */
+    * collision odds (~1e-15 per pair at 300 shingles/doc).
+    *
+    * Computed by the native [[graft.functions.ShingleHashes]] expression
+    * (single tokenize, reused shingle buffer, no intermediate string
+    * array) — bit-identical to the composed formulation
+    * [[hashedShinglesExpr]], asserted in DedupSpec. */
   def hashedShingles(textCol: Column, k: Int = 3): Column =
+    graft.functions.ShingleHashes(textCol, k)
+
+  /** Composed-expression formulation of [[hashedShingles]] (five
+    * higher-order functions deep) — kept as the cross-check twin. */
+  def hashedShinglesExpr(textCol: Column, k: Int = 3): Column =
     array_distinct(transform(shingles(textCol, k), s => xxhash64(s)))
 
   /** Signatures over a prepared (id, hs: array<long>) hashed-shingle

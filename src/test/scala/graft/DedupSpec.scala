@@ -138,6 +138,23 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("native shingle_hashes ≡ composed array_distinct(transform(...)) elementwise") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "Spark", "ENGINE", "data")
+    val texts = Seq("", " ", "one", "one two", "  padded   text  here  ") ++
+      (1 to 40).map(_ => Seq.fill(2 + rnd.nextInt(30))(
+        words(rnd.nextInt(words.size))).mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(1, 3, 5)) {
+      val native = d.select(col("id"), Dedup.hashedShingles(col("text"), k).as("hs"))
+        .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+      val composed = d.select(col("id"), Dedup.hashedShinglesExpr(col("text"), k).as("hs"))
+        .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+      assert(native === composed, s"k=$k")
+    }
+  }
+
   test("contaminatedDocs flags n-gram overlap with the eval slice; hashed ≡ string variant") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // eval

@@ -23,6 +23,21 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(sql === api)
   }
 
+  test("shingle_hashes is callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps"), (2L, "tiny"))
+      .toDF("id", "text").createOrReplaceTempView("sh_docs")
+    val sql = spark.sql(
+      "SELECT id, shingle_hashes(text, 3) AS hs FROM sh_docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val api = Seq((1L, "the quick brown fox jumps"), (2L, "tiny"))
+      .toDF("id", "text")
+      .select($"id", Dedup.hashedShinglesExpr($"text", 3).as("hs"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(sql === api)
+  }
+
   test("extensions class injects without a session (config-based deploys)") {
     // instantiable + applies cleanly to a fresh extensions container —
     // what spark.sql.extensions=graft.functions.GraftExtensions does
