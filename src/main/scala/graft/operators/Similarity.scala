@@ -190,6 +190,44 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** One k-means (Lloyd) iteration over the IVF assignment machinery:
+    * assign every vector to its nearest (cosine) centroid, recompute the
+    * per-centroid mean, and report each centroid's population and L2
+    * movement — the convergence signal a clustering/index-build loop
+    * watches. Same scale shape as the IVF build: one |N|·|C| pass
+    * against a broadcast centroid table, then a map-side-combined
+    * grouped aggregate of `dim` means (the shuffle carries dim doubles
+    * per (centroid, partition), never vectors). Iterating to
+    * convergence is this operator in a driver loop, re-feeding `means`
+    * as the next centroid table. */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, dim: Int = 64): DataFrame = {
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        l2Norm(asDouble(col(vecCol))).as("vn"))
+    val centroids = c
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
+      .localCheckpoint() // tiny; feeds assignment AND the shift join
+    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("csim", dot(col("v"), col("cv")) /
+        nullif(col("vn") * col("cn"), lit(0.0)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    val avgs = (0 until dim).map(i =>
+      avg(element_at(col("v"), i + 1)).as(s"__m$i"))
+    val means = assigned.groupBy("cid").agg(count(lit(1)).as("n"), avgs: _*)
+    val shift = sqrt((0 until dim).map { i =>
+      val d = col(s"__m$i") - element_at(col("cv"), i + 1)
+      d * d
+    }.reduce(_ + _))
+    means.join(centroids.select(col("cid"), col("cv")), "cid")
+      .select(col("cid"), col("n"), round(shift, 4).as("shift"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked
     * (the embedding analog of [[Dedup.minhashDedupPairs]]). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

@@ -308,6 +308,14 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  /** One k-means Lloyd step over the embedding corpus: per-centroid
+    * population and movement — the index-build/clustering convergence
+    * probe. */
+  def v07KmeansStep(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansStep(emb(s, dir), "vec_id", "embedding",
+        nCentroids = 16, dim = 64)
+      .orderBy("cid")
+
   /** Int8 symmetric quantization fidelity, per vector: scale by
     * 127/max|x|, round to the integer grid, and report the mean squared
     * reconstruction error — the compression/recall trade every
@@ -399,6 +407,7 @@ object PipelineQueries {
     "v03_cosine_near_dup" -> v03CosineNearDup,
     "v04_ann_ivf" -> v04AnnIvf,
     "v05_label_centroids" -> v05LabelCentroids,
+    "v07_kmeans_step" -> v07KmeansStep,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
@@ -508,6 +517,29 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB twin of [[Similarity.kmeansStep]]: same md5-sampled
+    * centroids and rn=1 cosine assignment as the v04 oracle, then 64
+    * generated per-dimension means and the L2 shift against the old
+    * centroid. */
+  private lazy val v07OracleSql: String = {
+    val avgs = (0 until 64).map(k => s"avg(v[${k + 1}]) AS m$k").mkString(", ")
+    val shift = (0 until 64).map(k =>
+      s"(m$k - cv[${k + 1}]) * (m$k - cv[${k + 1}])").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+       |cent AS (SELECT id AS cid, v AS cv, vn AS ccn FROM cn
+       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+       |assigned AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT cn.id, cn.v, cent.cid,
+       |      row_number() OVER (PARTITION BY cn.id
+       |        ORDER BY list_dot_product(cn.v, cent.cv) / NULLIF(cn.vn * cent.ccn, 0.0) DESC, cent.cid) AS rn
+       |    FROM cn, cent) WHERE rn = 1),
+       |means AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, $avgs FROM assigned GROUP BY cid)
+       |SELECT m.cid, m.n, ROUND(sqrt($shift), 4) AS shift
+       |FROM means m JOIN cent USING (cid) ORDER BY m.cid""".stripMargin
+  }
+
   private lazy val v05OracleSql: String = {
     val avgs = (1 to 64).map(k =>
       s"avg(CAST(embedding[$k] AS DOUBLE)) AS a$k").mkString(", ")
@@ -518,6 +550,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "v05_label_centroids" -> v05OracleSql,
+    "v07_kmeans_step" -> v07OracleSql,
     "v02_ann_lsh" -> v02OracleSql,
     "v03_cosine_near_dup" -> v03OracleSql,
     "v04_ann_ivf" -> v04OracleSql,
