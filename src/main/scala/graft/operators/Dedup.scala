@@ -319,17 +319,38 @@ object Dedup {
     * xxhash64 variant ([[withSimhash]]), which is faster but has no
     * cross-engine twin. Chunked (not one i64) output is sign-safe and
     * doubles as the pigeonhole blocking key. */
-  def withSimhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val halves = Caches.spreadByKey(docs, col(idCol))
+  /** The md5-derived 32-bit halves every portable-SimHash variant
+    * consumes: (id, hi, lo) per distinct token. */
+  private def simhashHalves(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Caches.spreadByKey(docs, col(idCol))
       .select(col(idCol).as("id"),
-        // slice: the packed sums below stay < 2^63 (ANSI-safe) iff each
-        // lane count ≤ 32767, so at most 32767 distinct tokens
-        // contribute per document
+        // slice: the packed sums in the expression twin stay < 2^63
+        // (ANSI-safe) iff each lane count ≤ 32767, so at most 32767
+        // distinct tokens contribute per document
         explode(slice(array_distinct(TextFns.tokens(col(textCol))), 1, 32767)).as("tok"))
       .select(col("id"), md5(col("tok").cast("binary")).as("hx"))
       .select(col("id"),
         conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("hi"),
         conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("lo"))
+
+  /** Native-aggregate form: all 64 bit-counters in one buffer
+    * ([[graft.functions.SimHashChunksAgg]]) — chunk-identical to
+    * [[withSimhashChunksExpr]] (asserted in DedupSpec) with a fraction
+    * of its generated-code footprint. */
+  def withSimhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashHalves(docs, idCol, textCol)
+      .groupBy("id")
+      .agg(graft.functions.SimHashChunksAgg
+        .simhashChunks(col("hi"), col("lo")).as("__c"))
+      .select(col("id"),
+        element_at(col("__c"), 1).as("c0"), element_at(col("__c"), 2).as("c1"),
+        element_at(col("__c"), 3).as("c2"), element_at(col("__c"), 4).as("c3"))
+
+  /** Lane-packed expression formulation — kept as the cross-check twin
+    * (and the shape the DuckDB oracle literally replays). */
+  def withSimhashChunksExpr(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val halves = simhashHalves(docs, idCol, textCol)
     // 64 per-bit set-counts, LANE-PACKED into 16 sum aggregates (bits
     // 4g..4g+3 in four 16-bit lanes of agg __s<g>): 4× fewer aggregate
     // buffers and update calls, and the generated aggregate class stays

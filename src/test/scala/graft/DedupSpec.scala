@@ -138,6 +138,19 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("native simhash_chunks aggregate ≡ lane-packed expression formulation") {
+    val rnd = new scala.util.Random(19)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val d = (1L to 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), (1 to 4).map(r.getLong))).toSeq
+    assert(chunks(Dedup.withSimhashChunks(d, "doc_id", "text")) ===
+      chunks(Dedup.withSimhashChunksExpr(d, "doc_id", "text")))
+  }
+
   test("native shingle_hashes ≡ composed array_distinct(transform(...)) elementwise") {
     val rnd = new scala.util.Random(7)
     val words = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
