@@ -420,6 +420,46 @@ object CoreQueries {
         .as("segments"))
       .orderBy("n_name")
 
+  /** Ordered funnel analysis: users progressing view → click →
+    * purchase, each step strictly after the previous one. Three
+    * filtered min-aggregations chained by equi-joins on the user key —
+    * every stage is key-partitioned, no window over full histories, so
+    * step K's input shrinks to step K-1's survivors (the plan a funnel
+    * wants at 100 TB). */
+  def e04Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "ts", "event_type")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after_view").as("step"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_click").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity week,
+    * counted in each subsequent week they return. One first-touch
+    * aggregate, one key-partitioned attach join, one grouped
+    * count-distinct — the standard retention report. */
+  def e05Cohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "ts")
+    val first = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+    e.join(first, "user_id")
+      .groupBy(
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        floor(datediff(col("ts").cast("date"), col("first_ts").cast("date")) / 7)
+          .cast("long").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -480,6 +520,8 @@ object CoreQueries {
     "q45_stats_agg" -> q45StatsAgg,
     "q46_string_agg" -> q46StringAgg,
     "e03_burst_window" -> e03BurstWindow,
+    "e04_funnel" -> e04Funnel,
+    "e05_cohorts" -> e05Cohorts,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -621,6 +663,23 @@ object CoreQueries {
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+    "e04_funnel" ->
+      ("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+        |ORDER BY step""".stripMargin),
+    "e05_cohorts" ->
+      ("""WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |  CAST(datediff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_n,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin),
     "q45_stats_agg" ->
       ("""SELECT ROUND(corr(l_extendedprice, l_quantity), 4) AS r,
         |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s,
