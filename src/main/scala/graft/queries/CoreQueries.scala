@@ -460,6 +460,27 @@ object CoreQueries {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** SCD type-2 MERGE over the customer dimension: a deterministic
+    * update batch (every 10th customer's balance moves; 20 brand-new
+    * keys arrive) applied via [[graft.operators.Scd.scd2Merge]] —
+    * changed versions close at the as-of date, new versions open,
+    * untouched and unchanged rows pass through. */
+  def q47Scd2(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val current = cust.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("valid_from", lit("2020-01-01").cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") + 100, 2).as("c_acctbal"), col("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") < 20)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal"), lit("NEW").as("c_mktsegment")))
+    graft.operators.Scd.scd2Merge(current, updates, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"), lit("2024-06-01").cast("date"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -519,6 +540,7 @@ object CoreQueries {
     "q44_pivot" -> q44Pivot,
     "q45_stats_agg" -> q45StatsAgg,
     "q46_string_agg" -> q46StringAgg,
+    "q47_scd2_merge" -> q47Scd2,
     "e03_burst_window" -> e03BurstWindow,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
@@ -663,6 +685,32 @@ object CoreQueries {
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+    "q47_scd2_merge" ->
+      ("""WITH cur AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment,
+        |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, 'NEW' FROM customer WHERE c_custkey < 20),
+        |chg AS (
+        |  SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+        |  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+        |     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+        |newk AS (
+        |  SELECT u.c_custkey FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur))
+        |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to
+        |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from, DATE '2024-06-01'
+        |FROM cur c JOIN chg USING (c_custkey)
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
+        |FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+        |   OR u.c_custkey IN (SELECT c_custkey FROM newk)
+        |ORDER BY c_custkey, valid_from""".stripMargin),
     "e04_funnel" ->
       ("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd
+
+/** SCD2 merge: the four key fates — untouched, unchanged-update,
+  * changed (close + reopen), brand-new — plus closed-history
+  * passthrough and null-safe attribute comparison. */
+class ScdSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("scd2Merge closes changed versions, opens new ones, keeps the rest") {
+    val current = Seq(
+      // key 1: closed historical version + open current one
+      (1L, Option("gold"), d("2020-01-01"), Option(d("2022-01-01"))),
+      (1L, Option("silver"), d("2022-01-01"), None),
+      (2L, Option("bronze"), d("2020-01-01"), None), // unchanged update arrives
+      (3L, Option("gold"), d("2020-01-01"), None),   // no update at all
+      (4L, None, d("2020-01-01"), None)              // NULL attr → value = change
+    ).toDF("id", "tier", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, Option("platinum")), // changed
+      (2L, Option("bronze")),   // unchanged
+      (4L, Option("iron")),     // NULL → value
+      (9L, Option("new-tier"))  // brand-new key
+    ).toDF("id", "tier")
+    val out = Scd.scd2Merge(current, updates, "id", Seq("tier"),
+        lit("2024-06-01").cast("date"))
+      .orderBy("id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSeq
+    assert(out === Seq(
+      (1L, Some("gold"), "2020-01-01", Some("2022-01-01")), // history untouched
+      (1L, Some("silver"), "2022-01-01", Some("2024-06-01")), // closed now
+      (1L, Some("platinum"), "2024-06-01", None),           // reopened
+      (2L, Some("bronze"), "2020-01-01", None),             // unchanged → kept
+      (3L, Some("gold"), "2020-01-01", None),               // untouched → kept
+      (4L, None, "2020-01-01", Some("2024-06-01")),         // null→value closes
+      (4L, Some("iron"), "2024-06-01", None),
+      (9L, Some("new-tier"), "2024-06-01", None)            // new key opens
+    ))
+  }
+
+  test("idempotent: re-applying the same updates changes nothing") {
+    val current = Seq((1L, Option("a"), d("2020-01-01"), Option.empty[Date]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val updates = Seq((1L, Option("b"))).toDF("id", "tier")
+    val once = Scd.scd2Merge(current, updates, "id", Seq("tier"),
+      lit("2024-06-01").cast("date"))
+    val twice = Scd.scd2Merge(once, updates, "id", Seq("tier"),
+      lit("2024-06-01").cast("date"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id", "valid_from").collect().map(_.toSeq).toSeq
+    assert(rows(twice) === rows(once))
+  }
+}
