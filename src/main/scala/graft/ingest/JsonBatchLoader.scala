@@ -61,6 +61,35 @@ object JsonBatchLoader {
     .withColumn("sell_price", coalesce(col("sell_price"), lit(0L)))
     .withColumn("days", coalesce(col("days"), lit(1L)))
 
+  /** Quarantine ingest — ON_ERROR='CONTINUE' with an audit trail: parse
+    * with PERMISSIVE + a corrupt-record column, load the clean rows into
+    * the target, and write each bad line VERBATIM (plus its source file)
+    * to a quarantine directory for replay after a fix. One scan serves
+    * both sides; nothing is silently dropped — at ingest scale, "skip
+    * bad rows" without a quarantine is data loss with extra steps.
+    * Returns (goodRows, badRows). */
+  def loadWithQuarantine(spark: SparkSession, inputPath: String,
+      schema: StructType, targetDir: String, quarantineDir: String): (Long, Long) = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+ StructField(corrupt, StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(inputPath)
+      // Spark requires caching/materializing before filtering on the
+      // corrupt column alone (the lazy parse would prune it away)
+      .select(col("*"), input_file_name().as("_source_file"))
+      .localCheckpoint()
+    val good = parsed.filter(col(corrupt).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = parsed.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"), col("_source_file").as("source_file"))
+    good.write.mode("append").parquet(targetDir)
+    val badCount = bad.count()
+    if (badCount > 0) bad.write.mode("append").parquet(quarantineDir)
+    (good.count(), badCount)
+  }
+
   /** S5 `COPY INTO … MATCH_BY_COLUMN_NAME` (batch_insert.py:71-73):
     * by-name column mapping into the target's layout, then Parquet
     * append. Returns rows loaded. */

@@ -40,6 +40,47 @@ class IngestSpec extends SparkSuite {
     assert(r.getAs[String]("phone") === null) // PII stays null
   }
 
+  test("quarantine load splits good rows from bad lines, nothing lost") {
+    val landing = tmp("graft_quar_in")
+    val target = tmp("graft_quar_t") + "/t"
+    val quarantine = tmp("graft_quar_q") + "/q"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    Files.write(java.nio.file.Paths.get(landing, "batch.json"),
+      Seq("""{"id":1,"v":"a"}""",
+        """{"id":2 "v":"broken}""", // malformed line
+        """{"id":3,"v":"c"}""",
+        """not json at all""").mkString("\n").getBytes)
+    val (good, bad) = JsonBatchLoader.loadWithQuarantine(
+      spark, landing, sch, target, quarantine)
+    assert(good === 2 && bad === 2)
+    assert(spark.read.parquet(target).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val q = spark.read.parquet(quarantine).collect()
+    assert(q.length === 2)
+    // bad lines kept verbatim for replay, with provenance
+    assert(q.map(_.getAs[String]("raw_record")).toSet ===
+      Set("""{"id":2 "v":"broken}""", "not json at all"))
+    assert(q.forall(_.getAs[String]("source_file").contains("batch.json")))
+  }
+
+  test("compact rewrites a many-file table into few files, data intact") {
+    val dir = tmp("graft_compact") + "/t"
+    // 40 single-row appends → 40+ tiny files
+    (1L to 40L).foreach(i =>
+      Seq((i, s"row$i")).toDF("id", "v").write.mode("append").parquet(dir))
+    val beforeData = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (before, after) = graft.core.Tables.compact(spark, dir)
+    assert(before >= 40 && after < 5)
+    val afterData = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterData === beforeData)
+  }
+
   test("copyInto is exactly-once per file, pattern-filtered, ledgered") {
     val landing = tmp("graft_landing")
     val target = tmp("graft_target") + "/t"
