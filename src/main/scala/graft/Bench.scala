@@ -33,7 +33,7 @@ object Bench {
     // dev aid: SPARK_GRAFT_REPEAT=3 times each query thrice and keeps the
     // LAST measurement — separates first-plan codegen cost from
     // steady-state throughput when hunting a slow query
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -52,6 +52,9 @@ object Bench {
             false
           }
         elapsed = (System.nanoTime() - t0) / 1e9 // cleanup is NOT the query
+        // a query is ok/err by its LAST run — drop stale error messages
+        // from earlier repeats so n_ok + n_err always equals queries run
+        if (ok) errors.remove(name)
       }
       // no cross-query bleed: clearCache drops persisted blocks, and the
       // explicit collection retires each query's garbage between
@@ -64,9 +67,12 @@ object Bench {
       if (ok) Some(name -> elapsed) else None
     }.toMap
     // ms precision is plenty, and the shorter values keep more of the
-    // per-query map visible inside any tail-sliced capture
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // per-query map visible inside any tail-sliced capture. Locale.ROOT:
+    // a comma-decimal default locale would otherwise emit invalid JSON
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -152,14 +152,24 @@ class FileTopic(root: String) {
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
-        case Some(cur) => cur.split(":") match {
-          case Array(_, ts, "claimed", _*) if now() - ts.toLong > claimTtlMs =>
+        case Some(cur) =>
+          // defensive parse: a token mangled by interleaved concurrent
+          // writes must stay reclaimable (treat like an expired claim),
+          // not poison this file's polling forever with a parse throw
+          val reclaimable = cur.split(":") match {
+            case Array(_, ts, "claimed", _*) =>
+              scala.util.Try(ts.toLong).toOption
+                .forall(t => now() - t > claimTtlMs)
+            case Array(_, _, "done", _*) => false
+            case _ => true // corrupt token — no live owner can prove it
+          }
+          if (!reclaimable) false
+          else {
             // TTL reclaim: write, then re-read to confirm we won the race
             Files.write(cf, token.getBytes(StandardCharsets.UTF_8),
               StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
             readToken().contains(token)
-          case _ => false // done, or freshly claimed by a live owner
-        }
+          }
       }
       if (!owned) None
       else {

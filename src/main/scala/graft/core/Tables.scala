@@ -76,17 +76,46 @@ object Tables {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    // recover from a previous crash: a stale tmp is always discardable
+    // (the swap hadn't happened); a stale bak means a crash mid-swap —
+    // if the table is gone, the bak IS the table; if both exist, the
+    // swap completed and only the delete was lost
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) {
+      if (!fs.exists(path)) {
+        if (!fs.rename(bak, path)) throw new java.io.IOException(
+          s"compact: crash recovery failed — could not restore $bak to $path")
+      } else fs.delete(bak, true)
+    }
     def parquetFiles = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // partitioned layouts (subdirectories) would be flattened by a blind
+    // rewrite — refuse loudly rather than destroy the layout
+    if (fs.listStatus(path).exists(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_")))
+      throw new IllegalArgumentException(
+        s"compact: $dir contains partition subdirectories; compact each " +
+          "partition directory individually to preserve the layout")
     val before = parquetFiles
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_old")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    // every swap step is checked: a false rename must abort (and roll
+    // back), never fall through to deleting the only surviving copy
+    if (!fs.rename(path, bak)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    }
+    if (!fs.rename(tmp, path)) {
+      val restored = fs.rename(bak, path)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact: swap failed${if (restored) ", original restored" else
+          s" AND restore failed — table preserved at $bak"}")
+    }
     fs.delete(bak, true)
     (before.length, parquetFiles.length)
   }

@@ -39,6 +39,16 @@ case class ShingleHashes(child: Expression, k: Int)
   require(k >= 1, "shingle size k must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // fail at ANALYSIS time on a non-string child, not with a codegen
+  // compile error / ClassCastException mid-job
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects a STRING argument, got ${child.dataType.sql}")
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =

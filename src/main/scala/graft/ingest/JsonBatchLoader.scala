@@ -84,10 +84,14 @@ object JsonBatchLoader {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = parsed.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_record"), col("_source_file").as("source_file"))
+    // both counts from ONE aggregation over the checkpoint — the writes
+    // below are then the only other jobs on the ingest hot path
+    val counts = parsed.agg(count(lit(1)).as("total"),
+      count(col(corrupt)).as("bad")).collect()(0)
+    val badCount = counts.getLong(1)
     good.write.mode("append").parquet(targetDir)
-    val badCount = bad.count()
     if (badCount > 0) bad.write.mode("append").parquet(quarantineDir)
-    (good.count(), badCount)
+    (counts.getLong(0) - badCount, badCount)
   }
 
   /** S5 `COPY INTO … MATCH_BY_COLUMN_NAME` (batch_insert.py:71-73):

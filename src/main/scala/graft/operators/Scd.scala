@@ -20,37 +20,45 @@ object Scd {
 
   /** Apply `updates` (one row per key, effective `asOf`) to `current`
     * (an SCD2 dim with `valid_from`/`valid_to`, open rows having NULL
-    * `valid_to`). Returns the full next dim state. */
+    * `valid_to`). Returns the full next dim state.
+    *
+    * `updates` must carry the dim's full attribute set (every column
+    * except `valid_from`/`valid_to`); `trackedCols` is the subset whose
+    * changes open a new version — untracked attributes ride along and
+    * take the update's value when a new version opens (type-1
+    * overwrite-on-version semantics for the rest). */
   def scd2Merge(current: DataFrame, updates: DataFrame, keyCol: String,
       trackedCols: Seq[String], asOf: Column): DataFrame = {
-    val attrs = keyCol +: trackedCols
+    val attrs = current.columns.toSeq
+      .filterNot(c => c == "valid_from" || c == "valid_to")
+    val missing = attrs.filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"updates must carry every dim attribute; missing: ${missing.mkString(", ")}")
+    require(trackedCols.forall(attrs.contains),
+      "trackedCols must be attribute columns of the dimension")
+    val trackedAttrs = trackedCols
     val closedHistory = current.filter(col("valid_to").isNotNull)
     val open = current.filter(col("valid_to").isNull)
     val u = updates.select(attrs.map(col): _*).withColumn("__upd", lit(1))
     val j = open.withColumn("__cur", lit(1)).as("cur")
       .join(u.as("upd"), col(s"cur.$keyCol") === col(s"upd.$keyCol"), "full_outer")
-    val changed = trackedCols
+    val changed = trackedAttrs
       .map(c => !(col(s"cur.$c") <=> col(s"upd.$c"))).reduce(_ || _)
     val isNew = col("cur.__cur").isNull
     val hasUpd = col("upd.__upd").isNotNull
+    def fromSide(side: String, validTo: Column, validFrom: Column) =
+      attrs.map(c => col(s"$side.$c").as(c)) :+
+        validFrom.as("valid_from") :+ validTo.as("valid_to")
+    val nullTo = lit(null).cast(open.schema("valid_to").dataType)
     // open rows that survive as-is: no update arrived, or it changed nothing
     val kept = j.filter(col("cur.__cur").isNotNull && (!hasUpd || !changed))
-      .select(col(s"cur.$keyCol").as(keyCol) +:
-        trackedCols.map(c => col(s"cur.$c").as(c)) :+
-        col("cur.valid_from").as("valid_from") :+
-        col("cur.valid_to").as("valid_to"): _*)
-    // open rows whose attributes changed: close them at asOf
+      .select(fromSide("cur", col("cur.valid_to"), col("cur.valid_from")): _*)
+    // open rows whose tracked attributes changed: close them at asOf
     val nowClosed = j.filter(col("cur.__cur").isNotNull && hasUpd && changed)
-      .select(col(s"cur.$keyCol").as(keyCol) +:
-        trackedCols.map(c => col(s"cur.$c").as(c)) :+
-        col("cur.valid_from").as("valid_from") :+
-        asOf.as("valid_to"): _*)
+      .select(fromSide("cur", asOf, col("cur.valid_from")): _*)
     // new versions: changed keys and brand-new keys open at asOf
     val opened = j.filter(hasUpd && (isNew || changed))
-      .select(col(s"upd.$keyCol").as(keyCol) +:
-        trackedCols.map(c => col(s"upd.$c").as(c)) :+
-        asOf.as("valid_from") :+
-        lit(null).cast(open.schema("valid_to").dataType).as("valid_to"): _*)
+      .select(fromSide("upd", nullTo, asOf): _*)
     closedHistory
       .unionByName(kept).unionByName(nowClosed).unionByName(opened)
   }

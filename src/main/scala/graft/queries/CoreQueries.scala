@@ -329,7 +329,8 @@ object CoreQueries {
     * urgent priority. */
   def q41Except(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    o.select("o_custkey").distinct()
+    // except() already has set semantics — no pre-distinct needed
+    o.select("o_custkey")
       .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
       .orderBy("o_custkey")
   }

@@ -48,6 +48,29 @@ class ScdSpec extends SparkSuite {
     ))
   }
 
+  test("untracked attributes ride along; only tracked changes open versions") {
+    val current = Seq(
+      (1L, "gold", "old st", d("2020-01-01"), Option.empty[Date]),
+      (2L, "gold", "elm st", d("2020-01-01"), Option.empty[Date]),
+      // closed history with the full schema must pass through untouched
+      (2L, "bronze", "oak st", d("2019-01-01"), Option(d("2020-01-01")))
+    ).toDF("id", "tier", "address", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "gold", "new st"),  // only the UNTRACKED column changed → kept
+      (2L, "silver", "elm st") // tracked change → close + reopen
+    ).toDF("id", "tier", "address")
+    val out = Scd.scd2Merge(current, updates, "id", Seq("tier"),
+        lit("2024-06-01").cast("date"))
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getDate(4)).map(_.toString))).toSeq
+    assert(out === Seq(
+      (1L, "gold", "old st", None),                   // untracked drift ignored
+      (2L, "bronze", "oak st", Some("2020-01-01")),   // history intact
+      (2L, "gold", "elm st", Some("2024-06-01")),     // closed
+      (2L, "silver", "elm st", None)))                // reopened
+  }
+
   test("idempotent: re-applying the same updates changes nothing") {
     val current = Seq((1L, Option("a"), d("2020-01-01"), Option.empty[Date]))
       .toDF("id", "tier", "valid_from", "valid_to")
