@@ -154,14 +154,23 @@ class FileTopic(root: String) {
           }
         case Some(cur) =>
           // defensive parse: a token mangled by interleaved concurrent
-          // writes must stay reclaimable (treat like an expired claim),
-          // not poison this file's polling forever with a parse throw
+          // writes must not poison this file's polling forever with a
+          // parse throw — but an UNREADABLE token is also what a reader
+          // sees transiently between a winner's CREATE_NEW and its byte
+          // write, so corrupt tokens become reclaimable only once the
+          // claim FILE itself has gone stale (wall-clock mtime past the
+          // TTL), never immediately
+          def staleByMtime: Boolean =
+            scala.util.Try(Files.getLastModifiedTime(cf).toMillis).toOption
+              .forall(m => System.currentTimeMillis() - m > claimTtlMs)
           val reclaimable = cur.split(":") match {
             case Array(_, ts, "claimed", _*) =>
-              scala.util.Try(ts.toLong).toOption
-                .forall(t => now() - t > claimTtlMs)
+              scala.util.Try(ts.toLong).toOption match {
+                case Some(t) => now() - t > claimTtlMs
+                case None => staleByMtime
+              }
             case Array(_, _, "done", _*) => false
-            case _ => true // corrupt token — no live owner can prove it
+            case _ => staleByMtime
           }
           if (!reclaimable) false
           else {

@@ -482,6 +482,30 @@ object CoreQueries {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** CDC apply (ST1-ST3 materialization): a deterministic change batch
+    * — updates at two sequence positions (latest wins), deletes, and
+    * inserts — applied to the customer snapshot via
+    * [[graft.operators.Cdc.applyChanges]]. */
+  def e06ApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    def upd(mod: Int, seq: Long, add: Double) =
+      cust.filter(col("c_custkey") % mod === 0)
+        .select(col("c_custkey"), lit(seq).as("seq"), lit("U").as("action"),
+          round(col("c_acctbal") + add, 2).as("c_acctbal"), col("c_mktsegment"))
+    val dels = cust.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey"), lit(1L).as("seq"), lit("D").as("action"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val ins = cust.filter(col("c_custkey") < 5)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        lit(1L).as("seq"), lit("I").as("action"),
+        col("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    val changes = upd(7, 1L, 50).unionByName(upd(14, 2L, 75))
+      .unionByName(dels).unionByName(ins)
+    graft.operators.Cdc.applyChanges(cust, changes, "c_custkey", "seq", "action")
+      .orderBy("c_custkey")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -545,6 +569,7 @@ object CoreQueries {
     "e03_burst_window" -> e03BurstWindow,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
+    "e06_apply_changes" -> e06ApplyChanges,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -729,6 +754,32 @@ object CoreQueries {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin),
+    "e06_apply_changes" ->
+      ("""WITH chg AS (
+        |  SELECT c_custkey, 1 AS seq, 'U' AS action,
+        |    ROUND(c_acctbal + 50, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 'U', ROUND(c_acctbal + 75, 2), c_mktsegment
+        |  FROM customer WHERE c_custkey % 14 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 1, 'D', c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 1, 'I', c_acctbal, 'NEW'
+        |  FROM customer WHERE c_custkey < 5),
+        |latest AS (
+        |  SELECT * FROM chg
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC, action DESC) = 1),
+        |merged AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN l.action IS NOT NULL THEN l.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |    CASE WHEN l.action IS NOT NULL THEN l.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+        |    l.action
+        |  FROM (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) t
+        |  FULL OUTER JOIN latest l USING (c_custkey))
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
+        |WHERE action IS DISTINCT FROM 'D' ORDER BY c_custkey""".stripMargin),
     "q45_stats_agg" ->
       ("""SELECT ROUND(corr(l_extendedprice, l_quantity), 4) AS r,
         |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s,
