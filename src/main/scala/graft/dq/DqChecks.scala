@@ -39,6 +39,27 @@ object DqChecks {
       .agg(count(lit(1)).as("n_orphans"))
       .select(lit(label).as("relationship"), col("n_orphans"))
 
+  /** ANALYZE-style numeric column profile: rows, nulls, exact NDV, and
+    * min/max per column, in ONE aggregation pass, unpivoted to a row per
+    * column (the stats table a cost-based planner or a DQ dashboard
+    * feeds on). Exact `countDistinct` here because the oracle replays
+    * it; at 100 TB swap in `approx_count_distinct` (HLL) — same shape,
+    * sketch-sized shuffle. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__ndv_$c"),
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c"))) :+
+      count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    cols.map(c => wide.select(
+        lit(c).as("column_name"), col("__rows").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__ndv_$c").as("ndv"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val")))
+      .reduce(_ unionByName _)
+  }
+
   /** G2 range/type/staleness validation (A4:744-747): rows violating
     * `value ∈ [lo, hi] ∧ value not null ∧ ts ≤ asOf`. The predicate is a
     * scan-level filter — pushed to the parquet reader. `asOf` is an

@@ -107,6 +107,12 @@ object GovernanceQueries {
       .orderBy("relationship")
   }
 
+  /** ANALYZE-style stats over customer's numeric columns. */
+  def g11TableStats(s: SparkSession, dir: String): DataFrame =
+    DqChecks.numericProfile(t(s, dir, "customer"),
+        Seq("c_acctbal", "c_custkey", "c_nationkey"))
+      .orderBy("column_name")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -118,6 +124,7 @@ object GovernanceQueries {
     "g08_threshold_alerts" -> g08ThresholdAlerts,
     "g09_hourly_trend" -> g09HourlyTrend,
     "g10_ref_integrity" -> g10RefIntegrity,
+    "g11_table_stats" -> g11TableStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,6 +159,16 @@ object GovernanceQueries {
         "WHERE m.metric_value < th.threshold ORDER BY m.metric_name"),
     "g09_hourly_trend" ->
       "SELECT date_trunc('hour', ts) AS bucket_hour, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value FROM events GROUP BY date_trunc('hour', ts) ORDER BY bucket_hour",
+    "g11_table_stats" -> {
+      def one(c: String) =
+        s"SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv, " +
+          s"CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val " +
+          "FROM customer"
+      Seq("c_acctbal", "c_custkey", "c_nationkey").map(one)
+        .mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
     "g10_ref_integrity" ->
       ("SELECT 'events_customer' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_orphans FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id) " +
         "UNION ALL SELECT 'lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
