@@ -158,11 +158,12 @@ class FileTopic(root: String) {
           // parse throw — but an UNREADABLE token is also what a reader
           // sees transiently between a winner's CREATE_NEW and its byte
           // write, so corrupt tokens become reclaimable only once the
-          // claim FILE itself has gone stale (wall-clock mtime past the
-          // TTL), never immediately
+          // claim FILE itself has gone stale (mtime past the TTL on the
+          // same injectable clock as every other decision here), never
+          // immediately; an unreadable mtime is NOT proof of staleness
           def staleByMtime: Boolean =
             scala.util.Try(Files.getLastModifiedTime(cf).toMillis).toOption
-              .forall(m => System.currentTimeMillis() - m > claimTtlMs)
+              .exists(m => now() - m > claimTtlMs)
           val reclaimable = cur.split(":") match {
             case Array(_, ts, "claimed", _*) =>
               scala.util.Try(ts.toLong).toOption match {

@@ -46,6 +46,7 @@ object DqChecks {
     * it; at 100 TB swap in `approx_count_distinct` (HLL) — same shape,
     * sketch-sized shuffle. */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
       countDistinct(col(c)).as(s"__ndv_$c"),
@@ -53,11 +54,18 @@ object DqChecks {
       max(col(c)).cast("double").as(s"__max_$c"))) :+
       count(lit(1)).as("__rows")
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    cols.map(c => wide.select(
-        lit(c).as("column_name"), col("__rows").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"), col(s"__ndv_$c").as("ndv"),
-        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val")))
-      .reduce(_ unionByName _)
+    // unpivot by exploding a struct array over the 1-row aggregate —
+    // a per-column union of selects would let Catalyst split the plan
+    // into one independent scan+aggregation PER column
+    val metricRows = cols.map(c => struct(
+      lit(c).as("column_name"), col(s"__nulls_$c").as("n_nulls"),
+      col(s"__ndv_$c").as("ndv"), col(s"__min_$c").as("min_val"),
+      col(s"__max_$c").as("max_val")))
+    wide.select(col("__rows").as("n_rows"),
+        explode(array(metricRows: _*)).as("__m"))
+      .select(col("__m.column_name").as("column_name"), col("n_rows"),
+        col("__m.n_nulls").as("n_nulls"), col("__m.ndv").as("ndv"),
+        col("__m.min_val").as("min_val"), col("__m.max_val").as("max_val"))
   }
 
   /** G2 range/type/staleness validation (A4:744-747): rows violating

@@ -41,14 +41,19 @@ case class ShingleHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   // fail at ANALYSIS time on a non-string child, not with a codegen
-  // compile error / ClassCastException mid-job
+  // compile error / ClassCastException mid-job. Any StringType instance
+  // (incl. collated strings — the byte-level ops here are
+  // collation-agnostic) and NullType (constant-folds to NULL) pass.
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"shingle_hashes expects a STRING argument, got ${child.dataType.sql}")
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes expects a STRING argument, got ${other.sql}")
+    }
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =

@@ -33,10 +33,12 @@ object Cdc {
     val missing = attrs.filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"changes must carry every target column; missing: ${missing.mkString(", ")}")
-    // latest change per key — ties on the sequence break on action so
-    // the pick is deterministic even for malformed same-position feeds
+    // latest change per key; ties on (seq, action) — a malformed feed —
+    // break on a content hash so the pick is still stable across runs
+    // and partitionings, never row_number's arbitrary arrival order
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(seqCol).desc, col(actionCol).desc)
+      .orderBy(col(seqCol).desc, col(actionCol).desc,
+        xxhash64(attrs.map(col): _*))
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -47,9 +49,10 @@ object Cdc {
       .join(latest.as("c"), col(s"t.$keyCol") === col(s"c.$keyCol"), "full_outer")
     val hasChange = col("c.__chg").isNotNull
     val deleted = hasChange && col("c.__action") === "D"
-    // D on an unknown key is a no-op (the full-outer row just drops);
-    // I/U upsert whether or not the key existed
-    j.filter(!deleted && (col("t.__tgt").isNotNull || hasChange))
+    // dropping `deleted` rows covers both real deletes and D on an
+    // unknown key (its full-outer row has no target side to keep);
+    // everything else is an upsert (change side) or a pass-through
+    j.filter(!deleted)
       .select(attrs.map(c =>
         when(hasChange, col(s"c.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }

@@ -36,13 +36,12 @@ object Scd {
       s"updates must carry every dim attribute; missing: ${missing.mkString(", ")}")
     require(trackedCols.forall(attrs.contains),
       "trackedCols must be attribute columns of the dimension")
-    val trackedAttrs = trackedCols
     val closedHistory = current.filter(col("valid_to").isNotNull)
     val open = current.filter(col("valid_to").isNull)
     val u = updates.select(attrs.map(col): _*).withColumn("__upd", lit(1))
     val j = open.withColumn("__cur", lit(1)).as("cur")
       .join(u.as("upd"), col(s"cur.$keyCol") === col(s"upd.$keyCol"), "full_outer")
-    val changed = trackedAttrs
+    val changed = trackedCols
       .map(c => !(col(s"cur.$c") <=> col(s"upd.$c"))).reduce(_ || _)
     val isNew = col("cur.__cur").isNull
     val hasUpd = col("upd.__upd").isNotNull

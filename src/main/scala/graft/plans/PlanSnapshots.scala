@@ -22,6 +22,10 @@ object PlanSnapshots {
     .replaceAll("file:[^,\\s\\]\\)]*", "<path>")
     .replaceAll("Location [^,\\]]*\\[[^\\]]*\\]", "Location <path>")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+    // JVM lambda identities (class counter + address) change every run
+    // and would re-dirty committed snapshots with structure-free diffs
+    .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$Lambda\\$x")
+    .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda\\$x")
 
   /** Shuffle exchanges only — BroadcastExchange is usually the GOOD
     * outcome and is counted separately. */
