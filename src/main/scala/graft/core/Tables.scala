@@ -71,24 +71,50 @@ object Tables {
     * guess); the rewrite is an atomic swap via a temp dir so a reader
     * never sees a half-compacted table. Returns (filesBefore,
     * filesAfter). */
+  /** Atomically replace the parquet table at `dir` with `next`'s
+    * contents: write to a temp dir, then a checked two-rename swap.
+    * Crash recovery on entry: a stale tmp is discardable (the swap
+    * hadn't happened); a stale backup with the table gone IS the table;
+    * a stale backup beside an intact table means only the final delete
+    * was lost. Every rename is checked — a false return aborts (and
+    * rolls back) rather than falling through to deleting the only
+    * surviving copy. `next` MAY read lazily from `dir` itself: it is
+    * fully written to the temp dir while the original files are still
+    * in place, before any rename. */
+  def replaceAtomic(spark: SparkSession, dir: String,
+      next: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__swap_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "__swap_old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) {
+      if (!fs.exists(path)) {
+        if (!fs.rename(bak, path)) throw new java.io.IOException(
+          s"replaceAtomic: crash recovery failed — could not restore $bak to $path")
+      } else fs.delete(bak, true)
+    }
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, bak)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"replaceAtomic: could not move $path aside")
+    }
+    if (!fs.rename(tmp, path)) {
+      val restored = fs.rename(bak, path)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"replaceAtomic: swap failed${if (restored) ", original restored" else
+          s" AND restore failed — table preserved at $bak"}")
+    }
+    fs.delete(bak, true)
+  }
+
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_old")
-    // recover from a previous crash: a stale tmp is always discardable
-    // (the swap hadn't happened); a stale bak means a crash mid-swap —
-    // if the table is gone, the bak IS the table; if both exist, the
-    // swap completed and only the delete was lost
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(bak)) {
-      if (!fs.exists(path)) {
-        if (!fs.rename(bak, path)) throw new java.io.IOException(
-          s"compact: crash recovery failed — could not restore $bak to $path")
-      } else fs.delete(bak, true)
-    }
     def parquetFiles = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     // partitioned layouts (subdirectories) would be flattened by a blind
@@ -101,22 +127,7 @@ object Tables {
     val before = parquetFiles
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // every swap step is checked: a false rename must abort (and roll
-    // back), never fall through to deleting the only surviving copy
-    if (!fs.rename(path, bak)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"compact: could not move $path aside")
-    }
-    if (!fs.rename(tmp, path)) {
-      val restored = fs.rename(bak, path)
-      fs.delete(tmp, true)
-      throw new java.io.IOException(
-        s"compact: swap failed${if (restored) ", original restored" else
-          s" AND restore failed — table preserved at $bak"}")
-    }
-    fs.delete(bak, true)
+    replaceAtomic(spark, dir, spark.read.parquet(dir).repartition(nFiles))
     (before.length, parquetFiles.length)
   }
 
