@@ -96,4 +96,40 @@ class SimilaritySpec extends SparkSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall > 0.2, s"LSH recall unexpectedly low: $recall")
   }
+
+  test("kmeansStep: corpus == centroid sample → every cluster n=1, shift 0") {
+    // with exactly nCentroids vectors, the md5 sample IS the corpus:
+    // each vector assigns to itself (cosine 1.0 beats any other), each
+    // mean equals its centroid, so movement must be exactly zero
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 16)
+    val out = Similarity.kmeansStep(e, "vec_id", "embedding",
+        nCentroids = 16, dim = 64)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length === 16)
+    assert(out.forall { case (n, shift) => n === 1L && shift === 0.0 })
+  }
+
+  test("int8 quantization error is bounded by a quarter squared step (v06)") {
+    // symmetric rounding puts every element within half a grid step of
+    // its original, so per-vector MSE can never exceed (step/2)^2
+    val out = graft.queries.PipelineQueries
+      .v06QuantError(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (maxAbs, mse) =>
+      val step = maxAbs / 127.0
+      assert(mse >= 0.0 && mse <= step * step / 4 + 1e-6,
+        s"max_abs=$maxAbs mse=$mse exceeds the half-step bound")
+    }
+  }
+
+  test("kmeansStep populations cover the corpus exactly once") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val total = e.count()
+    val out = Similarity.kmeansStep(e, "vec_id", "embedding", 16, 64)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(out === total) // every vector assigned to exactly one centroid
+  }
 }
