@@ -102,7 +102,10 @@ object DqChecks {
       nSigma: Double = 3.0): DataFrame = {
     val stats = df.agg(avg(valueCol).as("__m"), stddev(valueCol).as("__sd"))
     df.crossJoin(broadcast(stats))
-      .filter(col(valueCol) > col("__m") + lit(nSigma) * col("__sd"))
+      // BOTH tails — an abnormally LOW value (the classic partial-load /
+      // data-loss signal) is as much an outlier as a high one
+      .filter(col(valueCol) > col("__m") + lit(nSigma) * col("__sd") ||
+        col(valueCol) < col("__m") - lit(nSigma) * col("__sd"))
       .drop("__m", "__sd")
   }
 

@@ -96,11 +96,14 @@ object JsonBatchLoader {
 
   /** S5 `COPY INTO … MATCH_BY_COLUMN_NAME` (batch_insert.py:71-73):
     * by-name column mapping into the target's layout, then Parquet
-    * append. Returns rows loaded. */
+    * append. Returns the rows loaded BY THIS CALL (observed on the
+    * write itself — no second scan, and no miscounting pre-existing
+    * target rows on append). */
   def load(spark: SparkSession, inputPath: String, targetDir: String): Long = {
     val df = normalize(readOrders(spark, inputPath))
       .select(orderSchema.fieldNames.map(col).toSeq: _*) // by-name mapping
-    df.write.mode("append").parquet(targetDir)
-    spark.read.parquet(targetDir).count() // post-load validation count (commands.sql:106)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(targetDir)
+    obs.get("n").asInstanceOf[Long]
   }
 }

@@ -34,9 +34,13 @@ object AsofJoin {
     val l = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
       lit(1).as("__is_l"), col(leftId).as("__lid"),
       lit(null).cast(ridType).as("__rid"), lit(null).cast(rtType).as("__rt"))
-    val r = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__is_l"), lit(null).cast(lidType).as("__lid"),
-      col(rightId).as("__rid"), col(rightTime).as("__rt"))
+    // a NULL right time would sort FIRST (nulls-first ascending) and be
+    // picked as "latest right row" for every left row — it can never
+    // satisfy rightTime <= leftTime, so it must not enter the union
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__is_l"), lit(null).cast(lidType).as("__lid"),
+        col(rightId).as("__rid"), col(rightTime).as("__rt"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__is_l"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -106,9 +106,15 @@ object Dedup {
     * numHashes/bands rows; docs sharing any band bucket are candidates.
     * With 64 hashes / 16 bands (r=4), the S-curve puts the match
     * threshold near jaccard ≈ (1/16)^(1/4) ≈ 0.5. */
-  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column = {
+    // rowsPerBand = 0 (e.g. numHashes < bands upstream) would slice
+    // empty arrays: every doc gets IDENTICAL band keys and the candidate
+    // self-join degenerates to the all-pairs product LSH exists to avoid
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands ($bands) and rowsPerBand ($rowsPerBand) must be >= 1")
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
+  }
 
   /** Candidate pairs via LSH over a (id, sig) frame: explode band keys,
     * self-join per (band, bucket), dedupe pairs. The join is a shuffle on
@@ -142,6 +148,9 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)" +
+        " — a fractional band would silently drop signature lanes")
     val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
     // candidate generation inlined (vs calling lshCandidatePairs) so the
@@ -164,10 +173,12 @@ object Dedup {
         // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
         // op per pair instead of two
         .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("jaccard", round(col("__i").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("__i")), 4))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j", col("__i").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("__i")))
+        // threshold on the UNROUNDED value (rounding first would admit
+        // pairs up to 5e-5 below it); round only for presentation
+        .filter(col("__j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
     }
   }
 
@@ -190,16 +201,20 @@ object Dedup {
     val sh = Caches.spreadByKey(docs, col(idCol))
       .select(col(idCol).as("id"), evalPred.as("is_eval"),
         explode(shCol).as("s"))
-    val ev = sh.filter(col("is_eval"))
-      .select(col("s"), col("id").as("eval_id"))
-    sh.filter(!col("is_eval"))
-      .join(ev, "s")
-      .groupBy(col("id").as(idCol))
-      // shingles are distinct per doc, but one train shingle can meet
-      // several eval docs — count distinct on both axes
-      .agg(countDistinct(col("s")).as("n_shared_shingles"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
-      .filter(col("n_shared_shingles") >= minShared)
+    // both probes (eval filter + train filter) consume the expensive
+    // corpus-wide shingle explode — cache it for the operator's scope
+    Caches.scoped(sh) {
+      val ev = sh.filter(col("is_eval"))
+        .select(col("s"), col("id").as("eval_id"))
+      sh.filter(!col("is_eval"))
+        .join(ev, "s")
+        .groupBy(col("id").as(idCol))
+        // shingles are distinct per doc, but one train shingle can meet
+        // several eval docs — count distinct on both axes
+        .agg(countDistinct(col("s")).as("n_shared_shingles"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .filter(col("n_shared_shingles") >= minShared)
+    }
   }
 
   // ---- SimHash ----
@@ -233,6 +248,9 @@ object Dedup {
     * bit_count(xor). The self-join shuffles on (chunk_idx, chunk). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole blocking is exact only for maxHamming <= 3 — " +
+        "a larger radius would silently miss pairs differing in every chunk")
     // cached for the chunk self-join (two probes), released on return
     val withFp = withSimhash(docs, idCol, textCol)
     Caches.scoped(withFp) {
@@ -460,10 +478,12 @@ object Dedup {
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("__i"),
           first(col("sz_a")).as("__sa"), first(col("sz_b")).as("__sb"))
-        .withColumn("jaccard", round(col("__i").cast("double") /
-          (col("__sa") + col("__sb") - col("__i")), 4))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j", col("__i").cast("double") /
+          (col("__sa") + col("__sb") - col("__i")))
+        // unrounded threshold — rounding first would admit sub-threshold
+        // boundary pairs the all-pairs definition excludes
+        .filter(col("__j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
     }
   }
 
@@ -525,10 +545,10 @@ object Dedup {
         .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
         .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
         .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("jaccard", round(col("__i").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("__i")), 4))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j", col("__i").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("__i")))
+        .filter(col("__j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
     }
   }
 }

@@ -224,8 +224,17 @@ object Similarity {
       val d = col(s"__m$i") - element_at(col("cv"), i + 1)
       d * d
     }.reduce(_ + _))
-    means.join(centroids.select(col("cid"), col("cv")), "cid")
-      .select(col("cid"), col("n"), round(shift, 4).as("shift"))
+    // LEFT join from the centroid table: a centroid that captured no
+    // vectors (possible with duplicate seed vectors) must still appear —
+    // n = 0, no mean, no shift — not silently vanish from the report.
+    // `centroid` carries the recomputed mean so a driver loop can feed
+    // it back as the next centroid table (Lloyd iteration).
+    centroids.select(col("cid"), col("cv"))
+      .join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNotNull, round(shift, 4)).as("shift"),
+        when(col("n").isNotNull,
+          array((0 until dim).map(i => col(s"__m$i")): _*)).as("centroid"))
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked

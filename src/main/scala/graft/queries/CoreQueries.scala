@@ -662,7 +662,7 @@ object CoreQueries {
     "e01_sessions" ->
       ("""WITH l AS (SELECT user_id, event_id, ts,
         |   CASE WHEN lag(ts) OVER w IS NULL
-        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk
         |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, event_id, ts,
         |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l)

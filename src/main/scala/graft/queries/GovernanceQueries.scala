@@ -141,7 +141,7 @@ object GovernanceQueries {
     "g04_format_violations" ->
       "SELECT event_id FROM events WHERE NOT regexp_matches(event_type, '^(click|view|purchase|signup)$') OR event_type IS NULL ORDER BY event_id",
     "g05_sigma_outliers" ->
-      "WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) SELECT user_id, n FROM pu CROSS JOIN (SELECT AVG(n) m, STDDEV(n) sd FROM pu) s WHERE pu.n > s.m + 2*s.sd ORDER BY user_id",
+      "WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) SELECT user_id, n FROM pu CROSS JOIN (SELECT AVG(n) m, STDDEV(n) sd FROM pu) s WHERE pu.n > s.m + 2*s.sd OR pu.n < s.m - 2*s.sd ORDER BY user_id",
     "g06_metrics_batch" ->
       ("SELECT 'customer' AS metric_group, 'name_format_ok' AS metric_name, ROUND(AVG(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) AS metric_value FROM customer " +
         "UNION ALL SELECT 'customer', 'non_null_segment', ROUND(AVG(CASE WHEN c_mktsegment IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END), 6) FROM customer " +

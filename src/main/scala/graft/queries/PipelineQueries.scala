@@ -314,7 +314,8 @@ object PipelineQueries {
   def v07KmeansStep(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansStep(emb(s, dir), "vec_id", "embedding",
         nCentroids = 16, dim = 64)
-      .orderBy("cid")
+      .select("cid", "n", "shift") // the new-centroid array is the
+      .orderBy("cid")              // driver-loop payload, not the report
 
   /** Int8 symmetric quantization fidelity, per vector: scale by
     * 127/max|x|, round to the integer grid, and report the mean squared

@@ -9,6 +9,7 @@ case class UserEvent(user_id: Long, ts: Timestamp)
 case class Session(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long)
 private[streaming] case class SessAcc(startMs: Long, endMs: Long, n: Long)
+private[streaming] case class SessState(accs: List[SessAcc])
 
 /** Gap-based sessionization via `flatMapGroupsWithState` — the custom
   * keyed-state tier of the engine (beyond the reference, which has no
@@ -16,12 +17,18 @@ private[streaming] case class SessAcc(startMs: Long, endMs: Long, n: Long)
   * file-granularity only).
   *
   * A session is a maximal run of a user's events with no gap ≥
-  * `gapMinutes`. Sessions close two ways: (a) in-function, when a later
-  * event arrives past the gap; (b) by event-time timeout once the
-  * watermark passes `last_event + gap` — so state is bounded: one small
-  * accumulator per in-flight user, pruned by the watermark, never a
-  * buffer of events. That bound is what lets 1000 executors hold
-  * hundreds of millions of concurrent sessions.
+  * `gapMinutes`. State per user is a LIST of disjoint in-flight
+  * sessions (not a single accumulator): an out-of-order event inside
+  * the watermark horizon may extend an older interval backward, bridge
+  * two intervals into one, or open its own — single-accumulator
+  * sessionizers silently mis-bound exactly those cases. A session
+  * closes only when the WATERMARK passes `session_end + gap` (the
+  * event-time timeout): at that point no admissible event can extend
+  * or bridge it, which is the correctness condition an arrival-order
+  * close rule violates. State stays bounded: intervals per user ≤
+  * out-of-orderness / gap (typically 1), pruned by the watermark —
+  * what lets 1000 executors hold hundreds of millions of concurrent
+  * sessions.
   */
 object Sessionize {
 
@@ -31,30 +38,34 @@ object Sessionize {
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessAcc, Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, it: Iterator[UserEvent], state: GroupState[SessAcc]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, new Timestamp(s.startMs),
-              new Timestamp(s.endMs), s.n))
-          } else {
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var acc = state.getOption.orNull
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              if (acc == null) acc = SessAcc(t, t, 1)
-              else if (t - acc.endMs >= gapMs) { // gap exceeded → close
-                closed += Session(user, new Timestamp(acc.startMs),
-                  new Timestamp(acc.endMs), acc.n)
-                acc = SessAcc(t, t, 1)
-              } else acc = SessAcc(acc.startMs, math.max(acc.endMs, t), acc.n + 1)
+        (user: Long, it: Iterator[UserEvent], state: GroupState[SessState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var accs = state.getOption.map(_.accs).getOrElse(Nil)
+          // fold events in (sorted) — each merges every interval within
+          // gap of it (possibly bridging several) or opens a new one
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            val (near, far) = accs.partition(a =>
+              t > a.startMs - gapMs && t < a.endMs + gapMs)
+            val merged = near.foldLeft(SessAcc(t, t, 1)) { (m, a) =>
+              SessAcc(math.min(m.startMs, a.startMs),
+                math.max(m.endMs, a.endMs), m.n + a.n)
             }
-            state.update(acc)
-            state.setTimeoutTimestamp(acc.endMs + gapMs)
-            closed.iterator
+            accs = merged :: far
           }
+          // close every interval the watermark has sealed (covers both
+          // the timeout branch — empty iterator — and new-data batches)
+          val (closable, open) = accs.partition(_.endMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessState(open))
+            state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+          }
+          closable.sortBy(_.startMs).map(a =>
+            Session(user, new Timestamp(a.startMs), new Timestamp(a.endMs),
+              a.n)).iterator
       }
   }
 
@@ -69,8 +80,10 @@ object Sessionize {
     import org.apache.spark.sql.functions._
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    // >= : a gap of exactly gapMinutes BREAKS the session, matching the
+    // streaming twin's close rule ("no gap >= gapMinutes")
     val brk = when(lag(col(tsCol), 1).over(w).isNull ||
-      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapUs,
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) >= gapUs,
       lit(1L)).otherwise(lit(0L))
     events
       .withColumn("__brk", brk)

@@ -68,13 +68,15 @@ class AsofJoinSpec extends SparkSuite {
     assert(got === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
-  test("a 30-minute-exact gap does NOT split (strictly-greater semantics)") {
+  test("a 30-minute-exact gap SPLITS (>= close rule, matching the streaming twin)") {
+    // a session is a run with no gap >= gapMinutes — the streaming
+    // operator closes at exactly the gap, so the batch twin must too
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),
       (2L, 1L, ts("2024-01-01 10:30:00")))
       .toDF("event_id", "user_id", "ts")
     val got = Sessionize.batchSessions(events, "user_id", "ts", "event_id", 30)
       .collect()
-    assert(got.length === 1 && got(0).getAs[Long]("n_events") === 2L)
+    assert(got.length === 2 && got.forall(_.getAs[Long]("n_events") === 1L))
   }
 }

@@ -21,6 +21,9 @@ class IngestSpec extends SparkSuite {
     enriched.write.mode("overwrite").json(json) // S1 wire format out
     val n = JsonBatchLoader.load(spark, json, table)
     assert(n === 300)
+    // a second load APPENDS and still reports only its own batch size
+    assert(JsonBatchLoader.load(spark, json, table) === 300)
+    assert(spark.read.parquet(table).count() === 600)
     val back = spark.read.parquet(table)
     assert(back.schema.fieldNames.toSeq ===
       JsonBatchLoader.orderSchema.fieldNames.toSeq)

@@ -46,4 +46,45 @@ class SessionizeSpec extends SparkSuite {
       assert(closed.contains((1L, 1L))) // the 11:00 singleton
     } finally q.stop()
   }
+
+  test("late in-watermark event extends a session BACKWARD") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Sessionize.sessions(input.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // watermark = 09:50; a 09:55 arrival is admissible and belongs to
+      // the SAME session — its start must move back to 09:55
+      input.addData(ev(1, "2024-01-01 09:55:00"))
+      q.processAllAvailable()
+      // push the watermark far past the session's close
+      input.addData(ev(9, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 12:00:01"))
+      q.processAllAvailable()
+      val s1 = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(s1.toSeq === Seq(
+        Session(1, Timestamp.valueOf("2024-01-01 09:55:00"),
+          Timestamp.valueOf("2024-01-01 10:00:00"), 2)))
+    } finally q.stop()
+  }
+
+  test("batch twin breaks a session at EXACTLY the gap (>= close rule)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:30:00", 2L), // exactly 30 min later → new session
+      (1L, "2024-01-01 10:59:59", 3L)  // 29:59 later → same session
+    ).toDF("user_id", "s", "event_id")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id")
+    val out = Sessionize.batchSessions(df, "user_id", "ts", "event_id",
+        gapMinutes = 30)
+      .orderBy("session_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq // (session_idx, n)
+    assert(out === Seq(1L -> 1L, 2L -> 2L))
+  }
 }
