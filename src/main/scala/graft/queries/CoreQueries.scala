@@ -506,6 +506,89 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  /** A19 sketch-tier distinct count: HyperLogLog++ estimate next to the
+    * exact count, gated by a ±5% property check. At 100 TB the sketch is
+    * the only affordable plan — fixed-size state, one pass, mergeable
+    * across partitions (no distinct expand/shuffle of the key space); the
+    * exact twin exists here so the estimate is oracle-checkable: the
+    * estimate is deterministic for a given dataset, so the oracle
+    * recomputes the exact count and asserts the band literally. */
+  def q48HllDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("__est"))
+      .select(col("pri"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).cast("int").as("hll_ok"))
+      .orderBy("pri")
+
+  /** J5 multi-way analytic join (the TPC-H Q3 shape): segment-filtered
+    * customers ⋈ date-filtered orders ⋈ later-shipped lineitems, revenue
+    * per open order, top 10. Both date predicates and the segment filter
+    * push into the parquet scans; c⋈o keys on custkey and o⋈l on
+    * orderkey (co-partitioned shuffles AQE may flip to broadcast at low
+    * SF); the top-k plans as TakeOrderedAndProject, never a global
+    * sort. */
+  def q49ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderpriority").as("pri"))
+      .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
+
+  /** J6 constrained star join (the TPC-H Q5 shape): region→nation dims
+    * broadcast onto supplier, the lineitem⋈orders fact-fact join carries
+    * the orderkey shuffle, and the customer join adds the same-nation
+    * residual (c_nationkey = s_nationkey) that turns the star into a
+    * cycle. Revenue per nation over a two-year window. Dims are hinted
+    * broadcast (guaranteed small); every other join is left to AQE. */
+  def q50LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val natAsia = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** W4 RANGE-frame window: per event, how many events the same user
+    * fired in the strictly-preceding hour — [[e03BurstWindow]]'s range
+    * join re-planned as a frame aggregation. Event timestamps are
+    * µs-precision, so the [-3600e6 µs, -1 µs] frame is exactly
+    * `b.ts ≥ a.ts - 1h ∧ b.ts < a.ts`: identical semantics, ONE
+    * user-keyed shuffle+sort, zero join fan-out. This is the plan that
+    * survives hot users at 100 TB — the join variant's per-user candidate
+    * product concentrates on one reducer; the frame walk is linear in the
+    * partition. The oracle is deliberately the join formulation, proving
+    * the two plans agree row-for-row. */
+  def e07BurstFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, -1L)
+    t(s, dir, "events")
+      .select(col("event_id"), count(lit(1)).over(w).as("n_prev_hour"))
+      .orderBy("event_id")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -570,6 +653,10 @@ object CoreQueries {
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
+    "q48_hll_distinct" -> q48HllDistinct,
+    "q49_shipping_priority" -> q49ShippingPriority,
+    "q50_local_supplier" -> q50LocalSupplier,
+    "e07_burst_frame" -> e07BurstFrame,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -792,5 +879,44 @@ object CoreQueries {
         |    ORDER BY c.c_mktsegment) AS segments
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+    // hll_ok = 1 is the PROPERTY the oracle asserts: Spark's HLL++
+    // estimate (deterministic for a given dataset) must land within ±5%
+    // of the exact count the oracle recomputes
+    "q48_hll_distinct" ->
+      ("""SELECT o_orderpriority AS pri,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact, 1 AS hll_ok
+        |FROM orders GROUP BY pri ORDER BY pri""".stripMargin),
+    "q49_shipping_priority" ->
+      ("""SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority AS pri
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    "q50_local_supplier" ->
+      ("""SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c_custkey = o_custkey
+        |JOIN lineitem l ON l_orderkey = o_orderkey
+        |JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation n ON s_nationkey = n_nationkey
+        |JOIN region r ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+    // deliberately the JOIN formulation (same text as e03's oracle): a
+    // green hash proves the frame plan agrees with the range join
+    "e07_burst_frame" ->
+      ("""SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_prev_hour
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
   )
 }

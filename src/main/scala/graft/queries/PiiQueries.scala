@@ -61,6 +61,35 @@ object PiiQueries {
         bucketCols = Map("c_nationkey" -> 10))
       .orderBy("c_custkey_sk").limit(100)
 
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  private def ticket = concat(
+    lit("Reach me at "),
+    lower(regexp_replace(col("c_name"), "#", "")), lit("@example.com"),
+    when(col("c_custkey") % 3 === 0,
+      concat(lit(" or 555-"), substring(col("c_name"), 12, 3), lit("-"),
+        substring(col("c_name"), 15, 4))).otherwise(lit("")),
+    lit(" about my order"))
+
+  /** Free-text PII scrub — the unstructured-text redaction pass of a
+    * training-corpus/log pipeline: regex-replace emails and phone-shaped
+    * spans with typed placeholders, and count the hits per row. The
+    * driver corpus embeds no PII, so the ticket text is synthesized
+    * deterministically from customer rows (the m04 constructed-fixture
+    * pattern); both engines build and scrub the identical string with
+    * the same regexes. Pure codegen'd projection — at 100 TB this runs
+    * at scan speed with zero shuffle. */
+  def p07TextScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), ticket.as("txt"))
+      .select(col("c_custkey"),
+        regexp_replace(regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("scrubbed"),
+        (regexp_count(col("txt"), lit(emailRe)) +
+          regexp_count(col("txt"), lit(phoneRe))).cast("long").as("n_pii"))
+      .orderBy("c_custkey").limit(100)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pii_registry" -> p01PiiRegistry,
     "p02_mask_auditor" -> p02MaskAuditor,
@@ -68,6 +97,7 @@ object PiiQueries {
     "p04_mask_roles" -> p04MaskRoles,
     "p05_retention" -> p05Retention,
     "p06_anonymize" -> p06Anonymize,
+    "p07_text_scrub" -> p07TextScrub,
   )
 
   private val regSql = Masking.piiClassification
@@ -95,5 +125,21 @@ object PiiQueries {
       ("SELECT substring(sha256(CAST(c_custkey AS VARCHAR)),1,12) AS c_custkey_sk, " +
         "abs(c_nationkey) % 10 AS c_nationkey_bucket, c_mktsegment " +
         "FROM customer ORDER BY c_custkey_sk LIMIT 100"),
+    "p07_text_scrub" ->
+      ("""WITH tk AS (
+        |  SELECT c_custkey,
+        |    'Reach me at ' || lower(replace(c_name, '#', '')) || '@example.com' ||
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN ' or 555-' || substring(c_name, 12, 3) || '-' || substring(c_name, 15, 4)
+        |         ELSE '' END ||
+        |    ' about my order' AS txt
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(txt,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+        |       len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii
+        |FROM tk ORDER BY c_custkey LIMIT 100""".stripMargin),
   )
 }

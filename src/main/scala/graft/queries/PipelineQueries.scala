@@ -294,6 +294,27 @@ object PipelineQueries {
         threshold = 0.4, numPlanes = 6, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** Recall\@k gate for the ANN tier, computed in-engine: the LSH top-3
+    * ([[v02AnnLsh]]) joined against the brute-force truth ([[v01AnnBrute]])
+    * per query — the quality metric an index build actually publishes.
+    * Left join from truth, so missing neighbors count as misses; both
+    * sides are bounded (k rows per query), so the join is trivially
+    * broadcastable at any corpus size. */
+  def v08AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        k = 3, numPlanes = 6, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Per-label embedding centroid norms — the first pass of
     * centroid-based dataset cleaning (a vector far from its label's
     * centroid is a labeling-error candidate). One grouped aggregate,
@@ -409,6 +430,7 @@ object PipelineQueries {
     "v04_ann_ivf" -> v04AnnIvf,
     "v05_label_centroids" -> v05LabelCentroids,
     "v07_kmeans_step" -> v07KmeansStep,
+    "v08_ann_recall" -> v08AnnRecall,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
@@ -540,6 +562,30 @@ object PipelineQueries {
        |SELECT m.cid, m.n, ROUND(sqrt($shift), 4) AS shift
        |FROM means m JOIN cent USING (cid) ORDER BY m.cid""".stripMargin
   }
+
+  private lazy val v01OracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** v08 replays BOTH sides — the v01 truth and the v02 LSH probe — as
+    * CTEs and recomputes the same left-join recall. */
+  private lazy val v08OracleSql: String =
+    s"""WITH truth AS ($v01OracleSql),
+       |approx AS ($v02OracleSql)
+       |SELECT t.query_id,
+       |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   private lazy val v05OracleSql: String = {
     val avgs = (1 to 64).map(k =>
@@ -730,17 +776,8 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
-    "v01_ann_brute" ->
-      ("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
-        |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-        |FROM scored
-        |QUALIFY rank <= 3
-        |ORDER BY query_id, rank""".stripMargin),
+    "v01_ann_brute" -> v01OracleSql,
+    "v08_ann_recall" -> v08OracleSql,
     "t13_boilerplate" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
