@@ -589,6 +589,84 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** U8 explicit GROUPING SETS (the Spark-4 `groupingSets` API —
+    * arbitrary set lists, not just the rollup/cube lattices of q38/q43):
+    * (flag, status), (flag), and the grand total, in one expand+agg
+    * pass. gid pinned per-column exactly as q43. */
+  def q51GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("gid"), col("n"), col("qty"))
+      .orderBy(col("gid"), asc_nulls_first("rf"), asc_nulls_first("ls"))
+
+  /** J7 semi/anti join pair (EXISTS / NOT EXISTS): customers with ≥1
+    * urgent order vs without, side by side. Both plan as one-sided
+    * hash joins that never materialize the match fan-out — the probe
+    * side streams, the build side is the filtered key set; the two
+    * 1-row aggregates cross-join for the report. */
+  def q52SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val c = t(s, dir, "customer")
+    val semi = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with"))
+    val anti = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without"))
+    semi.crossJoin(anti)
+  }
+
+  /** A20 sketch-tier quantiles: the GK approx_percentile estimate gated
+    * by an exact rank band — est(p) must land between the exact
+    * percentiles at p ± 0.005 (the sketch's guaranteed rank error at
+    * accuracy 10000 is 1e-4, 50× tighter). Same property-oracle pattern
+    * as q48: the estimate is deterministic, the oracle asserts the band
+    * literally. At 100 TB the sketch is the only affordable plan —
+    * fixed-size mergeable state vs a full sort per quantile. */
+  def q53ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.005
+    val ps = Seq(0.5, 0.9, 0.99)
+    val bandPs = ps.flatMap(p => Seq(p - eps, p + eps))
+    t(s, dir, "lineitem").agg(
+        percentile_approx(col("l_extendedprice"),
+          array(ps.map(lit): _*), lit(10000)).as("__est"),
+        percentile(col("l_extendedprice"),
+          array(bandPs.map(lit): _*)).as("__ex"))
+      .select(ps.indices.map { i =>
+        element_at(col("__est"), i + 1)
+          .between(element_at(col("__ex"), 2 * i + 1),
+            element_at(col("__ex"), 2 * i + 2))
+          .cast("int").as(s"ok${(ps(i) * 100).toInt}")
+      }: _*)
+  }
+
+  /** Incremental materialized-rollup maintenance: the hourly
+    * (event_type × hour) rollup split at a cut timestamp, each half
+    * partially aggregated, then merged by summation
+    * ([[graft.operators.Incremental.mergeRollups]]). The oracle
+    * recomputes the rollup from the full table in one pass — a green
+    * hash IS the merge-equals-recompute theorem on this dataset. At
+    * scale the merge touches |rollup| + |delta| rows and never re-reads
+    * the fact history. */
+  def e08IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    def part(df: DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    graft.operators.Incremental.mergeRollups(
+        part(e.filter(col("ts") < cut)), part(e.filter(col("ts") >= cut)),
+        Seq("h", "event_type"))
+      .select(col("h"), col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+      .orderBy("h", "event_type")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -657,6 +735,10 @@ object CoreQueries {
     "q49_shipping_priority" -> q49ShippingPriority,
     "q50_local_supplier" -> q50LocalSupplier,
     "e07_burst_frame" -> e07BurstFrame,
+    "q51_grouping_sets" -> q51GroupingSets,
+    "q52_semi_anti" -> q52SemiAnti,
+    "q53_approx_quantiles" -> q53ApproxQuantiles,
+    "e08_incremental_rollup" -> e08IncrementalRollup,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -918,5 +1000,28 @@ object CoreQueries {
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+    "q51_grouping_sets" ->
+      ("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin),
+    "q52_semi_anti" ->
+      ("""SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE EXISTS (
+        |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |       AND o_orderpriority = '1-URGENT')) AS n_with,
+        |  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |       AND o_orderpriority = '1-URGENT')) AS n_without""".stripMargin),
+    // the literal 1s ARE the property: Spark's deterministic GK estimate
+    // must land inside the exact p±0.005 rank band (guarantee is 1e-4)
+    "q53_approx_quantiles" ->
+      "SELECT 1 AS ok50, 1 AS ok90, 1 AS ok99",
+    "e08_incremental_rollup" ->
+      ("""SELECT date_trunc('hour', ts) AS h, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
   )
 }
