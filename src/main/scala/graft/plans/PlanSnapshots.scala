@@ -26,6 +26,12 @@ object PlanSnapshots {
     // and would re-dirty committed snapshots with structure-free diffs
     .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$Lambda\\$x")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda\\$x")
+    // higher-order-function lambda variables and CSE aliases carry
+    // session-global counters (lambda x_35, _common_expr_8) whose values
+    // depend on how many OTHER queries were planned first — adding a
+    // query would re-dirty every snapshot after it in the dump order
+    .replaceAll("lambda ([a-zA-Z]+)_\\d+", "lambda $1_n")
+    .replaceAll("_common_expr_\\d+", "_common_expr_n")
 
   /** Shuffle exchanges only — BroadcastExchange is usually the GOOD
     * outcome and is counted separately. */

@@ -667,6 +667,36 @@ object CoreQueries {
       .orderBy("h", "event_type")
   }
 
+  /** J8 correlated-scalar-subquery shape: orders priced above their own
+    * customer's average, per priority. The Spark plan decorrelates via a
+    * per-customer window average (one customer-keyed shuffle+sort, no
+    * per-row subquery execution); the oracle keeps the literal
+    * correlated subquery — a green hash proves the decorrelation. */
+  def q54AboveCustAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    t(s, dir, "orders")
+      .withColumn("ca", avg("o_totalprice").over(w))
+      .filter(col("o_totalprice") > col("ca"))
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n_above"),
+        round(avg(col("o_totalprice") - col("ca")), 2).as("avg_excess"))
+      .orderBy("pri")
+  }
+
+  /** U9 multiset set ops (INTERSECT ALL / EXCEPT ALL — q40/q41's
+    * bag-semantics siblings): lineitem partkey references vs the part
+    * dimension's key set. intersectAll keeps min(multiplicity) copies
+    * (= one per referenced part that exists), exceptAll subtracts
+    * occurrence-wise. Both plan as aggregate+join on the key, never a
+    * row-pairing blowup. */
+  def q55SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+    val b = t(s, dir, "part").select(col("p_partkey").as("k"))
+    val i = a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+    val e = a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+    i.crossJoin(e)
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -739,6 +769,8 @@ object CoreQueries {
     "q52_semi_anti" -> q52SemiAnti,
     "q53_approx_quantiles" -> q53ApproxQuantiles,
     "e08_incremental_rollup" -> e08IncrementalRollup,
+    "q54_above_cust_avg" -> q54AboveCustAvg,
+    "q55_set_ops_all" -> q55SetOpsAll,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -1023,5 +1055,22 @@ object CoreQueries {
       ("""SELECT date_trunc('hour', ts) AS h, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
+    // the literal correlated form — the Spark side decorrelates it into
+    // a window average; a green hash proves the rewrite
+    "q54_above_cust_avg" ->
+      ("""SELECT o_orderpriority AS pri, COUNT(*) AS n_above,
+        |  ROUND(AVG(o_totalprice - ca), 2) AS avg_excess
+        |FROM (SELECT o.*,
+        |        (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |         WHERE o2.o_custkey = o.o_custkey) AS ca
+        |      FROM orders o)
+        |WHERE o_totalprice > ca
+        |GROUP BY pri ORDER BY pri""".stripMargin),
+    "q55_set_ops_all" ->
+      ("""SELECT
+        |  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem
+        |     INTERSECT ALL SELECT p_partkey FROM part)) AS n_intersect_all,
+        |  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem
+        |     EXCEPT ALL SELECT p_partkey FROM part)) AS n_except_all""".stripMargin),
   )
 }

@@ -266,6 +266,30 @@ object PipelineQueries {
         window = 32, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** The corpus-build manifest — the whole pretraining data pipeline
+    * composed into its final artifact: per document, the assigned
+    * train/val/test split ([[Sampling.withSplit]]), the quality verdict
+    * ([[t12FilterPass]]), whether the doc is its near-dup cluster's
+    * representative ([[Dedup.dupClusters]] over MinHash pairs), and the
+    * resulting selection decision (keep ∧ representative). This is the
+    * query a reference user's END-TO-END pipeline reduces to; each stage
+    * keeps its own scale posture (codegen'd projections, LSH-bounded
+    * self-join, key-partitioned label propagation, md5 split — no new
+    * shuffles beyond the stages' own). */
+  def t19CorpusManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = t12FilterPass(s, dir).select("doc_id", "keep")
+    val clusters = Dedup.dupClusters(d, "doc_id",
+      Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5))
+    val splits = Sampling.withSplit(d.select("doc_id"), "doc_id")
+    quality.join(clusters, "doc_id").join(splits, "doc_id")
+      .select(col("doc_id"), col("split"), col("keep"),
+        (col("cluster_id") === col("doc_id")).cast("int").as("is_rep"),
+        (col("keep") === 1 && col("cluster_id") === col("doc_id"))
+          .cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
+
   // ---- similarity search ----
 
   def v01AnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -423,6 +447,7 @@ object PipelineQueries {
     "t16_unigram_logprob" -> t16UnigramLogprob,
     "t17_bm25" -> t17Bm25,
     "t18_stratified" -> t18Stratified,
+    "t19_corpus_manifest" -> t19CorpusManifest,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
     "v02_ann_lsh" -> v02AnnLsh,
@@ -563,6 +588,71 @@ object PipelineQueries {
        |FROM means m JOIN cent USING (cid) ORDER BY m.cid""".stripMargin
   }
 
+  private lazy val t12OracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(tk) < 3 THEN 1 ELSE len(tk) - 2 END AS n_raw,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+      |    END AS shl
+      |  FROM toks),
+      |m AS (
+      |  SELECT doc_id,
+      |    ${TextFns.qualityScoreSql("text")} AS quality,
+      |    ${TextFns.langIdSql("text")} AS lang_pred,
+      |    ROUND(1.0 - CAST(len(shl) AS DOUBLE) / n_raw, 4) AS rep_ratio
+      |  FROM sh)
+      |SELECT doc_id, quality, lang_pred, rep_ratio,
+      |  CAST(quality >= 0.3 AND lang_pred = 'en' AND rep_ratio < 0.2 AS INT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  private lazy val t05OracleSql: String =
+    "SELECT doc_id, CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' " +
+      "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+      "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b " +
+      "FROM documents) ORDER BY doc_id"
+
+  /** t19 composes the pipeline stages' own oracles as CTEs — the
+    * manifest's truth is BY CONSTRUCTION consistent with t12/d05/t05's:
+    * one green hash proves the composed Spark pipeline agrees with the
+    * composed ground truth end to end. */
+  private lazy val t19OracleSql: String =
+    s"""WITH q AS ($t12OracleSql),
+       |c AS ($d05OracleSql),
+       |sp AS ($t05OracleSql)
+       |SELECT q.doc_id, sp.split, q.keep,
+       |  CAST(c.cluster_id = q.doc_id AS INT) AS is_rep,
+       |  CAST(q.keep = 1 AND c.cluster_id = q.doc_id AS INT) AS selected
+       |FROM q JOIN c ON q.doc_id = c.doc_id JOIN sp ON q.doc_id = sp.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
+  private lazy val d05OracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+      |    END AS sh
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS src, doc_id AS dst FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   private lazy val v01OracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
       |scored AS (
@@ -662,25 +752,8 @@ object PipelineQueries {
         |  FROM toks)
         |SELECT doc_id, ROUND(1.0 - CAST(len(sh) AS DOUBLE) / n_raw, 4) AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin),
-    "t12_filter_pass" ->
-      (s"""WITH toks AS (
-        |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(tk) < 3 THEN 1 ELSE len(tk) - 2 END AS n_raw,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
-        |    END AS shl
-        |  FROM toks),
-        |m AS (
-        |  SELECT doc_id,
-        |    ${TextFns.qualityScoreSql("text")} AS quality,
-        |    ${TextFns.langIdSql("text")} AS lang_pred,
-        |    ROUND(1.0 - CAST(len(shl) AS DOUBLE) / n_raw, 4) AS rep_ratio
-        |  FROM sh)
-        |SELECT doc_id, quality, lang_pred, rep_ratio,
-        |  CAST(quality >= 0.3 AND lang_pred = 'en' AND rep_ratio < 0.2 AS INT) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin),
+    "t12_filter_pass" -> t12OracleSql,
+    "t19_corpus_manifest" -> t19OracleSql,
     // replays Packing.packBins: global token cumsum in doc_id order,
     // bins cut every 2048 tokens
     "t11_pack" ->
@@ -721,36 +794,9 @@ object PipelineQueries {
     // transitive closure over the brute-force dup pairs (recursive CTE),
     // min reachable id per doc = the cluster representative the Spark
     // label propagation must agree with
-    "d05_dup_clusters" ->
-      ("""WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
-        |    END AS sh
-        |  FROM toks),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM documents
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    "d05_dup_clusters" -> d05OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit
-    "t05_split" ->
-      ("SELECT doc_id, CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' " +
-        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
-        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b " +
-        "FROM documents) ORDER BY doc_id"),
+    "t05_split" -> t05OracleSql,
     "t06_sample" ->
       ("SELECT doc_id FROM (SELECT doc_id, " +
         (1 to 4).map(i =>
