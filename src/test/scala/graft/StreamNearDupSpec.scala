@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.StreamNearDup
+
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Streaming MinHash+LSH near-dup: the stateful-bucket detector must
+  * find exactly the pairs the batch operator finds on the same corpus,
+  * including pairs whose two documents arrive in different
+  * micro-batches. */
+class StreamNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+
+  // near-dup families: 0≈1≈4 (one-word edits), 2≈3 (reordered tail);
+  // 5 is a singleton
+  private val corpus = Seq(
+    Doc(0, ts(0), "the quick brown fox jumps over the lazy dog again and again"),
+    Doc(1, ts(1), "the quick brown fox jumps over the lazy cat again and again"),
+    Doc(2, ts(2), "structured streaming keeps bounded state under a watermark horizon"),
+    Doc(3, ts(3), "structured streaming keeps bounded state under the watermark horizon"),
+    Doc(4, ts(4), "the quick brown fox leaps over the lazy dog again and again"),
+    Doc(5, ts(5), "completely unrelated text about parquet row groups and codecs"))
+
+  private def batchPairs: Set[(Long, Long, Double)] =
+    Dedup.minhashDedupPairs(corpus.toDF(), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streaming pairs == batch pairs, across micro-batch boundaries") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamNearDup.candidatePairs(in.toDF(), "doc_id", "ts", "text",
+        threshold = 0.5, watermark = "2 hours", horizonMinutes = 240)
+      .writeStream.format("memory").queryName("near_dup").outputMode("append")
+      .start()
+    try {
+      // split so several dup pairs straddle the batch boundary
+      // (0,1,2 arrive first; 3 pairs with 2, 4 pairs with 0 and 1)
+      in.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      in.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("near_dup")
+        .select("id_a", "id_b", "jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batchPairs.nonEmpty, "corpus must contain near-dups")
+      assert(streamed === batchPairs)
+    } finally q.stop()
+  }
+
+  test("per-row signature is bit-identical to the batch aggregate signature") {
+    val hs = corpus.toDF()
+      .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 3).as("hs"))
+    val viaAgg = Dedup.signaturesFromHashes(hs, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaRow = hs.select(col("id"),
+        StreamNearDup.rowSignature(col("hs"), numHashes = 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaRow === viaAgg)
+  }
+}
