@@ -27,15 +27,12 @@ object Bench {
     try SparkEntry.queries("q01_count_global")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // dev aid: SPARK_GRAFT_ONLY=d02_dedup_minhash,d03_dedup_simhash
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     // dev aid: SPARK_GRAFT_REPEAT=3 times each query thrice and keeps the
     // LAST measurement — separates first-plan codegen cost from
     // steady-state throughput when hunting a slow query
     val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_ONLY=a,b subsetting shared with Verify
+    val selected = SparkEntry.selectedQueries
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.flatMap { case (name, fn) =>
       var elapsed = 0.0

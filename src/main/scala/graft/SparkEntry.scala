@@ -23,4 +23,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++
       GovernanceQueries.oracles ++ PiiQueries.oracles ++ SourceQueries.oracles
+
+  /** Name-sorted queries, optionally filtered by the
+    * `SPARK_GRAFT_ONLY=name,name` dev env var — the ONE subset contract
+    * shared by Bench and Verify. */
+  def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+  }
 }

@@ -16,13 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev aid (same contract as Bench): SPARK_GRAFT_ONLY=q49,q50 dumps a
-    // subset — local_verify compares whatever result dirs exist
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY subsetting (shared contract with Bench) —
+    // local_verify compares whatever result dirs exist
+    SparkEntry.selectedQueries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

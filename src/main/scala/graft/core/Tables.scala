@@ -81,8 +81,14 @@ object Tables {
     * surviving copy. `next` MAY read lazily from `dir` itself: it is
     * fully written to the temp dir while the original files are still
     * in place, before any rename. */
+  /** `marker` (name → contents) is written INSIDE the staged directory
+    * before the swap, so it commits atomically with the data — an
+    * underscore-prefixed name is invisible to parquet readers. Callers
+    * use it to make a swap idempotent (e.g. [[graft.streaming
+    * .StreamRollup]] records the applied micro-batch id: a crash-replayed
+    * batch sees its own id already committed and skips). */
   def replaceAtomic(spark: SparkSession, dir: String,
-      next: DataFrame): Unit = {
+      next: DataFrame, marker: Option[(String, String)] = None): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -96,6 +102,11 @@ object Tables {
       } else fs.delete(bak, true)
     }
     next.write.mode("overwrite").parquet(tmp.toString)
+    marker.foreach { case (name, content) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (!fs.rename(path, bak)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"replaceAtomic: could not move $path aside")

@@ -35,6 +35,9 @@ case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double, band: Int)
   * state is bounded by (arrival rate × horizon), same discipline as
   * [[Sessionize]]. The bucket fan-out is `bands` rows per document —
   * signature-sized (8 B × numHashes + shingle hashes), never the text.
+  * The horizon is also enforced per COMPARISON (not only at eviction),
+  * so the emitted pair set is a pure function of the data, independent
+  * of micro-batch chunking.
   *
   * The per-row signature ([[StreamNearDup.rowSignature]]) is
   * bit-identical to the batch aggregate's lanes (same (lane, hash) →
@@ -88,7 +91,13 @@ object StreamNearDup {
           it.toSeq.sortBy(a => (a.ts.getTime, a.doc_id)).foreach { a =>
             val aSet = a.hs.toSet
             resident.foreach { b =>
-              if (b.id != a.doc_id) {
+              // the horizon is a SEMANTIC gate, not just an eviction
+              // policy: without it the comparison set would depend on
+              // how arrivals chunk into micro-batches (a doc older than
+              // the horizon can still be resident if the watermark
+              // hasn't sealed it yet)
+              if (b.id != a.doc_id &&
+                  math.abs(a.ts.getTime - b.tsMs) <= horizonMs) {
                 val inter = b.hs.count(aSet.contains)
                 val j = inter.toDouble / (a.hs.length + b.hs.length - inter)
                 if (j >= threshold) {

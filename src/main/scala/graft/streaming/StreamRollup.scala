@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.Tables
@@ -15,10 +17,17 @@ import graft.operators.Incremental
   * This is the dynamic-table / incremental-matview pattern: the stored
   * state is keys × fixed-width mergeable aggregates, each batch touches
   * |rollup| + |batch rollup| rows, and the fact history is never
-  * re-read. Exactly-once comes from the checkpoint: a batch is merged
-  * once, and after a crash the un-checkpointed batch replays against
-  * the PRE-swap snapshot (the swap and the checkpoint commit together
-  * per micro-batch epoch).
+  * re-read.
+  *
+  * Exactly-once: `foreachBatch` is at-least-once, and summation — unlike
+  * [[graft.operators.Cdc.applyChanges]] — is NOT idempotent, so a
+  * crash-replayed batch must be detected, not re-merged. The applied
+  * micro-batch id is committed ATOMICALLY with the data (a marker file
+  * inside the same snapshot swap, [[Tables.replaceAtomic]]); a replayed
+  * batch finds its own id (or a later one) already recorded and
+  * no-ops. Crash before the swap → marker still holds the previous id →
+  * the replay merges against the PRE-swap snapshot. Either way the
+  * batch lands exactly once.
   *
   * Scale posture: the merge is one key-partitioned shuffle of
   * rollup-sized (not fact-sized) frames; the rewrite cost is bounded by
@@ -26,6 +35,36 @@ import graft.operators.Incremental
   * instead of the facts.
   */
 object StreamRollup {
+
+  private val MarkerFile = "_applied_batch"
+
+  private[graft] def appliedBatchId(spark: SparkSession, dir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, MarkerFile)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** One batch's merge, exactly once: skips ids at or below the marker
+    * (crash replay), otherwise merges and swaps with the new id riding
+    * the same atomic rename. Exposed for direct testing. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+      rollupDir: String, keys: Seq[String],
+      rollup: DataFrame => DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (batchId <= appliedBatchId(spark, rollupDir)) return
+    val stored = spark.read.parquet(rollupDir)
+    Tables.replaceAtomic(spark, rollupDir,
+      Incremental.mergeRollups(stored, rollup(batch), keys),
+      marker = Some(MarkerFile -> batchId.toString))
+  }
 
   /** Start maintaining the rollup at `rollupDir` (which must already
     * exist with the rollup's schema — seed it with an empty or initial
@@ -35,13 +74,8 @@ object StreamRollup {
       rollup: DataFrame => DataFrame, checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val stored = spark.read.parquet(rollupDir)
-          Tables.replaceAtomic(spark, rollupDir,
-            Incremental.mergeRollups(stored, rollup(batch), keys))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, rollupDir, keys, rollup)
       }
       .start()
 }

@@ -55,6 +55,26 @@ class StreamNearDupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("pairs farther apart than the horizon are not emitted, even in one batch") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // identical texts 120 min apart; horizon 30 min — the gate must hold
+    // even though both docs are resident together (same micro-batch)
+    val q = StreamNearDup.candidatePairs(in.toDF(), "doc_id", "ts", "text",
+        threshold = 0.5, watermark = "4 hours", horizonMinutes = 30)
+      .writeStream.format("memory").queryName("near_dup_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(10, ts(0), corpus.head.text), Doc(11, ts(120), corpus.head.text),
+        Doc(12, ts(125), corpus.head.text))
+      q.processAllAvailable()
+      val got = spark.table("near_dup_gate").select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only the 11-12 pair (5 min apart) is inside the horizon
+      assert(got === Set((11L, 12L)))
+    } finally q.stop()
+  }
+
   test("per-row signature is bit-identical to the batch aggregate signature") {
     val hs = corpus.toDF()
       .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 3).as("hs"))

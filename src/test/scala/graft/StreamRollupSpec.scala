@@ -16,8 +16,8 @@ case class Fact(k: String, v: Double)
 class StreamRollupSpec extends SparkSuite {
   import spark.implicits._
 
-  private def rollup(df: DataFrame): DataFrame =
-    df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+  private val rollup: DataFrame => DataFrame =
+    df => df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
 
   test("batches merge into the stored rollup; store == recompute over all facts") {
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -40,5 +40,23 @@ class StreamRollupSpec extends SparkSuite {
       q.processAllAvailable()
       assert(stored === Seq(("a", 3L, 7.0), ("b", 1L, 5.0), ("c", 1L, 7.0)))
     } finally q.stop()
+  }
+
+  test("a crash-replayed batch is not merged twice (marker-gated swap)") {
+    val dir = Files.createTempDirectory("stream_rollup_replay").toString + "/t"
+    rollup(Seq.empty[Fact].toDF()).write.parquet(dir)
+    def stored = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val batch = Seq(Fact("a", 1.0), Fact("a", 2.0)).toDF()
+    graft.streaming.StreamRollup.applyBatch(batch, 0L, dir, Seq("k"), rollup)
+    assert(stored === Seq(("a", 2L, 3.0)))
+    // foreachBatch replays batch 0 after a crash — must be a no-op
+    graft.streaming.StreamRollup.applyBatch(batch, 0L, dir, Seq("k"), rollup)
+    assert(stored === Seq(("a", 2L, 3.0)))
+    // the next real batch still applies
+    graft.streaming.StreamRollup.applyBatch(Seq(Fact("a", 4.0)).toDF(), 1L,
+      dir, Seq("k"), rollup)
+    assert(stored === Seq(("a", 3L, 7.0)))
   }
 }
