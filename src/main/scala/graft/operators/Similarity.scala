@@ -144,6 +144,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
+    ivfSearch(centroids, assigned, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** The IVF build pass shared by [[ivfTopK]] (inline) and
+    * [[buildIvfIndex]] (persisted): (centroid table, assignment lists). */
+  private def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): (DataFrame, DataFrame) = {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
@@ -160,14 +168,21 @@ object Similarity {
       .localCheckpoint()
     val wAssign = Window.partitionBy("neighbor_id")
       .orderBy(col("csim").desc, col("cid"))
-    // single consumer (the probe join below) — no cache needed; at 100 TB
-    // this frame is what you'd WRITE as the persistent IVF index instead
+    // single consumer (the probe join or the index write) — no cache
     val assigned = c.crossJoin(broadcast(centroids))
       .withColumn("csim", dot(col("v"), col("cv")) /
         nullif(col("vn") * col("cn"), lit(0.0)))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
+    (centroids, assigned)
+  }
+
+  /** The IVF probe+scan+rank pass shared by [[ivfTopK]] and
+    * [[ivfServeTopK]]. */
+  private def ivfSearch(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
     val wProbe = Window.partitionBy("query_id")
@@ -188,6 +203,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Materialize the IVF index: the centroid table plus the assignment
+    * lists written PARTITIONED BY centroid id — build once per corpus
+    * version, serve many. The cid-directory layout is the on-disk form
+    * of the inverted file: a serving query's probed lists map to
+    * partition directories, so the scan touches nProbe/nCentroids of
+    * the index bytes (partition pruning), never the corpus. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCentroids: Int = 16): Unit = {
+    val (centroids, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexDir/assigned")
+  }
+
+  /** Serve ANN queries from a [[buildIvfIndex]]-materialized index —
+    * bit-identical results to the inline [[ivfTopK]] over the same
+    * corpus (IvfIndexSpec asserts it), without re-reading or
+    * re-assigning the corpus. */
+  def ivfServeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+      .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
+    ivfSearch(centroids, assigned, queries, idCol, vecCol, k, nProbe)
   }
 
   /** One k-means (Lloyd) iteration over the IVF assignment machinery:

@@ -697,6 +697,37 @@ object CoreQueries {
     i.crossJoin(e)
   }
 
+  /** J9 FULL OUTER join of two aggregates: per-nation customer vs
+    * supplier coverage, keys surviving from either side, absent side
+    * coalesced to zero. Both inputs pre-aggregate to key-cardinality
+    * before the join — at 100 TB the outer join moves nation-sized
+    * frames, never fact rows. */
+  def q56OuterCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier")
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** W5 sliding ROWS-frame aggregate: 7-day centered moving average of
+    * daily order volume. The window is unpartitioned but runs over the
+    * DAILY aggregate (≤ a few thousand rows at any SF) — the q10/W3
+    * justification: aggregate first, window the aggregate. */
+  def q57MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+    val w = Window.orderBy("d").rowsBetween(-3, 3)
+    daily.select(col("d"), col("total"),
+        round(avg("total").over(w), 2).as("ma7"))
+      .orderBy("d")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -771,6 +802,8 @@ object CoreQueries {
     "e08_incremental_rollup" -> e08IncrementalRollup,
     "q54_above_cust_avg" -> q54AboveCustAvg,
     "q55_set_ops_all" -> q55SetOpsAll,
+    "q56_outer_coverage" -> q56OuterCoverage,
+    "q57_moving_avg" -> q57MovingAvg,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -1072,5 +1105,23 @@ object CoreQueries {
         |     INTERSECT ALL SELECT p_partkey FROM part)) AS n_intersect_all,
         |  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem
         |     EXCEPT ALL SELECT p_partkey FROM part)) AS n_except_all""".stripMargin),
+    "q56_outer_coverage" ->
+      ("""SELECT COALESCE(c.k, s.k) AS nationkey,
+        |  COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) s
+        |ON c.k = s.k ORDER BY nationkey""".stripMargin),
+    "q57_moving_avg" ->
+      ("""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    ROUND(SUM(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY d)
+        |SELECT d, total,
+        |  ROUND(AVG(total) OVER (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS ma7
+        |FROM daily ORDER BY d""".stripMargin),
   )
 }

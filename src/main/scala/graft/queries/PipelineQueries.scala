@@ -79,6 +79,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Triangle count over the near-dup pair graph — the graph-density
+    * probe of a dedup report (triangle-rich components are template
+    * families; triangle-free ones are chains worth eyeballing). Ordered
+    * edges (id_a < id_b) make each triangle count exactly once via the
+    * a<b<c join pattern; at corpus scale both joins key on a vertex —
+    * degree-bounded fan-out, never |pairs|². */
+  def d06DupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b")
+    graft.operators.Caches.scoped(pairs) {
+      pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.id_b") === col("e2.id_a"))
+        .join(pairs.as("e3"),
+          col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
+  }
+
   // ---- sampling / splits ----
 
   def t05Split(s: SparkSession, dir: String): DataFrame =
@@ -433,6 +452,7 @@ object PipelineQueries {
     "d03_dedup_simhash" -> d03DedupSimhash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_dup_clusters" -> d05DupClusters,
+    "d06_dup_triangles" -> d06DupTriangles,
     "t05_split" -> t05Split,
     "t06_sample" -> t06Sample,
     "t07_chunks" -> t07Chunks,
@@ -629,8 +649,11 @@ object PipelineQueries {
        |FROM q JOIN c ON q.doc_id = c.doc_id JOIN sp ON q.doc_id = sp.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
-  private lazy val d05OracleSql: String =
-    """WITH RECURSIVE toks AS (
+  /** The brute-force all-pairs dup-pair CTE chain (toks → 3-shingles →
+    * jaccard ≥ 0.5 pairs) shared by the d05 closure and d06 triangle
+    * oracles. */
+  private lazy val dupPairsCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -642,7 +665,10 @@ object PipelineQueries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)""".stripMargin
+
+  private lazy val d05OracleSql: String =
+    s"""WITH RECURSIVE $dupPairsCtes,
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),
@@ -652,6 +678,13 @@ object PipelineQueries {
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
       |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  private lazy val d06OracleSql: String =
+    s"""WITH $dupPairsCtes
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM pairs e1
+      |JOIN pairs e2 ON e1.id_b = e2.id_a
+      |JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin
 
   private lazy val v01OracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
@@ -795,6 +828,7 @@ object PipelineQueries {
     // min reachable id per doc = the cluster representative the Spark
     // label propagation must agree with
     "d05_dup_clusters" -> d05OracleSql,
+    "d06_dup_triangles" -> d06OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit
     "t05_split" -> t05OracleSql,
     "t06_sample" ->

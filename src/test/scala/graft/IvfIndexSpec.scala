@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Materialized IVF index: build-once/serve-many must return exactly
+  * what the inline operator returns, and the on-disk layout must be the
+  * partition-pruned inverted file the docstring promises. */
+class IvfIndexSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("served top-k == inline ivfTopK, from a cid-partitioned index") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = Files.createTempDirectory("ivf_index").toString
+
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nCentroids = 16)
+
+    // the inverted-file layout is real: one partition directory per list
+    val assignedDirs = new java.io.File(s"$idx/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid="))
+    assert(assignedDirs.nonEmpty)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val inline = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 3, nCentroids = 16, nProbe = 4))
+    val served = rows(Similarity.ivfServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4))
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+}
