@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, null,
         "shingle_hashes", GraftFunctions.shingleHashesUsage, ""),
       GraftFunctions.shingleHashesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValue].getCanonicalName, null,
+        "z_value", GraftFunctions.zValueUsage, ""),
+      GraftFunctions.zValueBuilder))
   }
 }
 
@@ -51,11 +56,22 @@ object GraftFunctions {
       s"shingle_hashes expects (text, int literal k), got ${args.size} args")
   }
 
+  private[functions] val zValueUsage =
+    "z_value(a, b) - Morton (Z-order) interleave of two unsigned 32-bit bigint keys"
+
+  private[functions] val zValueBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => ZValue(a, b)
+    case args => throw new IllegalArgumentException(
+      s"z_value expects (a, b), got ${args.size} args")
+  }
+
   /** Register on a live session: `spark.sql("... minhash_sig(h, 64) ...")`. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "minhash_sig", minhashSigUsage,
       minhashSigBuilder)
     ColumnBridge.registerFunction(spark, "shingle_hashes", shingleHashesUsage,
       shingleHashesBuilder)
+    ColumnBridge.registerFunction(spark, "z_value", zValueUsage,
+      zValueBuilder)
   }
 }
