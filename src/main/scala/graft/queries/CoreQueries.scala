@@ -728,6 +728,26 @@ object CoreQueries {
       .orderBy("d")
   }
 
+  /** A21 mergeable-sketch distinct: per-priority DataSketches HLL
+    * sketches UNIONED into a global estimate — the property that makes
+    * sketches work on a cluster: 1000 executors build partials, the
+    * merge is lossless-associative, nobody re-reads rows. The oracle
+    * gate is the q48 pattern: exact global distinct + a literal 1
+    * asserting the (deterministic) merged estimate lands within ±5%. */
+  def q58HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val perGroup = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.crossJoin(merged)
+      .select(col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.05).cast("int").as("merge_ok"))
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -804,6 +824,7 @@ object CoreQueries {
     "q55_set_ops_all" -> q55SetOpsAll,
     "q56_outer_coverage" -> q56OuterCoverage,
     "q57_moving_avg" -> q57MovingAvg,
+    "q58_hll_merge" -> q58HllMerge,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -1123,5 +1144,10 @@ object CoreQueries {
         |  ROUND(AVG(total) OVER (ORDER BY d
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS ma7
         |FROM daily ORDER BY d""".stripMargin),
+    // merge_ok = 1 asserts the deterministic union-of-partial-sketches
+    // estimate lands within ±5% of the exact count (q48 pattern)
+    "q58_hll_merge" ->
+      ("SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact, " +
+        "1 AS merge_ok FROM orders"),
   )
 }
