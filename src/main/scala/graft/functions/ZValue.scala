@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Nu
   *
   * Inputs must already be order-preserving 32-bit keys (ranks, bucket
   * ids, scaled values — see [[graft.operators.Layout.writeZOrdered]]);
-  * bits above 32 are ignored.
+  * bits above 32 are ignored. The raw interleave puts `b`'s bit 31 on
+  * the long's SIGN bit — a signed ORDER BY would then sort the b-high
+  * half of the space first and the boundary file's min/max would span
+  * the whole domain. The output is therefore sign-corrected (top bit
+  * flipped) so SIGNED long ordering == unsigned Morton ordering over
+  * the full 32-bit input range.
   */
 case class ZValue(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -75,6 +80,10 @@ object ZOrderOps {
     v
   }
 
-  /** a's bits on even positions, b's on odd. */
-  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  /** a's bits on even positions, b's on odd; top bit flipped so the
+    * SIGNED long order equals the unsigned Morton order (b's bit 31
+    * would otherwise land on the sign bit and invert the sort for
+    * inputs ≥ 2^31). */
+  def interleave(a: Long, b: Long): Long =
+    (spread(a) | (spread(b) << 1)) ^ Long.MinValue
 }

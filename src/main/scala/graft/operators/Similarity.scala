@@ -145,7 +145,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val (centroids, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
-    ivfSearch(centroids, assigned, queries, idCol, vecCol, k, nProbe)
+    ivfSearch(ivfProbes(centroids, queries, idCol, vecCol, nProbe),
+      assigned, k)
   }
 
   /** The IVF build pass shared by [[ivfTopK]] (inline) and
@@ -178,21 +179,26 @@ object Similarity {
     (centroids, assigned)
   }
 
-  /** The IVF probe+scan+rank pass shared by [[ivfTopK]] and
-    * [[ivfServeTopK]]. */
-  private def ivfSearch(centroids: DataFrame, assigned: DataFrame,
-      queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int): DataFrame = {
+  /** Each query's `nProbe` nearest centroid ids:
+    * (query_id, qv, qn, cid). */
+  private def ivfProbes(centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .withColumn("csim", dot(col("qv"), col("cv")) /
         nullif(col("qn") * col("cn"), lit(0.0)))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+  }
+
+  /** The probed-list scan + rank pass shared by [[ivfTopK]] and
+    * [[ivfServeTopK]]. */
+  private def ivfSearch(probes: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(assigned, "cid")
@@ -215,21 +221,34 @@ object Similarity {
       indexDir: String, nCentroids: Int = 16): Unit = {
     val (centroids, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    assigned.write.mode("overwrite").partitionBy("cid")
+    // one writer task per list — without this, every upstream task
+    // writes a sliver into every cid= directory (tasks × lists small
+    // files, the pathology Tables.compact exists to fix)
+    assigned.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/assigned")
   }
 
   /** Serve ANN queries from a [[buildIvfIndex]]-materialized index —
     * bit-identical results to the inline [[ivfTopK]] over the same
     * corpus (IvfIndexSpec asserts it), without re-reading or
-    * re-assigning the corpus. */
+    * re-assigning the corpus. The probed cids are collected (bounded by
+    * |queries|·nProbe) into a LITERAL partition filter, so the inverted
+    * file scan statically prunes to the probed cid= directories —
+    * IvfIndexSpec asserts the PartitionFilters show up in the plan. */
   def ivfServeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // probes feed the cid collect AND the candidate join — materialize
+    // once (query-set sized)
+    val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
+      .localCheckpoint()
+    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$indexDir/assigned")
+      .filter(col("cid").isin(cids.toSeq: _*))
       .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
-    ivfSearch(centroids, assigned, queries, idCol, vecCol, k, nProbe)
+    ivfSearch(probes, assigned, k)
   }
 
   /** One k-means (Lloyd) iteration over the IVF assignment machinery:

@@ -86,16 +86,18 @@ object PipelineQueries {
     * a<b<c join pattern; at corpus scale both joins key on a vertex —
     * degree-bounded fan-out, never |pairs|². */
   def d06DupTriangles(s: SparkSession, dir: String): DataFrame = {
+    // minhashDedupPairs returns a localCheckpoint'ed frame (its internal
+    // Caches.scoped), so the three probes below reuse materialized rows —
+    // and the triangle joins stay VISIBLE to the plan-regression gate
+    // (wrapping them in another scope would checkpoint them away)
     val pairs = Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
         threshold = 0.5)
       .select("id_a", "id_b")
-    graft.operators.Caches.scoped(pairs) {
-      pairs.as("e1")
-        .join(pairs.as("e2"), col("e1.id_b") === col("e2.id_a"))
-        .join(pairs.as("e3"),
-          col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
-        .agg(count(lit(1)).as("n_triangles"))
-    }
+    pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(pairs.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .agg(count(lit(1)).as("n_triangles"))
   }
 
   // ---- sampling / splits ----

@@ -29,10 +29,24 @@ class IvfIndexSpec extends SparkSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
+    // one file per list — the repartition(col("cid")) before the
+    // partitioned write prevents the tasks×lists small-file spray
+    new java.io.File(s"$idx/assigned").listFiles().filter(_.isDirectory)
+      .foreach { d =>
+        val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(parts === 1, s"${d.getName} has $parts part files")
+      }
+
     val inline = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
       k = 3, nCentroids = 16, nProbe = 4))
-    val served = rows(Similarity.ivfServeTopK(spark, idx, queries,
-      "vec_id", "embedding", k = 3, nProbe = 4))
+    val servedDf = Similarity.ivfServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    // the probed-cid literal filter must reach the scan as a PARTITION
+    // filter (static pruning of the inverted file)
+    val plan = servedDf.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"no cid partition filter in plan:\n${plan.take(2000)}")
+    val served = rows(servedDf)
     assert(served === inline)
     assert(served.nonEmpty)
   }

@@ -22,7 +22,7 @@ class ZOrderSpec extends SparkSuite {
       out |= ((b >>> i) & 1L) << (2 * i + 1)
       i += 1
     }
-    out
+    out ^ Long.MinValue // sign correction: signed order == unsigned Morton
   }
 
   test("interleave matches the bit-by-bit reference (scala + codegen)") {
@@ -35,6 +35,15 @@ class ZOrderSpec extends SparkSuite {
     val got = cases.toDF("a", "b")
       .select(ZValue(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
     assert(got === cases.map { case (a, b) => ref(a, b) })
+  }
+
+  test("signed z-value order equals unsigned Morton order on full 32-bit keys") {
+    // b spanning the 2^31 boundary: without sign correction the high
+    // half would sort FIRST under signed long comparison
+    val keys = Seq((0L, 0L), (5L, 100L), (0L, 0x7FFFFFFFL),
+      (0L, 0x80000000L), (0xFFFFFFFFL, 0xFFFFFFFFL))
+    val zs = keys.map { case (a, b) => ZOrderOps.interleave(a, b) }
+    assert(zs === zs.sorted, "z-values of Morton-increasing points must be signed-sorted")
   }
 
   test("z-order prunes the dimension a single-column sort cannot") {
@@ -62,10 +71,10 @@ class ZOrderSpec extends SparkSuite {
     // a range predicate on b covering 25% of its domain
     def touched(ranges: Seq[(Long, Long)]): Int =
       ranges.count { case (mn, mx) => mx >= 0 && mn < 64 }
-    val zTouched = touched(bRanges(zDir))
-    val zTotal = bRanges(zDir).size
-    val aTouched = touched(bRanges(aDir))
-    val aTotal = bRanges(aDir).size
+    val zr = bRanges(zDir)
+    val ar = bRanges(aDir)
+    val zTouched = touched(zr); val zTotal = zr.size
+    val aTouched = touched(ar); val aTotal = ar.size
     // the a-sorted layout cannot prune a b-predicate: every file spans b
     assert(aTouched === aTotal)
     // the z-ordered layout must skip at least half its files
