@@ -75,6 +75,35 @@ class StreamNearDupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("composes with the kafka-shaped topic source end-to-end") {
+    // the full streaming dedup pipeline a kafka user would run: topic →
+    // JSON parse → stateful LSH near-dup — pairs surface as docs land
+    val root = java.nio.file.Files.createTempDirectory("neardup_topic").toString
+    val bus = new graft.bus.FileTopic(root)
+    def msg(d: Doc) =
+      s"""{"doc_id":${d.doc_id},"ts":"${d.ts}","text":"${d.text}"}"""
+    bus.publish("docs", corpus.take(3).map(msg))
+    bus.publish("docs", corpus.drop(3).map(msg))
+    val parsed = graft.bus.TopicSource.readStream(spark, root, "docs")
+      .select(
+        get_json_object(col("value").cast("string"), "$.doc_id")
+          .cast("long").as("doc_id"),
+        get_json_object(col("value").cast("string"), "$.ts")
+          .cast("timestamp").as("ts"),
+        get_json_object(col("value").cast("string"), "$.text").as("text"))
+    val q = StreamNearDup.candidatePairs(parsed, "doc_id", "ts", "text",
+        threshold = 0.5, watermark = "2 hours", horizonMinutes = 240)
+      .writeStream.format("memory").queryName("topic_near_dup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("topic_near_dup")
+        .select("id_a", "id_b", "jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batchPairs)
+    } finally q.stop()
+  }
+
   test("per-row signature is bit-identical to the batch aggregate signature") {
     val hs = corpus.toDF()
       .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 3).as("hs"))
