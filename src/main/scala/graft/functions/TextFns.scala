@@ -112,6 +112,27 @@ object TextFns {
         concat_ws(" ", col("__seg")).as("chunk_text"))
   }
 
+  /** Hashed bag-of-words linear classifier score — the fastText-style
+    * quality/domain filter of CCNet/DataComp-class pipelines, with a
+    * deterministic md5-derived weight table standing in for trained
+    * weights (the sandbox has no model artifacts; the hashing-trick
+    * feature map, scoring shape, and one-pass cost are the real thing).
+    * Each token hashes into one of `dim` buckets (md5 first 4 hex
+    * digits), the bucket's weight is a fixed pure function of the
+    * bucket id, and the document score is the mean token weight — a
+    * single codegen'd projection: no UDF, no join, no shuffle, so the
+    * 100 TB cost is exactly one corpus scan. */
+  def classifierScore(c: Column, dim: Int = 1024, mod: Int = 197): Column = {
+    val toks = tokens(c)
+    round(
+      aggregate(toks, lit(0.0), (acc, t) => {
+        val bucket = pmod(
+          conv(substring(md5(t), 1, 4), 16, 10).cast("long"), lit(dim))
+        acc + (pmod(bucket, lit(mod)).cast("double") /
+          lit((mod - 1).toDouble) - lit(0.5))
+      }) / nullif(size(toks).cast("double"), lit(0.0)), 4)
+  }
+
   // ---- DuckDB oracle twins (same constants, by construction) ----
 
   def tokenCountSql(col: String): String =
@@ -143,4 +164,15 @@ object TextFns {
 
   def fingerprintSql(col: String): String =
     s"sha256(regexp_replace(lower(trim($col)), '\\s+', ' ', 'g'))"
+
+  /** Twin of [[classifierScore]]: md5 hex digits → bucket via the same
+    * strpos arithmetic as the sampling oracles, identical weight
+    * function, sequential list_sum matching the fold order. */
+  def classifierScoreSql(col: String, dim: Int = 1024, mod: Int = 197): String = {
+    val toks = s"string_split_regex(trim(lower($col)), '\\s+')"
+    val v = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString("(", " + ", ")")
+    s"ROUND(list_sum(list_transform($toks, t -> ((($v % $dim) % $mod) / ${mod - 1}.0 - 0.5))) / NULLIF(len($toks), 0), 4)"
+  }
 }

@@ -217,6 +217,52 @@ object Dedup {
     }
   }
 
+  /** Duplicated-substring span detection (the signal behind
+    * suffix-array dedup, Lee et al. '21 "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499): for every doc
+    * pair, the longest run of CONSECUTIVE shared k-grams — i.e. the
+    * longest verbatim token span the two documents share (run of r
+    * consecutive shared k-grams = span of r+k-1 tokens). Pairs are
+    * generated by the k-gram inverted-index join (k=5 grams are
+    * near-unique in natural text, so per-gram fan-out is bounded where
+    * single tokens would degenerate); runs are recovered with the
+    * gaps-and-islands window on the match diagonal (pos_a - pos_b):
+    * matches on one diagonal with consecutive pos_a form one island,
+    * islands keyed by pos_a - row_number. Every stage is a
+    * key-partitioned shuffle — (gram) for the join, (pair, diag) for
+    * the window — never all-pairs, no driver state.
+    *
+    * Returns (id_a, id_b, max_span) for pairs sharing a span of at
+    * least `minSpan` tokens. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minSpan: Int = 20): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    // guard short docs: sequence(1, 0) DESCENDS ([1, 0]) — an empty
+    // gram array, not a phantom gram, is what <k-token docs produce
+    val gramArr = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), posexplode(gramArr))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    // repeated k-grams inside one doc create duplicate (pair, diag, pa)
+    // matches — distinct them or the island row_number miscounts runs
+    val matches = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
+      .distinct()
+    val wIsl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    matches
+      .withColumn("run_id", col("pa") - row_number().over(wIsl))
+      .groupBy("id_a", "id_b", "diag", "run_id")
+      .agg((count(lit(1)) + lit(k - 1)).as("span"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("span")).as("max_span"))
+      .filter(col("max_span") >= minSpan)
+  }
+
   // ---- SimHash ----
 
   /** Distinct-token xxhash64 array — the SimHash input. */

@@ -298,6 +298,55 @@ object Similarity {
           array((0 until dim).map(i => col(s"__m$i")): _*)).as("centroid"))
   }
 
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
+    * deduplication via embedding clusters — cluster the corpus, compare
+    * pairs only WITHIN a cluster, and drop every vector that sits above
+    * `threshold` cosine of a lower-id clustermate. The clustering is
+    * what makes the operation affordable: the quadratic pair scan is
+    * per-cluster (Σ|cluster|² ≪ |N|²), and at 100 TB each cluster's
+    * scan is an independent equi-join key — the same partitioned-join
+    * shape as the LSH-bucketed dedups, with the cluster assignment
+    * produced by one |N|·|C| pass against a broadcast centroid table
+    * (the [[ivfTopK]] build). Returns every corpus row with its cluster
+    * and verdict: (id, cid, keep). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16): DataFrame = {
+    val (_, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
+    val a = assigned.select(col("neighbor_id").as("id"), col("v"),
+      col("vn"), col("cid"))
+    // the assignment feeds the self-join twice plus the verdict join —
+    // materialize once, release on return
+    Caches.scoped(a) {
+      val dups = a.as("x").join(a.as("y"),
+          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+        .filter(dot(col("x.v"), col("y.v")) /
+          nullif(col("x.vn") * col("y.vn"), lit(0.0)) >= threshold)
+        .select(col("y.id").as("id")).distinct()
+      a.select("id", "cid")
+        .join(dups.withColumn("__dup", lit(1)), Seq("id"), "left")
+        .select(col("id"), col("cid"),
+          col("__dup").isNull.cast("int").as("keep"))
+    }
+  }
+
+  /** Benchmark decontamination in embedding space: every train vector
+    * within `threshold` cosine of an eval/benchmark vector — the
+    * semantic sibling of [[Dedup.contaminatedDocs]] (n-gram overlap
+    * misses paraphrased leaks; embedding similarity catches them). The
+    * eval set is benchmark-sized, so it broadcasts; the corpus streams
+    * through one scored pass — no shuffle at all on the 100 TB side. */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    Caches.spreadByKey(train, col(idCol))
+      .select(col(idCol).as("train_id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+      .crossJoin(broadcast(evalSet.select(col(idCol).as("eval_id"),
+        asDouble(col(vecCol)).as("ev"), l2Norm(asDouble(col(vecCol))).as("en"))))
+      .withColumn("sim", dot(col("v"), col("ev")) /
+        nullif(col("vn") * col("en"), lit(0.0)))
+      .filter(col("sim") >= threshold)
+      .select(col("train_id"), col("eval_id"), round(col("sim"), 4).as("sim"))
+
   /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked
     * (the embedding analog of [[Dedup.minhashDedupPairs]]). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

@@ -634,8 +634,10 @@ object CoreQueries {
     val ps = Seq(0.5, 0.9, 0.99)
     val bandPs = ps.flatMap(p => Seq(p - eps, p + eps))
     t(s, dir, "lineitem").agg(
+        // accuracy 2000 → 5e-4 worst-case rank error, still 10× inside
+        // the ±0.005 asserted band at a fifth of the sketch cost
         percentile_approx(col("l_extendedprice"),
-          array(ps.map(lit): _*), lit(10000)).as("__est"),
+          array(ps.map(lit): _*), lit(2000)).as("__est"),
         percentile(col("l_extendedprice"),
           array(bandPs.map(lit): _*)).as("__ex"))
       .select(ps.indices.map { i =>

@@ -406,6 +406,42 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup over the embedding corpus (Abbas et al. '23): 16
+    * md5-sampled centroids (the IVF build), within-cluster cosine ≥ 0.4
+    * marks the higher id as a semantic duplicate — per vector, its
+    * cluster and keep/drop verdict. */
+  def v09SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, nCentroids = 16)
+      .select(col("id").as("vec_id"), col("cid"), col("keep"))
+      .orderBy("vec_id")
+
+  /** Embedding-space decontamination: vectors 0-4 stand in as the eval
+    * benchmark; every train vector within cosine 0.3 of one is a
+    * semantic-leak candidate (the paraphrase leakage n-gram overlap
+    * cannot see). */
+  def v10SemanticLeak(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.semanticContamination(e.filter(col("vec_id") >= 5),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", threshold = 0.3)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Longest verbatim shared token span per near-dup doc pair (the
+    * suffix-array dedup signal, Lee et al. '21) — pairs sharing ≥ 20
+    * consecutive tokens. */
+  def d07DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(s, dir), "doc_id", "text", k = 5, minSpan = 20)
+      .orderBy("id_a", "id_b")
+
+  /** Hashed-BoW linear classifier score per document (fastText-filter
+    * shape, deterministic md5 weight table) and its keep verdict. */
+  def t20Classifier(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFns.classifierScore(col("text")).as("clf_score"))
+      .withColumn("keep", (col("clf_score") > 0).cast("int"))
+      .orderBy("doc_id")
+
   // ---- multimodal plumbing ----
 
   def m01MultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -455,6 +491,10 @@ object PipelineQueries {
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_dup_clusters" -> d05DupClusters,
     "d06_dup_triangles" -> d06DupTriangles,
+    "d07_dup_spans" -> d07DupSpans,
+    "t20_classifier" -> t20Classifier,
+    "v09_semdedup" -> v09SemDedup,
+    "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
     "t06_sample" -> t06Sample,
     "t07_chunks" -> t07Chunks,
@@ -549,6 +589,59 @@ object PipelineQueries {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** DuckDB twin of [[Similarity.semDedup]]: the v04 oracle's centroid
+    * sample + rn=1 assignment CTEs, then the within-cluster dup scan. */
+  private lazy val v09OracleSql: String =
+    """WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+      |cent AS (SELECT id AS cid, v AS cv, vn AS ccn FROM cn
+      |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+      |assigned AS (
+      |  SELECT id, v, vn, cid FROM (
+      |    SELECT cn.id, cn.v, cn.vn, cent.cid,
+      |      row_number() OVER (PARTITION BY cn.id
+      |        ORDER BY list_dot_product(cn.v, cent.cv) / NULLIF(cn.vn * cent.ccn, 0.0) DESC, cent.cid) AS rn
+      |    FROM cn, cent) WHERE rn = 1),
+      |dups AS (
+      |  SELECT DISTINCT y.id FROM assigned x JOIN assigned y
+      |    ON x.cid = y.cid AND x.id < y.id
+      |  WHERE list_dot_product(x.v, y.v) / NULLIF(x.vn * y.vn, 0.0) >= 0.4)
+      |SELECT id AS vec_id, cid,
+      |  CASE WHEN id IN (SELECT id FROM dups) THEN 0 ELSE 1 END AS keep
+      |FROM assigned ORDER BY vec_id""".stripMargin
+
+  private lazy val v10OracleSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+      |  FROM embeddings)
+      |SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+      |  ROUND(list_dot_product(t.v, e.v) / NULLIF(t.n * e.n, 0.0), 4) AS sim
+      |FROM c t JOIN c e ON t.vec_id >= 5 AND e.vec_id < 5
+      |WHERE list_dot_product(t.v, e.v) / NULLIF(t.n * e.n, 0.0) >= 0.3
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  /** DuckDB twin of [[Dedup.dupSpans]] (k=5, minSpan=20): positional
+    * 5-grams via generate_series + list slice, the same
+    * gaps-and-islands diagonal-run recovery. */
+  private lazy val d07OracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-4)) AS i) s),
+      |m AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, a.i - b.i AS diag
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT id_a, id_b, diag,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS run_id
+      |  FROM m),
+      |spans AS (
+      |  SELECT id_a, id_b, COUNT(*) + 4 AS span
+      |  FROM runs GROUP BY id_a, id_b, diag, run_id)
+      |SELECT id_a, id_b, CAST(MAX(span) AS BIGINT) AS max_span
+      |FROM spans GROUP BY id_a, id_b HAVING MAX(span) >= 20
+      |ORDER BY id_a, id_b""".stripMargin
 
   private lazy val v03OracleSql: String =
     s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -726,6 +819,13 @@ object PipelineQueries {
     "v02_ann_lsh" -> v02OracleSql,
     "v03_cosine_near_dup" -> v03OracleSql,
     "v04_ann_ivf" -> v04OracleSql,
+    "v09_semdedup" -> v09OracleSql,
+    "v10_semantic_leak" -> v10OracleSql,
+    "d07_dup_spans" -> d07OracleSql,
+    "t20_classifier" ->
+      (s"SELECT doc_id, clf_score, CASE WHEN clf_score > 0 THEN 1 ELSE 0 END AS keep " +
+        s"FROM (SELECT doc_id, ${TextFns.classifierScoreSql("text")} AS clf_score FROM documents) " +
+        "ORDER BY doc_id"),
     "t01_tokens" ->
       (s"SELECT doc_id, CAST(${TextFns.tokenCountSql("text")} AS BIGINT) AS n_tokens, " +
         "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens " +

@@ -251,4 +251,37 @@ class DedupSpec extends SparkSuite {
       .collect()(0).getSeq[String](0)
     assert(sh === Seq("one two"))
   }
+
+  test("dupSpans recovers the exact longest shared token span") {
+    val shared = (1 to 25).map(i => s"s$i") // 25-token verbatim block
+    val a = ((1 to 10).map(i => s"a$i") ++ shared ++ Seq("tailA")).mkString(" ")
+    val b = (shared ++ (1 to 8).map(i => s"b$i")).mkString(" ")
+    val c = (1 to 30).map(i => s"c$i").mkString(" ")
+    val out = Dedup.dupSpans(docs(1L -> a, 2L -> b, 3L -> c),
+        "doc_id", "text", k = 5, minSpan = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 25L)))
+  }
+
+  test("dupSpans: below-threshold overlap and short docs produce nothing") {
+    val shared = (1 to 10).map(i => s"s$i") // only a 10-token overlap
+    val a = ((1 to 10).map(i => s"a$i") ++ shared).mkString(" ")
+    val b = (shared ++ (1 to 10).map(i => s"b$i")).mkString(" ")
+    val out = Dedup.dupSpans(
+      docs(1L -> a, 2L -> b, 3L -> "tiny doc", 4L -> "tiny doc"),
+      "doc_id", "text", k = 5, minSpan = 20)
+    assert(out.count() === 0)
+  }
+
+  test("dupSpans: repeated grams within a doc don't inflate the run") {
+    // doc 1 repeats the same 6-token phrase twice, doc 2 has it once:
+    // the longest shared span is the 6-token phrase, not a merged 12
+    val phrase = Seq("p1", "p2", "p3", "p4", "p5", "p6")
+    val a = (phrase ++ Seq("xa") ++ phrase).mkString(" ")
+    val b = (phrase ++ (1 to 10).map(i => s"b$i")).mkString(" ")
+    val out = Dedup.dupSpans(docs(1L -> a, 2L -> b),
+        "doc_id", "text", k = 5, minSpan = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 6L)))
+  }
 }

@@ -132,4 +132,38 @@ class SimilaritySpec extends SparkSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(out === total) // every vector assigned to exactly one centroid
   }
+
+  test("semDedup drops clustered near-duplicates, keeps the lowest id") {
+    // 1 and 2 identical (same cluster by construction), 3 orthogonal-ish
+    val d = vecs(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    val out = Similarity.semDedup(d, "vec_id", "embedding",
+        threshold = 0.9, nCentroids = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 1), (2L, 0), (3L, 1)))
+    // every corpus row appears exactly once with a verdict
+    assert(out.length === 3)
+  }
+
+  test("semDedup verdicts cover the corpus exactly once (sf0.001)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Similarity.semDedup(e, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 16)
+    assert(out.count() === e.count())
+    assert(out.select("id").distinct().count() === e.count())
+  }
+
+  test("semanticContamination flags an identical train/eval pair at 1.0") {
+    val ev = vecs(1L -> Seq(0.6f, 0.8f, 0.0f))
+    val tr = vecs(
+      10L -> Seq(0.6f, 0.8f, 0.0f),   // verbatim leak
+      11L -> Seq(-0.8f, 0.6f, 0.0f))  // orthogonal
+    val out = Similarity.semanticContamination(tr, ev,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((10L, 1L, 1.0)))
+  }
 }

@@ -101,4 +101,30 @@ class TextFnsSpec extends SparkSuite {
       }
     }
   }
+
+  test("classifierScore is deterministic, bounded, and tracks the weight table") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextFns.classifierScore(col("text")).as("s"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out(0)._2 === out(1)._2) // pure function of the text
+    out.foreach { case (_, s) => assert(s >= -0.5 && s <= 0.5) }
+    // replay the weight table on the driver: md5 first 4 hex digits →
+    // bucket (mod 1024), weight = (bucket % 197)/196 - 0.5, mean
+    def ref(text: String): Double = {
+      val ws = text.split("\\s+").map { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(md.take(4), 16) % 1024
+        (bucket % 197).toDouble / 196.0 - 0.5
+      }
+      math.rint(ws.sum / ws.length * 1e4) / 1e4
+    }
+    out.foreach { case (id, s) =>
+      val text = if (id <= 2) "alpha beta gamma" else "zeta eta theta iota"
+      assert(math.abs(s - ref(text)) < 1e-9, s"doc $id")
+    }
+  }
 }
