@@ -217,6 +217,37 @@ object Dedup {
     }
   }
 
+  /** [[contaminatedDocs]] with a Bloom pre-filter on the corpus side:
+    * the eval set's shingles build a [[Bloom]] bitset (broadcast-sized
+    * index artifact, built once at call time); train shingles probe it
+    * BEFORE the join, so the contamination shuffle carries only
+    * probable hits instead of the whole corpus's shingles. Bloom
+    * filters have no false negatives, so the exact join downstream
+    * returns EXACTLY [[contaminatedDocs]]'s rows — same oracle, pruned
+    * shuffle. At 100 TB this is the difference between shuffling every
+    * document's n-grams and shuffling only the ~|eval|-correlated
+    * sliver (runtime row-level filtering, done declaratively). */
+  def bloomContaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, k: Int = 5, minShared: Long = 1L,
+      nWords: Int = 1024, nProbes: Int = 3): DataFrame = {
+    val sh = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), evalPred.as("is_eval"),
+        explode(shingles(col(textCol), k).cast("array<string>")).as("s"))
+    // eval shingles feed the bloom build AND the exact join
+    Caches.scoped(sh) {
+      val ev = sh.filter(col("is_eval"))
+        .select(col("s"), col("id").as("eval_id"))
+      val bits = Bloom.buildBits(ev, col("s"), nWords, nProbes)
+      sh.filter(!col("is_eval"))
+        .filter(Bloom.mightContain(bits, col("s"), nProbes))
+        .join(ev, "s")
+        .groupBy(col("id").as(idCol))
+        .agg(countDistinct(col("s")).as("n_shared_shingles"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .filter(col("n_shared_shingles") >= minShared)
+    }
+  }
+
   /** Duplicated-substring span detection (the signal behind
     * suffix-array dedup, Lee et al. '21 "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499): for every doc

@@ -434,6 +434,43 @@ object PipelineQueries {
     Dedup.dupSpans(docs(s, dir), "doc_id", "text", k = 5, minSpan = 20)
       .orderBy("id_a", "id_b")
 
+  /** Bloom-prefiltered decontamination: eval set = every 97th doc,
+    * train docs sharing ≥ 2 5-grams. Same exact semantics as t15's
+    * operator (Bloom has no false negatives) with the corpus-side
+    * shuffle pruned to probable hits — the 100 TB form of the query. */
+  def d08BloomDecontam(s: SparkSession, dir: String): DataFrame =
+    Dedup.bloomContaminatedDocs(docs(s, dir), "doc_id", "text",
+        evalPred = col("doc_id") % 97 === 0, k = 5, minShared = 2L)
+      .orderBy("doc_id")
+
+  /** Heavy-hitter tokens via the Misra-Gries sketch, gated against the
+    * exact answer: the true top-10 tokens (by exact count) each carry
+    * their sketch verdict — present in the capacity-64 summary with
+    * the estimate inside the ±n/(capacity+1) additive band. At corpus
+    * scale only the sketch side runs (constant-size state per
+    * partition); the exact side here is the verification twin, the
+    * same estimate+exact-band pattern as q48/q53. */
+  def t21HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val cap = 64
+    val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+    // one pass builds the sketch + the total count (constant state);
+    // the exact groupBy is the verification twin
+    val sketch = tok.agg(
+      graft.functions.FreqSketchAgg.freqSketch(col("token"), cap).as("sk"),
+      count(lit(1)).as("n_total"))
+    val est = sketch.select(explode(col("sk")), col("n_total"))
+      .select(col("key").as("token"), col("value").as("est"), col("n_total"))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(10)
+    exact.join(est, Seq("token"), "left")
+      .select(col("token"), col("cnt"),
+        (col("est").isNotNull && col("est") <= col("cnt") &&
+          col("est") >= col("cnt") - (col("n_total") / lit(cap + 1)))
+          .cast("int").as("ok"))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
   /** Hashed-BoW linear classifier score per document (fastText-filter
     * shape, deterministic md5 weight table) and its keep verdict. */
   def t20Classifier(s: SparkSession, dir: String): DataFrame =
@@ -492,7 +529,9 @@ object PipelineQueries {
     "d05_dup_clusters" -> d05DupClusters,
     "d06_dup_triangles" -> d06DupTriangles,
     "d07_dup_spans" -> d07DupSpans,
+    "d08_bloom_decontam" -> d08BloomDecontam,
     "t20_classifier" -> t20Classifier,
+    "t21_heavy_hitters" -> t21HeavyHitters,
     "v09_semdedup" -> v09SemDedup,
     "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
@@ -822,6 +861,27 @@ object PipelineQueries {
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "d07_dup_spans" -> d07OracleSql,
+    "d08_bloom_decontam" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk) - 3)])
+        |    END AS sh
+        |  FROM toks),
+        |u AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |ev AS (SELECT s, doc_id AS eval_id FROM u WHERE doc_id % 97 = 0),
+        |tr AS (SELECT s, doc_id FROM u WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared_shingles,
+        |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev USING (s) GROUP BY doc_id
+        |HAVING count(DISTINCT s) >= 2 ORDER BY doc_id""".stripMargin),
+    "t21_heavy_hitters" ->
+      ("""WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
+        |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
     "t20_classifier" ->
       (s"SELECT doc_id, clf_score, CASE WHEN clf_score > 0 THEN 1 ELSE 0 END AS keep " +
         s"FROM (SELECT doc_id, ${TextFns.classifierScoreSql("text")} AS clf_score FROM documents) " +
