@@ -294,6 +294,48 @@ object Dedup {
       .filter(col("max_span") >= minSpan)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme): hash every k-gram, slide a window of
+    * `w` consecutive gram hashes, and select each window's minimum —
+    * the guarantee is that any shared substring of length ≥ w+k-1
+    * tokens contributes at least one IDENTICAL selected fingerprint to
+    * both documents, at ~2/(w+1) of the grams stored. The selection is
+    * one window-min pass: (hash, position) pairs are encoded into a
+    * single orderable long (hash·2²⁰ + pos) so the frame min carries
+    * the tie-break (lowest hash, then leftmost position) without a
+    * struct ordering; per-doc windows mean the only shuffle is the
+    * partitionBy(doc) sort — fingerprint SETS, not documents, are what
+    * downstream plagiarism/near-dup joins move.
+    *
+    * Hashes are md5-digit derived (16 bits here — collision-tolerant by
+    * design for fingerprint sets) so any engine can replay the exact
+    * selection; the 2²⁰ position radix caps docs at ~1M grams, a
+    * per-document bound (not a corpus bound) that holds for any
+    * chunked/pre-split corpus. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val gramArr = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val radix = 1048576L // 2^20 position slots per doc
+    val grams = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), posexplode(gramArr))
+      .select(col("id"), (col("pos") + 1).as("p"),
+        conv(substring(md5(col("col")), 1, 4), 16, 10).cast("long").as("hx"))
+    val wDoc = Window.partitionBy("id")
+    val wFrame = Window.partitionBy("id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("ng", count(lit(1)).over(wDoc))
+      .withColumn("m", min(col("hx") * radix + col("p")).over(wFrame))
+      .filter(col("p") <= col("ng") - (w - 1)) // full windows only
+      .select(col("id").as(idCol), (col("m") % radix).as("fp_pos"),
+        (col("m") / radix).cast("long").as("fp_hash"))
+      .distinct()
+  }
+
   // ---- SimHash ----
 
   /** Distinct-token xxhash64 array — the SimHash input. */

@@ -471,6 +471,13 @@ object PipelineQueries {
       .orderBy(desc("cnt"), col("token"))
   }
 
+  /** Winnowing (MOSS) fingerprint selection per document: k=5 grams,
+    * window w=4 — every selected (position, hash) pair, the artifact a
+    * plagiarism/overlap index stores. */
+  def t22Winnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 5, w = 4)
+      .orderBy("doc_id", "fp_pos")
+
   /** Hashed-BoW linear classifier score per document (fastText-filter
     * shape, deterministic md5 weight table) and its keep verdict. */
   def t20Classifier(s: SparkSession, dir: String): DataFrame =
@@ -532,6 +539,7 @@ object PipelineQueries {
     "d08_bloom_decontam" -> d08BloomDecontam,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
+    "t22_winnow" -> t22Winnow,
     "v09_semdedup" -> v09SemDedup,
     "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
@@ -882,6 +890,23 @@ object PipelineQueries {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
         |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    "t22_winnow" -> {
+      val hx = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(array_to_string(l[i:i+4], ' ')), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i AS p, $hx AS hx, len(l) - 4 AS ng
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-4)) AS i) s),
+         |wmin AS (
+         |  SELECT doc_id, p, ng,
+         |    min(hx * 1048576 + p) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |  FROM grams)
+         |SELECT DISTINCT doc_id, CAST(m % 1048576 AS BIGINT) AS fp_pos,
+         |  CAST(m // 1048576 AS BIGINT) AS fp_hash
+         |FROM wmin WHERE p <= ng - 3 ORDER BY doc_id, fp_pos""".stripMargin
+    },
     "t20_classifier" ->
       (s"SELECT doc_id, clf_score, CASE WHEN clf_score > 0 THEN 1 ELSE 0 END AS keep " +
         s"FROM (SELECT doc_id, ${TextFns.classifierScoreSql("text")} AS clf_score FROM documents) " +

@@ -273,6 +273,46 @@ class DedupSpec extends SparkSuite {
     assert(out.count() === 0)
   }
 
+  test("winnowing guarantees a fingerprint in every window and stays deterministic") {
+    val rnd = new scala.util.Random(3)
+    val d = docs((1L to 10L).map(i =>
+      i -> Seq.fill(30 + rnd.nextInt(40))(s"w${rnd.nextInt(200)}").mkString(" ")): _*)
+    val (k, w) = (5, 4)
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    d.collect().foreach { row =>
+      val id = row.getLong(0)
+      val n = row.getString(1).split(" ").length
+      val nGrams = n - k + 1
+      val sel = byDoc(id)
+      // the winnowing guarantee: every full window holds a selection
+      (1 to nGrams - w + 1).foreach { i =>
+        assert((i until i + w).exists(p => sel.contains(p.toLong)),
+          s"doc $id window $i has no fingerprint")
+      }
+      // density: ≤ one selection per window start
+      assert(sel.size <= nGrams - w + 1)
+    }
+    // pure function of the text: a second run selects identically
+    val fp2 = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fp.sorted.toSeq === fp2.sorted.toSeq)
+  }
+
+  test("winnowing: a shared 20-token block yields shared fingerprints") {
+    val shared = (1 to 20).map(i => s"s$i")
+    val a = ((1 to 15).map(i => s"a$i") ++ shared).mkString(" ")
+    val b = (shared ++ (1 to 15).map(i => s"b$i")).mkString(" ")
+    val fp = Dedup.winnowFingerprints(docs(1L -> a, 2L -> b),
+        "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    // guarantee: any shared substring of ≥ w+k-1 = 8 tokens shares a print
+    assert((h1 & h2).nonEmpty)
+  }
+
   test("dupSpans: repeated grams within a doc don't inflate the run") {
     // doc 1 repeats the same 6-token phrase twice, doc 2 has it once:
     // the longest shared span is the 6-token phrase, not a merged 12
