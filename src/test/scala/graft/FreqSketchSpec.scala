@@ -41,4 +41,29 @@ class FreqSketchSpec extends SparkSuite {
     val b = sketchOf(values, capacity = 64, parts = 29)
     assert(a === b)
   }
+
+  test("streaming heavy hitters: complete-mode sketch equals the batch sketch") {
+    // the sketch state is mergeable, so it drops into a streaming
+    // aggregation unchanged — per micro-batch partials merge into the
+    // running summary exactly like map-side partials merge in batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("v")
+      .agg(FreqSketchAgg.freqSketch(col("v"), 64).as("sk"))
+      .select(explode(col("sk")))
+      .writeStream.format("memory").queryName("freq_sk")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1 to 500).map(i => s"k${i % 20}")
+      val batch2 = (1 to 700).map(i => s"k${i % 35}")
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("freq_sk").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = (batch1 ++ batch2).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
