@@ -265,33 +265,45 @@ object Dedup {
     *
     * Returns (id_a, id_b, max_span) for pairs sharing a span of at
     * least `minSpan` tokens. */
+  /** Positional k-gram sequence (index i holds the gram starting at
+    * token i+1) — shared by [[dupSpans]] and [[winnowFingerprints]],
+    * whose short-doc fallbacks differ (empty vs whole-text) and stay at
+    * the caller. Callers must guard `size(toks) >= k`: sequence(1, 0)
+    * DESCENDS ([1, 0]). */
+  private def gramSeq(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - lit(k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minSpan: Int = 20): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
-    // guard short docs: sequence(1, 0) DESCENDS ([1, 0]) — an empty
-    // gram array, not a phantom gram, is what <k-token docs produce
-    val gramArr = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - lit(k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // <k-token docs produce an EMPTY gram array, not a whole-text
+    // fallback: a fabricated gram would report a span of k tokens from
+    // documents that don't contain k tokens
+    val gramArr = when(size(toks) >= k, gramSeq(toks, k))
       .otherwise(array().cast("array<string>"))
     val grams = Caches.spreadByKey(docs, col(idCol))
       .select(col(idCol).as("id"), posexplode(gramArr))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
-    // repeated k-grams inside one doc create duplicate (pair, diag, pa)
-    // matches — distinct them or the island row_number miscounts runs
-    val matches = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
-      .distinct()
-    val wIsl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    matches
-      .withColumn("run_id", col("pa") - row_number().over(wIsl))
-      .groupBy("id_a", "id_b", "diag", "run_id")
-      .agg((count(lit(1)) + lit(k - 1)).as("span"))
-      .groupBy("id_a", "id_b")
-      .agg(max(col("span")).as("max_span"))
-      .filter(col("max_span") >= minSpan)
+    // the tokenize+posexplode lineage feeds BOTH sides of the self-join —
+    // materialize it once for the operator's scope
+    Caches.scoped(grams) {
+      // repeated k-grams inside one doc create duplicate (pair, diag, pa)
+      // matches — distinct them or the island row_number miscounts runs
+      val matches = grams.as("a").join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
+        .distinct()
+      val wIsl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+      matches
+        .withColumn("run_id", col("pa") - row_number().over(wIsl))
+        .groupBy("id_a", "id_b", "diag", "run_id")
+        .agg((count(lit(1)) + lit(k - 1)).as("span"))
+        .groupBy("id_a", "id_b")
+        .agg(max(col("span")).as("max_span"))
+        .filter(col("max_span") >= minSpan)
+    }
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
@@ -315,10 +327,12 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
-    val gramArr = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - lit(k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    // short docs still get a fingerprint (the [[shingles]] convention):
+    // <k tokens fall back to one whole-text gram, and <w windows clamp
+    // to a single window over whatever grams exist — otherwise 5-7
+    // token docs would be invisible to every downstream overlap join
+    val gramArr = when(size(toks) >= k, gramSeq(toks, k))
+      .otherwise(array(concat_ws(" ", toks)))
     val radix = 1048576L // 2^20 position slots per doc
     val grams = Caches.spreadByKey(docs, col(idCol))
       .select(col(idCol).as("id"), posexplode(gramArr))
@@ -330,7 +344,9 @@ object Dedup {
     grams
       .withColumn("ng", count(lit(1)).over(wDoc))
       .withColumn("m", min(col("hx") * radix + col("p")).over(wFrame))
-      .filter(col("p") <= col("ng") - (w - 1)) // full windows only
+      // full windows only — clamped to ≥1 so gram-poor docs keep their
+      // single (truncated-window) selection
+      .filter(col("p") <= greatest(col("ng") - (w - 1), lit(1)))
       .select(col("id").as(idCol), (col("m") % radix).as("fp_pos"),
         (col("m") / radix).cast("long").as("fp_hash"))
       .distinct()

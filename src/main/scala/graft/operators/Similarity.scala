@@ -334,7 +334,10 @@ object Similarity {
     * semantic sibling of [[Dedup.contaminatedDocs]] (n-gram overlap
     * misses paraphrased leaks; embedding similarity catches them). The
     * eval set is benchmark-sized, so it broadcasts; the corpus streams
-    * through one scored pass — no shuffle at all on the 100 TB side. */
+    * through one scored pass. The scoring join itself moves nothing —
+    * the only exchange is the compute-spread repartition of the corpus
+    * scan (a byte-light-input parallelism fix; block-sized inputs at
+    * real scale arrive pre-split and could drop it). */
   def semanticContamination(train: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame =
     Caches.spreadByKey(train, col(idCol))

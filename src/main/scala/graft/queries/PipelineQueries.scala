@@ -891,13 +891,17 @@ object PipelineQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
         |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
     "t22_winnow" -> {
-      val hx = (1 to 4).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(array_to_string(l[i:i+4], ' ')), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      def hx(gram: String) = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5($gram), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
         .mkString("(", " + ", ")")
       s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents),
          |grams AS (
-         |  SELECT doc_id, i AS p, $hx AS hx, len(l) - 4 AS ng
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-4)) AS i) s),
+         |  SELECT doc_id, i AS p, ${hx("array_to_string(l[i:i+4], ' ')")} AS hx, len(l) - 4 AS ng
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-4)) AS i) s
+         |  WHERE len(l) >= 5
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS p, ${hx("array_to_string(l, ' ')")} AS hx, 1 AS ng
+         |  FROM toks WHERE len(l) < 5),
          |wmin AS (
          |  SELECT doc_id, p, ng,
          |    min(hx * 1048576 + p) OVER (PARTITION BY doc_id ORDER BY p
@@ -905,7 +909,7 @@ object PipelineQueries {
          |  FROM grams)
          |SELECT DISTINCT doc_id, CAST(m % 1048576 AS BIGINT) AS fp_pos,
          |  CAST(m // 1048576 AS BIGINT) AS fp_hash
-         |FROM wmin WHERE p <= ng - 3 ORDER BY doc_id, fp_pos""".stripMargin
+         |FROM wmin WHERE p <= GREATEST(ng - 3, 1) ORDER BY doc_id, fp_pos""".stripMargin
     },
     "t20_classifier" ->
       (s"SELECT doc_id, clf_score, CASE WHEN clf_score > 0 THEN 1 ELSE 0 END AS keep " +

@@ -300,6 +300,24 @@ class DedupSpec extends SparkSuite {
     assert(fp.sorted.toSeq === fp2.sorted.toSeq)
   }
 
+  test("winnowing: short docs still fingerprint and identical ones match") {
+    val fp = Dedup.winnowFingerprints(
+        docs(1L -> "tiny doc of seven little words here",  // 7 tokens < k+w-1
+          2L -> "tiny doc of seven little words here",
+          3L -> "only three words",                        // < k tokens
+          4L -> "only three words"),
+        "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1)
+    assert(byDoc.keySet === Set(1L, 2L, 3L, 4L), "every doc fingerprints")
+    assert(byDoc(1L).map(t => (t._2, t._3)).toSet ===
+      byDoc(2L).map(t => (t._2, t._3)).toSet)
+    assert(byDoc(3L).map(t => (t._2, t._3)).toSet ===
+      byDoc(4L).map(t => (t._2, t._3)).toSet)
+    // gram-poor docs clamp to one truncated window → exactly one print
+    assert(byDoc(1L).length === 1 && byDoc(3L).length === 1)
+  }
+
   test("winnowing: a shared 20-token block yields shared fingerprints") {
     val shared = (1 to 20).map(i => s"s$i")
     val a = ((1 to 15).map(i => s"a$i") ++ shared).mkString(" ")
