@@ -33,6 +33,50 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 4) * 1000 < lit(permille.toLong * 65536L))
   }
 
+  /** Deterministic n-per-group sample: the `n` rows of each group with
+    * the smallest md5(id) — "give me 100 examples from every source/
+    * language/bucket" with assignments that never move between runs or
+    * engines. One window per group (key-partitioned shuffle); no
+    * global sort, no driver state. */
+  def sampleNPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Epoch-weight replication — the upsampling half of corpus mixing
+    * (e.g. Wikipedia 3.5 epochs, CommonCrawl 0.8): every row appears
+    * `floor(weight)` times plus one more for the deterministic
+    * `frac(weight)` hash-cut slice, as (row, copy_idx) pairs. Pure
+    * per-row explode of a small sequence — no shuffle, no join; the
+    * fractional cut reuses the md5-digit permille mechanics, so copies
+    * are stable across runs, shards, and engines. Weights are permille
+    * thousandths: 3500 = 3.5 epochs. */
+  def replicateByWeight(df: DataFrame, idCol: String, stratumCol: String,
+      weightPermilleByStratum: Map[String, Int],
+      defaultWeightPermille: Int = 1000): DataFrame = {
+    (weightPermilleByStratum.values.toSeq :+ defaultWeightPermille)
+      .foreach(p => require(p >= 0, "weight permille must be >= 0"))
+    val permille = weightPermilleByStratum.foldLeft(
+      lit(defaultWeightPermille.toLong)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p.toLong)).otherwise(acc)
+    }
+    val whole = (permille / 1000L).cast("long")
+    val fracPermille = permille % 1000L
+    val extra = (hashBucket(col(idCol), 4) * 1000 <
+      fracPermille * 65536L).cast("long")
+    val copies = whole + extra
+    // sequence(1, 0) DESCENDS ([1, 0]) — zero-copy rows need an empty
+    // array (dropped by explode), not a phantom pair
+    df.withColumn("copy_idx",
+        explode(when(copies >= 1, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+  }
+
   /** Stratified deterministic sampling — per-stratum keep rates (the
     * corpus-mixture rebalance: upsample rare languages/sources, downweigh
     * the dominant one). Same md5-digit cut as [[sampleDeterministic]],

@@ -471,6 +471,22 @@ object PipelineQueries {
       .orderBy(desc("cnt"), col("token"))
   }
 
+  /** Deterministic 20-per-source exemplar sample — the "show me N from
+    * every stratum" primitive of corpus QA dashboards. */
+  def t23GroupSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleNPerGroup(docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source", n = 20)
+      .orderBy("source", "doc_id")
+
+  /** Epoch-weight corpus mixing: English 0.8 epochs, Chinese 2.5,
+    * everything else 1.0 — the replication half of a mixture schedule,
+    * emitted as (doc, copy_idx) pairs. */
+  def t24EpochMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.replicateByWeight(docs(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 800, "zh" -> 2500),
+        defaultWeightPermille = 1000)
+      .orderBy("doc_id", "copy_idx")
+
   /** Winnowing (MOSS) fingerprint selection per document: k=5 grams,
     * window w=4 — every selected (position, hash) pair, the artifact a
     * plagiarism/overlap index stores. */
@@ -540,6 +556,8 @@ object PipelineQueries {
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
     "t22_winnow" -> t22Winnow,
+    "t23_group_sample" -> t23GroupSample,
+    "t24_epoch_mix" -> t24EpochMix,
     "v09_semdedup" -> v09SemDedup,
     "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
@@ -890,6 +908,29 @@ object PipelineQueries {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
         |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    "t23_group_sample" ->
+      ("""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin),
+    "t24_epoch_mix" -> {
+      val bucket = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'en' THEN 800 WHEN lang = 'zh' THEN 2500 ELSE 1000 END AS pm,
+         |    $bucket AS b
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    (pm // 1000) + CASE WHEN b * 1000 < (pm % 1000) * 65536 THEN 1 ELSE 0 END AS n
+         |  FROM w)
+         |SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx
+         |FROM c, LATERAL (SELECT unnest(generate_series(1, CAST(n AS BIGINT))) AS i) s
+         |WHERE n >= 1 ORDER BY doc_id, copy_idx""".stripMargin
+    },
     "t22_winnow" -> {
       def hx(gram: String) = (1 to 4).map(i =>
         s"(strpos('0123456789abcdef', substr(md5($gram), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")

@@ -46,6 +46,39 @@ class SamplingSpec extends SparkSuite {
     assert(strat === flat) // default 0 drops all of b
   }
 
+  test("sampleNPerGroup: exactly n per group, stable across partitionings") {
+    val d = (1L to 500L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val a = Sampling.sampleNPerGroup(d, "id", "grp", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.size === 70)
+    assert(a.groupBy(_._2).forall(_._2.size == 10))
+    val b = Sampling.sampleNPerGroup(d.repartition(13), "id", "grp", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b === a) // md5 order, not partition order
+    // n larger than the group keeps the whole group
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.sampleNPerGroup(tiny, "id", "grp", 10).count() === 2L)
+  }
+
+  test("replicateByWeight: whole epochs replicate, fractions hash-cut, zero drops") {
+    val d = (1L to 1000L).map(i =>
+      (i, if (i <= 400) "up" else if (i <= 800) "down" else "zero"))
+      .toDF("id", "grp")
+    val out = Sampling.replicateByWeight(d, "id", "grp",
+        Map("up" -> 2500, "down" -> 400, "zero" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // up: 400 docs × (2 + ~0.5) ≈ 1000; down: 400 × ~0.4 ≈ 160; zero: none
+    assert(byGrp("up") > 900 && byGrp("up") < 1100, s"up=${byGrp("up")}")
+    assert(byGrp("down") > 120 && byGrp("down") < 200, s"down=${byGrp("down")}")
+    assert(!byGrp.contains("zero"))
+    // copy indices are 1..n per doc, and every 'up' doc appears ≥ 2×
+    val upCopies = out.filter(_._2 == "up").groupBy(_._1)
+    assert(upCopies.forall { case (_, c) =>
+      c.map(_._3).sorted.toSeq == (1L to c.length).toSeq })
+    assert(upCopies.forall(_._2.length >= 2))
+  }
+
   test("deterministic sample keeps ~permille/1000 and is a subset") {
     val kept = Sampling.sampleDeterministic(ids, "id", permille = 100)
       .collect().map(_.getLong(0)).toSet
