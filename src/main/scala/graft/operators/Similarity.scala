@@ -350,6 +350,76 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("train_id"), col("eval_id"), round(col("sim"), 4).as("sim"))
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98): from each query's top-`c` cosine candidates, greedily
+    * pick `k` results trading relevance against redundancy —
+    * `λ·sim(q,d) − (1−λ)·max_{s∈sel} sim(d,s)`. The pick loop is
+    * UNROLLED into the plan (k is small and fixed at serving time):
+    * each round is a per-query window argmax plus a query-keyed join
+    * that folds the new pick's similarity into the running redundancy
+    * penalty — every stage is partitioned by query id over ≤ c rows
+    * per query, so a batch of a million queries re-ranks as one
+    * shuffle-bounded job, no driver loop over queries. Candidates come
+    * from [[bruteForceTopK]] here; swap in [[lshTopK]]/[[ivfTopK]] for
+    * the ANN tier at corpus scale. Ties break by neighbor id, so the
+    * selection is deterministic and engine-replayable. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 3, c: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && c >= k, "need c >= k >= 1")
+    val vecs = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    // candidate generation inlined (not bruteForceTopK) so the MMR
+    // arithmetic runs on UNROUNDED similarities end to end — mixing the
+    // presentation-rounded sim with unrounded penalties would shift
+    // every round-2+ score by up to 5e-5
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val cand0 = vecs.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * col("vn"), lit(0.0)))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= c)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("v"), col("vn"))
+      // below-cosine-range sentinel, NOT 0.0: the redundancy penalty is
+      // a MAX over selected-doc cosines and may legitimately be negative
+      .withColumn("pen", lit(-2.0))
+    // the candidate pool feeds every unrolled round — materialize once
+    Caches.scoped(cand0) {
+      var cands = cand0
+      var picks = Vector.empty[DataFrame]
+      (1 to k).foreach { r =>
+        val score = if (r == 1) col("sim")
+          else col("sim") * lambda - col("pen") * (1 - lambda)
+        val w = Window.partitionBy("query_id")
+          .orderBy(score.desc, col("neighbor_id"))
+        val pick = cands.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(score, 4).as("mmr_score"), lit(r.toLong).as("mmr_rank"),
+            col("v").as("sv"), col("vn").as("svn"))
+        picks :+= pick
+        if (r < k) {
+          val sel = pick.select(col("query_id"),
+            col("neighbor_id").as("sel_id"), col("sv"), col("svn"))
+          cands = cands.join(sel, "query_id")
+            .filter(col("neighbor_id") =!= col("sel_id"))
+            .withColumn("pen", greatest(col("pen"),
+              dot(col("v"), col("sv")) /
+                nullif(col("vn") * col("svn"), lit(0.0))))
+            .drop("sel_id", "sv", "svn")
+        }
+      }
+      picks.map(_.select("query_id", "neighbor_id", "mmr_rank", "mmr_score"))
+        .reduce(_.unionByName(_))
+    }
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked
     * (the embedding analog of [[Dedup.minhashDedupPairs]]). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

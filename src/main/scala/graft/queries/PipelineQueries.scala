@@ -502,6 +502,16 @@ object PipelineQueries {
       .withColumn("keep", (col("clf_score") > 0).cast("int"))
       .orderBy("doc_id")
 
+  /** MMR diversified top-3 from the top-10 cosine candidates for
+    * queries 0-2 (λ = 0.7) — relevance/redundancy trade at serving
+    * time. */
+  def v11MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.mmrRerank(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, c = 10, lambda = 0.7)
+      .orderBy("query_id", "mmr_rank")
+  }
+
   // ---- multimodal plumbing ----
 
   def m01MultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -583,6 +593,7 @@ object PipelineQueries {
     "v05_label_centroids" -> v05LabelCentroids,
     "v07_kmeans_step" -> v07KmeansStep,
     "v08_ann_recall" -> v08AnnRecall,
+    "v11_mmr_rerank" -> v11MmrRerank,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
@@ -707,6 +718,50 @@ object PipelineQueries {
       |SELECT id_a, id_b, CAST(MAX(span) AS BIGINT) AS max_span
       |FROM spans GROUP BY id_a, id_b HAVING MAX(span) >= 20
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of [[Similarity.mmrRerank]] (k=3, c=10, λ=0.7),
+    * unrolled exactly like the operator. λ and 1−λ are interpolated
+    * from the same Scala doubles the operator multiplies by, so both
+    * engines compare bit-identical scores. */
+  private lazy val v11OracleSql: String = {
+    val lam = 0.7
+    val mu = (1 - lam).toString // 0.30000000000000004 — match Spark's 1-λ
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cn AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+       |q AS (SELECT neighbor_id AS query_id, v AS qv, vn AS qn FROM cn WHERE neighbor_id < 3),
+       |scored AS (
+       |  SELECT q.query_id, cn.neighbor_id, cn.v, cn.vn,
+       |    list_dot_product(q.qv, cn.v) / NULLIF(q.qn * cn.vn, 0.0) AS sim
+       |  FROM q, cn WHERE q.query_id <> cn.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id, v, vn, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) WHERE rn <= 10),
+       |p1 AS (SELECT query_id, neighbor_id AS s1, v AS v1, vn AS n1, sim AS sc1 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |r2 AS (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.v, cand.vn, cand.sim,
+       |    list_dot_product(cand.v, p1.v1) / NULLIF(cand.vn * p1.n1, 0.0) AS pen
+       |  FROM cand JOIN p1 USING (query_id) WHERE cand.neighbor_id <> p1.s1),
+       |p2 AS (SELECT query_id, neighbor_id AS s2, v AS v2, vn AS n2,
+       |    sim * $lam - pen * $mu AS sc2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY (sim * $lam - pen * $mu) DESC, neighbor_id) AS rn
+       |  FROM r2) WHERE rn = 1),
+       |r3 AS (
+       |  SELECT r2.query_id, r2.neighbor_id, r2.sim,
+       |    GREATEST(r2.pen, list_dot_product(r2.v, p2.v2) / NULLIF(r2.vn * p2.n2, 0.0)) AS pen
+       |  FROM r2 JOIN p2 USING (query_id) WHERE r2.neighbor_id <> p2.s2),
+       |p3 AS (SELECT query_id, neighbor_id AS s3,
+       |    sim * $lam - pen * $mu AS sc3 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY (sim * $lam - pen * $mu) DESC, neighbor_id) AS rn
+       |  FROM r3) WHERE rn = 1)
+       |SELECT query_id, s1 AS neighbor_id, CAST(1 AS BIGINT) AS mmr_rank, ROUND(sc1, 4) AS mmr_score FROM p1
+       |UNION ALL SELECT query_id, s2, 2, ROUND(sc2, 4) FROM p2
+       |UNION ALL SELECT query_id, s3, 3, ROUND(sc3, 4) FROM p3
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
 
   private lazy val v03OracleSql: String =
     s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -886,6 +941,7 @@ object PipelineQueries {
     "v04_ann_ivf" -> v04OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
+    "v11_mmr_rerank" -> v11OracleSql,
     "d07_dup_spans" -> d07OracleSql,
     "d08_bloom_decontam" ->
       ("""WITH toks AS (

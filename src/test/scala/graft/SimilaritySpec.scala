@@ -156,6 +156,38 @@ class SimilaritySpec extends SparkSuite {
     assert(out.select("id").distinct().count() === e.count())
   }
 
+  test("mmrRerank diversifies: near-duplicate demoted below a distinct hit") {
+    // q's plain top-2 is the near-dup pair {11, 10} (cos(10,11) ≈ 0.997,
+    // both ≈ 0.90 to q — 11 wins rank 1 by a norm hair); MMR at λ=0.7
+    // must put the diverse 12 second, not the near-dup:
+    //   10: 0.7·0.900 − 0.3·0.997 ≈ 0.331  <  12: 0.7·0.850 − 0.3·0.538 ≈ 0.433
+    val corpus = vecs(
+      10L -> Seq(0.9f, 0.436f, 0.0f),
+      11L -> Seq(0.9f, 0.43f, 0.07f),
+      12L -> Seq(0.85f, -0.527f, 0.0f))
+    val q = vecs(1L -> Seq(1.0f, 0.0f, 0.0f))
+    val out = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        k = 3, c = 3, lambda = 0.7)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(11L, 12L, 10L))
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("mmrRerank rank-1 equals the plain cosine argmax per query") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 3)
+    val mmr1 = Similarity.mmrRerank(e, qs, "vec_id", "embedding",
+        k = 3, c = 10, lambda = 0.7)
+      .filter(col("mmr_rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top1 = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmr1 === top1)
+  }
+
   test("semanticContamination flags an identical train/eval pair at 1.0") {
     val ev = vecs(1L -> Seq(0.6f, 0.8f, 0.0f))
     val tr = vecs(
