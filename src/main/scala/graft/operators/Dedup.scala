@@ -182,6 +182,49 @@ object Dedup {
     }
   }
 
+  /** Incremental MinHash dedup — the daily-increment shape: near-dup
+    * pairs touching a NEW document (new×corpus and new×new), never
+    * re-pairing the settled corpus with itself. The band join probes
+    * with only the new side's band rows, so the incremental cost is
+    * |new bands| × (bucket hit sizes), independent of |corpus|² — at a
+    * 100 TB corpus with a 0.1% daily increment that is the difference
+    * between a feasible nightly job and a full re-dedup. Semantics:
+    * exactly [[minhashDedupPairs]]'s verified pairs restricted to those
+    * with at least one endpoint satisfying `newPred`. */
+  def incrementalMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      newPred: Column, threshold: Double = 0.7, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
+      newPred.as("is_new"), hashedShingles(col(textCol), k).as("hs"))
+    val exploded = signaturesFromHashes(hs.select("id", "hs"), numHashes)
+      .join(hs.select("id", "is_new"), "id")
+      .select(col("id"), col("is_new"),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "bucket")))
+    Caches.scoped(hs, exploded) {
+      // probe with the increment only; both orders arrive (new×old and
+      // old×new), canonicalized by least/greatest then distinct'd
+      val cands = exploded.filter(col("is_new")).as("a")
+        .join(exploded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct()
+      cands
+        .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("__j", col("__i").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("__i")))
+        .filter(col("__j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+    }
+  }
+
   /** Benchmark decontamination — the train/eval overlap sweep every
     * corpus build runs before training: find train documents sharing at
     * least `minShared` distinct k-gram shingles with ANY eval document

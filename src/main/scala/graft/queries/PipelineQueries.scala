@@ -434,6 +434,14 @@ object PipelineQueries {
     Dedup.dupSpans(docs(s, dir), "doc_id", "text", k = 5, minSpan = 20)
       .orderBy("id_a", "id_b")
 
+  /** Incremental dedup: docs ≡ 3 (mod 10) play the daily increment;
+    * near-dup pairs touching the increment, at exactly d02's semantics
+    * — without re-pairing the settled 90% with itself. */
+  def d09IncrementalMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalMinhashPairs(docs(s, dir), "doc_id", "text",
+        newPred = col("doc_id") % 10 === 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
   /** Bloom-prefiltered decontamination: eval set = every 97th doc,
     * train docs sharing ≥ 2 5-grams. Same exact semantics as t15's
     * operator (Bloom has no false negatives) with the corpus-side
@@ -563,6 +571,7 @@ object PipelineQueries {
     "d06_dup_triangles" -> d06DupTriangles,
     "d07_dup_spans" -> d07DupSpans,
     "d08_bloom_decontam" -> d08BloomDecontam,
+    "d09_incremental_minhash" -> d09IncrementalMinhash,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
     "t22_winnow" -> t22Winnow,
@@ -1049,6 +1058,23 @@ object PipelineQueries {
         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+    "d09_incremental_minhash" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
     // replays Dedup.withSimhashChunks digit-for-digit (md5 is the shared

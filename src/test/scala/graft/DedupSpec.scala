@@ -273,6 +273,21 @@ class DedupSpec extends SparkSuite {
     assert(out.count() === 0)
   }
 
+  test("incremental minhash equals the full dedup restricted to new endpoints") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val isNew = (id: Long) => id % 5 == 2
+    val full = Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => isNew(p._1) || isNew(p._2)).toSet
+    val incr = Dedup.incrementalMinhashPairs(d, "doc_id", "text",
+        newPred = col("doc_id") % 5 === 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "need near-dup pairs touching the increment")
+    assert(incr === full)
+    // and nothing from the settled corpus pairs with itself
+    assert(incr.forall(p => isNew(p._1) || isNew(p._2)))
+  }
+
   test("winnowing guarantees a fingerprint in every window and stays deterministic") {
     val rnd = new scala.util.Random(3)
     val d = docs((1L to 10L).map(i =>
