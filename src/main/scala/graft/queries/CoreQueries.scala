@@ -461,6 +461,27 @@ object CoreQueries {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Markov transition matrix over per-user event sequences: P(next
+    * event type | current), the behavioral-model fit every product
+    * analytics stack computes. One lead() window per user (key-
+    * partitioned sort — the sequence reconstruction), then a grouped
+    * count and a from-type-partitioned ratio; nothing global, no
+    * driver state, scales with users × events-per-user. */
+  def e09Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    t(s, dir, "events").select("user_id", "ts", "event_id", "event_type")
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wFrom), 4))
+      .orderBy("from_type", "to_type")
+  }
+
   /** SCD type-2 MERGE over the customer dimension: a deterministic
     * update batch (every 10th customer's balance moves; 20 brand-new
     * keys arrive) applied via [[graft.operators.Scd.scd2Merge]] —
@@ -799,6 +820,7 @@ object CoreQueries {
     "q37_variant_stage" -> q37VariantStage,
     "e01_sessions" -> e01Sessions,
     "e02_asof_orders" -> e02AsofOrders,
+    "e09_transitions" -> e09Transitions,
     "q38_rollup" -> q38Rollup,
     "q39_percentiles" -> q39Percentiles,
     "q36_frac_nullif" -> q36FracNullif,
@@ -1111,6 +1133,17 @@ object CoreQueries {
       ("""SELECT date_trunc('hour', ts) AS h, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
+    "e09_transitions" ->
+      ("""WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin),
     // the literal correlated form — the Spark side decorrelates it into
     // a window average; a green hash proves the rewrite
     "q54_above_cust_avg" ->
