@@ -510,6 +510,22 @@ object PipelineQueries {
       .withColumn("keep", (col("clf_score") > 0).cast("int"))
       .orderBy("doc_id")
 
+  /** Hard-negative / labeling-error mining: LSH-blocked near-dup pairs
+    * (cosine ≥ 0.3) whose LABELS disagree — the pairs a contrastive
+    * trainer wants as hard negatives and a label auditor wants as
+    * suspects. Pure composition: the v03 near-dup pair generator plus
+    * two broadcast-scale label attaches. */
+  def v12HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val labels = emb(s, dir).select(col("vec_id"), col("label"))
+    Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.3, numPlanes = 6, dim = 64)
+      .join(labels.select(col("vec_id").as("id_a"), col("label").as("label_a")), "id_a")
+      .join(labels.select(col("vec_id").as("id_b"), col("label").as("label_b")), "id_b")
+      .filter(col("label_a") =!= col("label_b"))
+      .select("id_a", "id_b", "label_a", "label_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
   /** MMR diversified top-3 from the top-10 cosine candidates for
     * queries 0-2 (λ = 0.7) — relevance/redundancy trade at serving
     * time. */
@@ -603,6 +619,7 @@ object PipelineQueries {
     "v07_kmeans_step" -> v07KmeansStep,
     "v08_ann_recall" -> v08AnnRecall,
     "v11_mmr_rerank" -> v11MmrRerank,
+    "v12_hard_negatives" -> v12HardNegatives,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
@@ -951,6 +968,15 @@ object PipelineQueries {
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,
+    "v12_hard_negatives" ->
+      s"""WITH c AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT id, label, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v", annPlanes)} AS bucket FROM c)
+         |SELECT a.id AS id_a, bb.id AS id_b, a.label AS label_a, bb.label AS label_b,
+         |  ROUND(list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0), 4) AS sim
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+         |WHERE list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0) >= 0.3
+         |  AND a.label <> bb.label
+         |ORDER BY id_a, id_b""".stripMargin,
     "d07_dup_spans" -> d07OracleSql,
     "d08_bloom_decontam" ->
       ("""WITH toks AS (
