@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZValue].getCanonicalName, null,
         "z_value", GraftFunctions.zValueUsage, ""),
       GraftFunctions.zValueBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getCanonicalName, null,
+        "freq_sketch", GraftFunctions.freqSketchUsage, ""),
+      GraftFunctions.freqSketchBuilder))
   }
 }
 
@@ -65,6 +70,16 @@ object GraftFunctions {
       s"z_value expects (a, b), got ${args.size} args")
   }
 
+  private[functions] val freqSketchUsage =
+    "freq_sketch(item_col, capacity) - aggregate: Misra-Gries heavy-hitter summary (map<string,bigint>) with additive error n/(capacity+1)"
+
+  private[functions] val freqSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(child, Literal(cap: Int, _)) =>
+      FreqSketchAgg(child, cap).toAggregateExpression()
+    case args => throw new IllegalArgumentException(
+      s"freq_sketch expects (item_col, int literal capacity), got ${args.size} args")
+  }
+
   /** Register on a live session: `spark.sql("... minhash_sig(h, 64) ...")`. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "minhash_sig", minhashSigUsage,
@@ -73,5 +88,7 @@ object GraftFunctions {
       shingleHashesBuilder)
     ColumnBridge.registerFunction(spark, "z_value", zValueUsage,
       zValueBuilder)
+    ColumnBridge.registerFunction(spark, "freq_sketch", freqSketchUsage,
+      freqSketchBuilder)
   }
 }

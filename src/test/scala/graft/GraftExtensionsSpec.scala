@@ -44,6 +44,15 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(sql === graft.functions.ZOrderOps.interleave(3L, 5L))
   }
 
+  test("freq_sketch is callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a", "a", "b", "a", "c").toDF("v").createOrReplaceTempView("fs_in")
+    val m = spark.sql("SELECT freq_sketch(v, 8) AS sk FROM fs_in")
+      .collect()(0).getMap[String, Long](0)
+    assert(m === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("extensions class injects without a session (config-based deploys)") {
     // instantiable + applies cleanly to a fresh extensions container —
     // what spark.sql.extensions=graft.functions.GraftExtensions does
