@@ -482,6 +482,43 @@ object CoreQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Session-scoped funnel: the e04 funnel rerun INSIDE 30-minute
+    * sessions — view → click → purchase must complete within one
+    * session, the conversion question product analytics actually asks
+    * (the user-lifetime funnel overcounts). Composition of the e01
+    * session assignment (per-user window) and the e04 step chain with
+    * (user, session) as the funnel key; every stage stays partitioned
+    * on the user key. */
+  def e10SessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60L * 1000000L
+    val brk = when(lag(col("ts"), 1).over(wU).isNull ||
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU)) >= gapUs,
+      lit(1L)).otherwise(lit(0L))
+    val e = t(s, dir, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("sid", sum(brk).over(wU.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val key = Seq("user_id", "sid")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(key.map(col): _*).agg(min("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, key).filter(col("ts") > col("v_ts"))
+      .groupBy(key.map(col): _*).agg(min("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, key).filter(col("ts") > col("c_ts"))
+      .groupBy(key.map(col): _*).agg(min("ts").as("p_ts"))
+    v.agg(count(lit(1)).as("n_sessions"))
+      .select(lit("1_view").as("step"), col("n_sessions"))
+      .unionByName(c.agg(count(lit(1)).as("n_sessions"))
+        .select(lit("2_click_after_view").as("step"), col("n_sessions")))
+      .unionByName(p.agg(count(lit(1)).as("n_sessions"))
+        .select(lit("3_purchase_after_click").as("step"), col("n_sessions")))
+      .orderBy("step")
+  }
+
   /** SCD type-2 MERGE over the customer dimension: a deterministic
     * update batch (every 10th customer's balance moves; 20 brand-new
     * keys arrive) applied via [[graft.operators.Scd.scd2Merge]] —
@@ -821,6 +858,7 @@ object CoreQueries {
     "e01_sessions" -> e01Sessions,
     "e02_asof_orders" -> e02AsofOrders,
     "e09_transitions" -> e09Transitions,
+    "e10_session_funnel" -> e10SessionFunnel,
     "q38_rollup" -> q38Rollup,
     "q39_percentiles" -> q39Percentiles,
     "q36_frac_nullif" -> q36FracNullif,
@@ -1133,6 +1171,22 @@ object CoreQueries {
       ("""SELECT date_trunc('hour', ts) AS h, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
+    "e10_session_funnel" ->
+      ("""WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts,
+        |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+        |v AS (SELECT user_id, sid, min(ts) AS v_ts FROM s WHERE event_type = 'view' GROUP BY user_id, sid),
+        |c AS (SELECT s.user_id, s.sid, min(s.ts) AS c_ts FROM s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+        |   WHERE s.event_type = 'click' AND s.ts > v.v_ts GROUP BY s.user_id, s.sid),
+        |p AS (SELECT s.user_id, s.sid, min(s.ts) AS p_ts FROM s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+        |   WHERE s.event_type = 'purchase' AND s.ts > c.c_ts GROUP BY s.user_id, s.sid)
+        |SELECT '1_view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_sessions
+        |UNION ALL SELECT '2_click_after_view', CAST((SELECT count(*) FROM c) AS BIGINT)
+        |UNION ALL SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
+        |ORDER BY step""".stripMargin),
     "e09_transitions" ->
       ("""WITH seq AS (
         |  SELECT event_type AS from_type,
