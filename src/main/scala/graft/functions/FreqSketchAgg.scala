@@ -7,6 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -40,6 +41,16 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
   with UnaryLike[Expression] {
 
   require(capacity >= 1, "capacity must be >= 1")
+
+  // analysis-time type contract: the buffer stores UTF8Strings, so a
+  // non-string child must fail analysis rather than throw a per-task
+  // ClassCastException mid-job (same rule as ShingleHashes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_sketch expects a STRING argument, got ${other.sql}")
+    }
 
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty

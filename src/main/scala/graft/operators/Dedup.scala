@@ -167,20 +167,27 @@ object Dedup {
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-      cands
-        .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-        .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-        // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
-        // op per pair instead of two
-        .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("__j", col("__i").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("__i")))
-        // threshold on the UNROUNDED value (rounding first would admit
-        // pairs up to 5e-5 below it); round only for presentation
-        .filter(col("__j") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+      verifyJaccardPairs(cands, hs, threshold)
     }
   }
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against
+    * an (id, hs) hashed-shingle frame — the shared precision stage of
+    * [[minhashDedupPairs]] and [[incrementalMinhashPairs]]. */
+  private def verifyJaccardPairs(cands: DataFrame, hs: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      // |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct) — one array
+      // op per pair instead of two
+      .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("__j", col("__i").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("__i")))
+      // threshold on the UNROUNDED value (rounding first would admit
+      // pairs up to 5e-5 below it); round only for presentation
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
 
   /** Incremental MinHash dedup — the daily-increment shape: near-dup
     * pairs touching a NEW document (new×corpus and new×new), never
@@ -214,14 +221,7 @@ object Dedup {
         .select(least(col("a.id"), col("b.id")).as("id_a"),
           greatest(col("a.id"), col("b.id")).as("id_b"))
         .distinct()
-      cands
-        .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-        .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-        .withColumn("__i", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("__j", col("__i").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("__i")))
-        .filter(col("__j") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+      verifyJaccardPairs(cands, hs.select("id", "hs"), threshold)
     }
   }
 
@@ -238,7 +238,20 @@ object Dedup {
     * (bit-identical cross-engine, used by the oracle twin). */
   def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, k: Int = 5, minShared: Long = 1L,
-      hashed: Boolean = true): DataFrame = {
+      hashed: Boolean = true): DataFrame =
+    contaminationSweep(docs, idCol, textCol, evalPred, k, minShared,
+      hashed, prefilter = (_, train) => train)
+
+  /** The shared contamination body: shingle explode (cached for both
+    * probes), eval-side postings, exact join, per-doc distinct counts.
+    * `prefilter(ev, train)` may prune the train side BEFORE the join
+    * (the [[bloomContaminatedDocs]] hook) — it must never drop a row
+    * that would join (no false negatives), or the two public operators'
+    * documented equivalence breaks. */
+  private def contaminationSweep(docs: DataFrame, idCol: String,
+      textCol: String, evalPred: Column, k: Int, minShared: Long,
+      hashed: Boolean,
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val shCol = if (hashed) hashedShingles(col(textCol), k)
       else shingles(col(textCol), k).cast("array<string>")
     val sh = Caches.spreadByKey(docs, col(idCol))
@@ -249,7 +262,7 @@ object Dedup {
     Caches.scoped(sh) {
       val ev = sh.filter(col("is_eval"))
         .select(col("s"), col("id").as("eval_id"))
-      sh.filter(!col("is_eval"))
+      prefilter(ev, sh.filter(!col("is_eval")))
         .join(ev, "s")
         .groupBy(col("id").as(idCol))
         // shingles are distinct per doc, but one train shingle can meet
@@ -272,24 +285,15 @@ object Dedup {
     * sliver (runtime row-level filtering, done declaratively). */
   def bloomContaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, k: Int = 5, minShared: Long = 1L,
-      nWords: Int = 1024, nProbes: Int = 3): DataFrame = {
-    val sh = Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol).as("id"), evalPred.as("is_eval"),
-        explode(shingles(col(textCol), k).cast("array<string>")).as("s"))
-    // eval shingles feed the bloom build AND the exact join
-    Caches.scoped(sh) {
-      val ev = sh.filter(col("is_eval"))
-        .select(col("s"), col("id").as("eval_id"))
-      val bits = Bloom.buildBits(ev, col("s"), nWords, nProbes)
-      sh.filter(!col("is_eval"))
-        .filter(Bloom.mightContain(bits, col("s"), nProbes))
-        .join(ev, "s")
-        .groupBy(col("id").as(idCol))
-        .agg(countDistinct(col("s")).as("n_shared_shingles"),
-          countDistinct(col("eval_id")).as("n_eval_docs"))
-        .filter(col("n_shared_shingles") >= minShared)
-    }
-  }
+      nWords: Int = 1024, nProbes: Int = 3): DataFrame =
+    contaminationSweep(docs, idCol, textCol, evalPred, k, minShared,
+      hashed = false,
+      prefilter = { (ev, train) =>
+        // bloom build runs at call time (index-artifact pattern); no
+        // false negatives, so the pruned join keeps exact semantics
+        val bits = Bloom.buildBits(ev, col("s"), nWords, nProbes)
+        train.filter(Bloom.mightContain(bits, col("s"), nProbes))
+      })
 
   /** Duplicated-substring span detection (the signal behind
     * suffix-array dedup, Lee et al. '21 "Deduplicating Training Data

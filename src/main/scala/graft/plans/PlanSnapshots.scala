@@ -7,7 +7,17 @@ import org.apache.spark.sql.DataFrame
   * disappears and only STRUCTURE remains — the thing that must not
   * silently regress (a new shuffle, a lost broadcast, a cartesian
   * product slipping in). Used by [[graft.Explain]] to dump versioned
-  * snapshots and by PlanRegressionSpec to gate changes. */
+  * snapshots and by PlanRegressionSpec to gate changes.
+  *
+  * Known benign churn the normalizer can NOT scrub: multi-column
+  * count-distinct plans (g11) order their Expand/gid groups by
+  * ExpressionSet iteration, which depends on the session-global id
+  * counter — so adding queries elsewhere permutes g11's recorded
+  * column order run-to-run. The permutation is structure-preserving
+  * (same node types, same exchange count), and the REGRESSION GATE
+  * only checks CartesianProduct + shuffle counts, which are invariant
+  * under it — expect the g11 snapshot text to re-dirty on full
+  * `graft.Explain` regenerations and commit it without alarm. */
 object PlanSnapshots {
 
   /** The pre-execution physical plan (for AQE plans this is the initial

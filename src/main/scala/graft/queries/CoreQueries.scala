@@ -490,17 +490,10 @@ object CoreQueries {
     * (user, session) as the funnel key; every stage stays partitioned
     * on the user key. */
   def e10SessionFunnel(s: SparkSession, dir: String): DataFrame = {
-    val wU = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val gapUs = 30L * 60L * 1000000L
-    val brk = when(lag(col("ts"), 1).over(wU).isNull ||
-      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU)) >= gapUs,
-      lit(1L)).otherwise(lit(0L))
-    val e = t(s, dir, "events")
-      .select("user_id", "event_id", "ts", "event_type")
-      .withColumn("sid", sum(brk).over(wU.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+    val e = graft.streaming.Sessionize.withSessionIds(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        "user_id", "ts", "event_id", gapMinutes = 30)
+      .withColumnRenamed("__sid", "sid")
     val key = Seq("user_id", "sid")
     val v = e.filter(col("event_type") === "view")
       .groupBy(key.map(col): _*).agg(min("ts").as("v_ts"))

@@ -462,21 +462,31 @@ object PipelineQueries {
     val cap = 64
     val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(explode(TextFns.tokens(col("text"))).as("token"))
-    // one pass builds the sketch + the total count (constant state);
-    // the exact groupBy is the verification twin
-    val sketch = tok.agg(
-      graft.functions.FreqSketchAgg.freqSketch(col("token"), cap).as("sk"),
-      count(lit(1)).as("n_total"))
-    val est = sketch.select(explode(col("sk")), col("n_total"))
-      .select(col("key").as("token"), col("value").as("est"), col("n_total"))
-    val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), col("token")).limit(10)
-    exact.join(est, Seq("token"), "left")
-      .select(col("token"), col("cnt"),
-        (col("est").isNotNull && col("est") <= col("cnt") &&
-          col("est") >= col("cnt") - (col("n_total") / lit(cap + 1)))
-          .cast("int").as("ok"))
-      .orderBy(desc("cnt"), col("token"))
+    // the tokenize+explode lineage feeds the sketch AND its exact
+    // verification twin — materialize it once for the query's scope
+    graft.operators.Caches.scoped(tok) {
+      // one pass builds the sketch + the total count (constant state)
+      val sketch = tok.agg(
+        graft.functions.FreqSketchAgg.freqSketch(col("token"), cap).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = sketch.select(explode(col("sk")), col("n_total"))
+        .select(col("key").as("token"), col("value").as("est"), col("n_total"))
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token")).limit(10)
+      // assert exactly what Misra-Gries GUARANTEES: presence-with-band
+      // for tokens above the n/(cap+1) additive bound; below it the
+      // sketch may legitimately evict, so absence there is still ok —
+      // the gate can never flip on corpus shape or partition layout
+      val bound = col("n_total") / lit(cap + 1)
+      val inBand = col("est").isNotNull && col("est") <= col("cnt") &&
+        col("est") >= col("cnt") - bound
+      val mayEvict = col("cnt") <= bound && (col("est").isNull ||
+        (col("est") <= col("cnt") && col("est") >= col("cnt") - bound))
+      exact.join(est, Seq("token"), "left")
+        .select(col("token"), col("cnt"),
+          (inBand || mayEvict).cast("int").as("ok"))
+        .orderBy(desc("cnt"), col("token"))
+    }
   }
 
   /** Deterministic 20-per-source exemplar sample — the "show me N from

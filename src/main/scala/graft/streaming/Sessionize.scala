@@ -76,6 +76,19 @@ object Sessionize {
     * external oracle replays it bit-for-bit). */
   def batchSessions(events: org.apache.spark.sql.DataFrame, userCol: String,
       tsCol: String, idCol: String, gapMinutes: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    withSessionIds(events, userCol, tsCol, idCol, gapMinutes)
+      .groupBy(col(userCol), col("__sid").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+  }
+
+  /** Per-EVENT session assignment (`__sid`, 1-based per user) — the
+    * ONE definition of the gap-break rule, shared by [[batchSessions]]
+    * and every session-scoped analysis (e10 funnel). A session-rule
+    * change here changes all of them together. */
+  def withSessionIds(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsCol: String, idCol: String, gapMinutes: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -86,11 +99,7 @@ object Sessionize {
       unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) >= gapUs,
       lit(1L)).otherwise(lit(0L))
     events
-      .withColumn("__brk", brk)
-      .withColumn("__sid", sum(col("__brk"))
+      .withColumn("__sid", sum(brk)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(userCol), col("__sid").as("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
   }
 }
