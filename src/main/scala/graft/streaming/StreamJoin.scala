@@ -37,4 +37,19 @@ object StreamJoin {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"),
       joinType)
   }
+
+  /** Stream-static enrichment: a live stream joined against a batch
+    * dimension table — the warehouse lookup-join done continuously
+    * (the reference's refinement tasks attach car-catalog attributes
+    * to each CDC batch; this is that attach as a streaming stage). The
+    * static side is planned per micro-batch (no streaming state at
+    * all — this join keeps NO buffers, unlike stream-stream), and a
+    * catalog-class dim broadcasts, so each micro-batch pays one
+    * broadcast probe, never a shuffle of the stream. `leftOuter` keeps
+    * unmatched stream rows (the UNKNOWN-brand convention of the
+    * reference's analytics, BASELINE.md golden values). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      joinType: String = "leftOuter"): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
 }

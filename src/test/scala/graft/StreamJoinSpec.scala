@@ -71,4 +71,27 @@ class StreamJoinSpec extends SparkSuite {
       assert(byImp.get(2L) === Some(None)) // unmatched → null right side
     } finally q.stop()
   }
+
+  test("stream-static enrichment attaches dim attributes, keeps unmatched rows") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[Impression]
+    val dim = Seq(("u1", "gold"), ("u2", "silver"))
+      .toDF("dim_user", "tier")
+    val enriched = StreamJoin.enrichWithStatic(
+      events.toDF(), dim, "imp_user", "dim_user")
+    val q = enriched.writeStream.format("memory").queryName("sj_static")
+      .outputMode("append").start()
+    try {
+      events.addData(Impression(1, "u1", t(1)), Impression(2, "u9", t(2)))
+      q.processAllAvailable()
+      events.addData(Impression(3, "u2", t(3)))
+      q.processAllAvailable()
+      val got = spark.table("sj_static")
+        .select("imp_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+      // matched rows enrich; the unknown key survives with a null tier
+      // (the reference's UNKNOWN-brand convention)
+      assert(got === Map(1L -> Some("gold"), 2L -> None, 3L -> Some("silver")))
+    } finally q.stop()
+  }
 }
