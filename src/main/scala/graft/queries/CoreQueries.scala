@@ -263,6 +263,19 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Equi-width histogram of extended price (20 × 5000-wide buckets,
+    * open-topped last bucket) — the distribution tile of every
+    * monitoring dashboard (assignment5 shapes). Literal bucket bounds,
+    * so the whole thing is one map-side-combined grouped count; no
+    * stats pass, no second scan. */
+  def q59Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(least(floor(col("l_extendedprice") / 5000), lit(19L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bucket") * 5000)
+      .orderBy("bucket")
+
   /** P1/F7 JSON path extraction + cast over the staging-style payload
     * column (A4:224-244). */
   def q35JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -846,6 +859,7 @@ object CoreQueries {
     "q32_date_trunc" -> q32DateTrunc,
     "q33_datediff" -> q33DateDiff,
     "q34_mod_bucket" -> q34ModBucket,
+    "q59_histogram" -> q59Histogram,
     "q35_json_extract" -> q35JsonExtract,
     "q37_variant_stage" -> q37VariantStage,
     "e01_sessions" -> e01Sessions,
@@ -951,6 +965,10 @@ object CoreQueries {
       "SELECT o_orderkey, CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS age_days FROM orders ORDER BY o_orderkey LIMIT 100",
     "q34_mod_bucket" ->
       "SELECT l_orderkey % 100 AS bucket, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey % 100 ORDER BY bucket",
+    "q59_histogram" ->
+      ("SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, bucket * 5000 AS lo FROM " +
+        "(SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000), 19) AS BIGINT) AS bucket FROM lineitem) " +
+        "GROUP BY bucket ORDER BY bucket"),
     "q35_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id LIMIT 100",
     "q36_frac_nullif" ->

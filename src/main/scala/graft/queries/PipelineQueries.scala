@@ -238,6 +238,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality signal — the t16 unigram gate upgraded one
+    * order: per document, the mean negative log-probability of its
+    * bigrams under the corpus's own add-1-smoothed bigram model,
+    * P(b|a) = (c(ab)+1)/(c(a·)+V). The KenLM-style filter at the
+    * cheapest order that still scores word ORDER (scrambled text fools
+    * a unigram gate, not this). Same shape as t16: count aggregates
+    * (map-side combined) + attach joins (dictionary-scale sides
+    * broadcast under AQE; [[graft.operators.Skew]] at hot-token
+    * corpus scale) + one per-doc mean. */
+  def t25BigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bg = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(bgArr).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    // the bigram explode feeds both count tables AND the scoring join
+    graft.operators.Caches.scoped(bg) {
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      bg.join(c2, "bg").join(c1, "w1")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(round(avg(-log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")))), 4).as("avg_nll2"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** BM25 keyword retrieval (Lucene's variant: idf = ln(1 + (N-df+0.5)/
     * (df+0.5)), k1 = 1.2, b = 0.75) for a fixed two-term query — the
     * text-retrieval sibling of the vector ANN tier. Postings join on the
@@ -603,6 +637,7 @@ object PipelineQueries {
     "t22_winnow" -> t22Winnow,
     "t23_group_sample" -> t23GroupSample,
     "t24_epoch_mix" -> t24EpochMix,
+    "t25_bigram_logprob" -> t25BigramLogprob,
     "v09_semdedup" -> v09SemDedup,
     "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
@@ -1009,6 +1044,17 @@ object PipelineQueries {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
         |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    "t25_bigram_logprob" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(l[i:i+1], ' ') AS bg, l[i] AS w1
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) s),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(l) AS t FROM toks))
+        |SELECT doc_id, ROUND(AVG(-LN((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 4) AS avg_nll2
+        |FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t23_group_sample" ->
       ("""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
