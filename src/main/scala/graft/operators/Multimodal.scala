@@ -106,6 +106,35 @@ object Multimodal {
         expr(s"substring(data, frame_idx * (octet_length(data) div $nFrames) + 1, " +
           s"octet_length(data) div $nFrames)"))
 
+  /** Resize/transcode STUB: cap the longer image edge at `maxDim`,
+    * scale the metadata exactly (aspect preserved, floor to the pixel
+    * grid), and shrink the payload to the area ratio (stands in for a
+    * real resample whose output bytes scale with pixel count). A pure
+    * per-row projection — the shape a real transcoder keeps: bytes in,
+    * bytes out, metadata recomputed, no shuffle, trivially parallel at
+    * any corpus size. All the scaling arithmetic is plain double math
+    * on the typed meta, so an external oracle replays the output
+    * dimensions and byte lengths exactly; swap the substring for a
+    * codec call and nothing else changes. */
+  def resizeAssets(assets: DataFrame, maxDim: Int = 256): DataFrame = {
+    val wd = col("meta.width").cast("double")
+    val hd = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(wd, hd))
+    assets
+      .withColumn("__scale", scale)
+      .withColumn("__new_len", greatest(
+        ceil(octet_length(col("data")).cast("double") *
+          col("__scale") * col("__scale")).cast("int"), lit(1)))
+      .select(col("asset_id"), col("kind"),
+        expr("substring(data, 1, __new_len)").as("data"),
+        struct(
+          greatest(floor(wd * col("__scale")), lit(1.0)).cast("int").as("width"),
+          greatest(floor(hd * col("__scale")), lit(1.0)).cast("int").as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_s").as("duration_s"),
+          col("meta.codec").as("codec")).as("meta"))
+  }
+
   /** Frame sampling STUB: slice the byte payload into n equal "frames"
     * (stands in for video frame extraction); emits one row per frame with
     * the frame index — the explode shape a real sampler produces. */

@@ -597,6 +597,18 @@ object PipelineQueries {
         col("feat_checksum"))
       .orderBy("asset_id")
 
+  /** Resize plumbing over the synthetic assets: longer edge capped at
+    * 256, payload shrunk to the area ratio — the per-row transcode
+    * stage of a media pipeline, with exactly-replayable output
+    * dimensions. */
+  def m05Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeAssets(
+        Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text"), 256)
+      .select(col("asset_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        octet_length(col("data")).cast("long").as("byte_len"))
+      .orderBy("asset_id")
+
   def m03FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
         Multimodal.syntheticAssets(docs(s, dir), "doc_id", "text"), 4)
@@ -669,6 +681,7 @@ object PipelineQueries {
     "m02_multimodal_decode" -> m02MultimodalDecode,
     "m03_frame_sample" -> m03FrameSample,
     "m04_frame_dedup" -> m04FrameDedup,
+    "m05_resize" -> m05Resize,
   )
 
   /** DuckDB twin of [[Dedup.withSimhashChunks]] + brute-force all-pairs
@@ -1346,6 +1359,22 @@ object PipelineQueries {
         "CAST((doc_id % 64) * 16 + 64 AS INT) AS width, " +
         "['png','opus','h264'][CAST(doc_id % 3 AS INT) + 1] AS codec " +
         "FROM documents ORDER BY asset_id"),
+    // replays Multimodal.resizeAssets' scaling arithmetic on the same
+    // synthetic meta derivation as the m01 oracle
+    "m05_resize" ->
+      ("""WITH a AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |    CAST((doc_id % 64) * 16 + 64 AS DOUBLE) AS w0,
+        |    CAST((doc_id % 48) * 16 + 64 AS DOUBLE) AS h0,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) AS len0
+        |  FROM documents),
+        |s AS (SELECT asset_id, w0, h0, len0,
+        |    LEAST(1.0, 256.0 / GREATEST(w0, h0)) AS sc FROM a)
+        |SELECT asset_id,
+        |  CAST(GREATEST(FLOOR(w0 * sc), 1.0) AS INT) AS width,
+        |  CAST(GREATEST(FLOOR(h0 * sc), 1.0) AS INT) AS height,
+        |  CAST(GREATEST(CEIL(len0 * sc * sc), 1.0) AS BIGINT) AS byte_len
+        |FROM s ORDER BY asset_id""".stripMargin),
     // replays Multimodal.stubAccumulators per stripe: fold over the bytes
     // at positions ≡ d (mod 16) with (acc*31 + byte) % 1000003 — documents
     // are ASCII so ascii(char) == byte value. Exact-integer checksum.

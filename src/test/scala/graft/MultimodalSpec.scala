@@ -36,4 +36,34 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(_.getLong(1)).toSet
     assert(perAsset === Set(4L))
   }
+
+  test("resizeAssets caps the long edge, preserves aspect, shrinks bytes") {
+    val a = Multimodal.syntheticAssets(docs, "doc_id", "text")
+    val before = a.select("asset_id", "meta.width", "meta.height", "data")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).length)).toMap
+    val out = Multimodal.resizeAssets(a, maxDim = 100)
+      .select("asset_id", "meta.width", "meta.height", "data", "meta.codec")
+      .collect()
+    out.foreach { r =>
+      val (w0, h0, len0) = before(r.getLong(0))
+      val (w1, h1) = (r.getInt(1), r.getInt(2))
+      val len1 = r.getAs[Array[Byte]](3).length
+      assert(math.max(w1, h1) <= 100)
+      assert(len1 <= len0 && len1 >= 1)
+      // aspect preserved within the floor-to-pixel grid
+      val s = math.min(1.0, 100.0 / math.max(w0, h0))
+      assert(w1 === math.max(math.floor(w0 * s), 1.0).toInt)
+      assert(h1 === math.max(math.floor(h0 * s), 1.0).toInt)
+      assert(r.getString(4) != null) // untouched meta rides along
+    }
+    // no upscale: an already-small asset passes through unchanged
+    val same = Multimodal.resizeAssets(a, maxDim = 10000)
+      .select("asset_id", "meta.width", "meta.height", "data").collect()
+    same.foreach { r =>
+      val (w0, h0, len0) = before(r.getLong(0))
+      assert((r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).length) ===
+        ((w0, h0, len0)))
+    }
+  }
 }
