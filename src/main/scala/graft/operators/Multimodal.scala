@@ -122,9 +122,12 @@ object Multimodal {
     val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(wd, hd))
     assets
       .withColumn("__scale", scale)
-      .withColumn("__new_len", greatest(
+      // NO floor-to-1 clamp: an empty payload must stay empty (substring
+      // of zero bytes yields zero bytes — a clamp would desync the
+      // metadata from the actual payload and any external replay)
+      .withColumn("__new_len",
         ceil(octet_length(col("data")).cast("double") *
-          col("__scale") * col("__scale")).cast("int"), lit(1)))
+          col("__scale") * col("__scale")).cast("int"))
       .select(col("asset_id"), col("kind"),
         expr("substring(data, 1, __new_len)").as("data"),
         struct(

@@ -256,20 +256,24 @@ object PipelineQueries {
     val bg = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(bgArr).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-    // the bigram explode feeds both count tables AND the scoring join
-    graft.operators.Caches.scoped(bg) {
-      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = docs(s, dir)
-        .select(explode(TextFns.tokens(col("text"))).as("t"))
-        .agg(countDistinct(col("t")).as("v"))
-      bg.join(c2, "bg").join(c1, "w1")
-        .crossJoin(broadcast(v))
-        .groupBy("doc_id")
-        .agg(round(avg(-log((col("c2") + 1).cast("double") /
-          (col("c1") + col("v")))), 4).as("avg_nll2"))
-        .orderBy("doc_id")
-    }
+    // UNSCOPED like its t16 twin, so the multi-shuffle plan stays
+    // VISIBLE to the regression gate (scoped would checkpoint it away);
+    // the bigram lineage recomputes per consumer — the t16 trade.
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // smoothing V = full token-type vocabulary (so P(·|a) sums to 1) —
+    // it cannot derive from `bg` (a doc's final token may never open a
+    // bigram), so it is one extra single-column scan; a production
+    // pipeline reads it off the precomputed vocab table (t08)
+    val v = docs(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(c2, "bg").join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(round(avg(-log((col("c2") + 1).cast("double") /
+        (col("c1") + col("v")))), 4).as("avg_nll2"))
+      .orderBy("doc_id")
   }
 
   /** BM25 keyword retrieval (Lucene's variant: idf = ln(1 + (N-df+0.5)/
@@ -1373,7 +1377,7 @@ object PipelineQueries {
         |SELECT asset_id,
         |  CAST(GREATEST(FLOOR(w0 * sc), 1.0) AS INT) AS width,
         |  CAST(GREATEST(FLOOR(h0 * sc), 1.0) AS INT) AS height,
-        |  CAST(GREATEST(CEIL(len0 * sc * sc), 1.0) AS BIGINT) AS byte_len
+        |  CAST(CEIL(len0 * sc * sc) AS BIGINT) AS byte_len
         |FROM s ORDER BY asset_id""".stripMargin),
     // replays Multimodal.stubAccumulators per stripe: fold over the bytes
     // at positions ≡ d (mod 16) with (acc*31 + byte) % 1000003 — documents

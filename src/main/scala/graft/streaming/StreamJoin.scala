@@ -50,6 +50,15 @@ object StreamJoin {
     * reference's analytics, BASELINE.md golden values). */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
       streamKey: String, dimKey: String,
-      joinType: String = "leftOuter"): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+      joinType: String = "leftOuter",
+      broadcastDim: Boolean = true): DataFrame = {
+    // frame-qualified keys: the natural enrichment shape has the SAME
+    // key name on both sides, which unqualified col() refs would reject
+    // as ambiguous. broadcastDim=false is the escape hatch for a
+    // dimension too big to broadcast (AQE then picks the strategy).
+    // When key names collide, drop the dim's copy downstream via
+    // dim-side aliasing.
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, stream(streamKey) === dim(dimKey), joinType)
+  }
 }

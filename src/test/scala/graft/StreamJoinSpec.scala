@@ -94,4 +94,21 @@ class StreamJoinSpec extends SparkSuite {
       assert(got === Map(1L -> Some("gold"), 2L -> None, 3L -> Some("silver")))
     } finally q.stop()
   }
+
+  test("stream-static enrichment accepts identical key names on both sides") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[Impression]
+    val dim = Seq(("u1", "gold")).toDF("imp_user", "tier") // SAME key name
+    val enriched = StreamJoin.enrichWithStatic(
+      events.toDF(), dim, "imp_user", "imp_user")
+    val q = enriched.writeStream.format("memory").queryName("sj_samekey")
+      .outputMode("append").start()
+    try {
+      events.addData(Impression(1, "u1", t(1)))
+      q.processAllAvailable()
+      val rows = spark.table("sj_samekey").select("imp_id", "tier").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "gold")))
+    } finally q.stop()
+  }
 }
