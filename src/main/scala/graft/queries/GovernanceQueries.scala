@@ -113,6 +113,52 @@ object GovernanceQueries {
         Seq("c_acctbal", "c_custkey", "c_nationkey"))
       .orderBy("column_name")
 
+  /** Robust (MAD-based) outlier screen — the heavy-tail-safe sibling of
+    * the 3σ rule (g05): |x − median| > 3·1.4826·MAD. Mean/stddev move
+    * with the outliers they hunt; median/MAD don't (50% breakdown).
+    * Three passes: median, MAD (median of absolute deviations around
+    * it, the scalar riding along as a broadcast), then one counting
+    * scan. The exact interpolated percentile here is oracle-replayable
+    * (quantile_cont); the corpus-scale variant swaps in
+    * percentile_approx with the q53-style rank-count verification. */
+  def g12MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val li = t(s, dir, "lineitem").select(x)
+    val med = li.agg(percentile(x, lit(0.5)).as("med"))
+    val dev = li.crossJoin(broadcast(med))
+      .agg(percentile(abs(x - col("med")), lit(0.5)).as("mad"),
+        first(col("med")).as("med"))
+    li.crossJoin(broadcast(dev))
+      .agg(
+        count(when(abs(x - col("med")) > lit(3.0) * lit(1.4826) * col("mad"),
+          lit(1))).as("n_outliers"),
+        count(lit(1)).as("n_total"),
+        round(first(col("med")), 4).as("median"),
+        round(first(col("mad")), 4).as("mad"))
+  }
+
+  /** Benford first-digit screen over order totals — the classic
+    * fabricated-amounts detector: observed leading-digit frequencies
+    * against log10(1 + 1/d). The digit comes from PURE ARITHMETIC
+    * (x / 10^floor(log10 x)), not string formatting, so any engine
+    * replays it bit-for-bit; one grouped count plus a 9-row window
+    * ratio. */
+  def g13Benford(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    t(s, dir, "orders").filter(x > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("obs_p",
+        round(col("n").cast("double") / sum(col("n")).over(w), 4))
+      .withColumn("exp_p",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+      .orderBy("digit")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -125,9 +171,29 @@ object GovernanceQueries {
     "g09_hourly_trend" -> g09HourlyTrend,
     "g10_ref_integrity" -> g10RefIntegrity,
     "g11_table_stats" -> g11TableStats,
+    "g12_mad_outliers" -> g12MadOutliers,
+    "g13_benford" -> g13Benford,
   )
 
   val oracles: Map[String, String] = Map(
+    "g13_benford" ->
+      ("""WITH g AS (
+        |  SELECT CAST(FLOOR(o_totalprice / POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS obs_p,
+        |  ROUND(LOG10(1.0 + 1.0 / digit), 4) AS exp_p
+        |FROM g ORDER BY digit""".stripMargin),
+    "g12_mad_outliers" ->
+      ("""WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+        |d AS (SELECT quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        |      FROM lineitem l, m)
+        |SELECT
+        |  CAST(count(CASE WHEN abs(l.l_extendedprice - m.med) > 3.0 * 1.4826 * d.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  ROUND(m.med, 4) AS median, ROUND(d.mad, 4) AS mad
+        |FROM lineitem l, m, d GROUP BY m.med, d.mad""".stripMargin),
     "g01_duplicates" ->
       "SELECT l_orderkey, COUNT(*) AS n_dups FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey",
     "g02_range_violations" ->
