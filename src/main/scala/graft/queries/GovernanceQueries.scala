@@ -159,6 +159,35 @@ object GovernanceQueries {
       .orderBy("digit")
   }
 
+  /** k-anonymity measurement over the customer quasi-identifiers
+    * (nation × market segment): the smallest equivalence class IS the
+    * dataset's k — the number every release-review asks for before a
+    * data share (the metric behind Masking's generalization ops). One
+    * grouped count + one min; also reports how many classes sit below
+    * k=5, the re-identification hot spots. */
+  def g14KAnonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+      .agg(min(col("class_size")).as("k"),
+        count(lit(1)).as("n_classes"),
+        sum((col("class_size") < 5).cast("long")).as("n_below_5"))
+
+  /** Shannon entropy + Gini impurity of the event-type distribution —
+    * the information-theoretic column profile (a near-zero entropy
+    * column is constant-in-disguise; a max-entropy id-like column is a
+    * useless grouping key). Grouped counts, then one tiny aggregate
+    * over the category rows. */
+  def g15Entropy(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val total = g.agg(sum("n").as("tot"))
+    g.crossJoin(broadcast(total))
+      .select((col("n").cast("double") / col("tot")).as("p"))
+      .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy_bits"),
+        round(lit(1.0) - sum(col("p") * col("p")), 4).as("gini"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -173,9 +202,25 @@ object GovernanceQueries {
     "g11_table_stats" -> g11TableStats,
     "g12_mad_outliers" -> g12MadOutliers,
     "g13_benford" -> g13Benford,
+    "g14_k_anonymity" -> g14KAnonymity,
+    "g15_entropy" -> g15Entropy,
   )
 
   val oracles: Map[String, String] = Map(
+    "g14_k_anonymity" ->
+      ("""WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(MIN(class_size) AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_5
+        |FROM g""".stripMargin),
+    "g15_entropy" ->
+      ("""WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |p AS (SELECT CAST(n AS DOUBLE) / (SELECT SUM(n) FROM g) AS p FROM g)
+        |SELECT ROUND(-SUM(p * LOG2(p)), 4) AS entropy_bits,
+        |  ROUND(1.0 - SUM(p * p), 4) AS gini
+        |FROM p""".stripMargin),
     "g13_benford" ->
       ("""WITH g AS (
         |  SELECT CAST(FLOOR(o_totalprice / POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit,

@@ -276,6 +276,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Lexical-diversity quality signals per document: type-token ratio
+    * (distinct/total tokens — low TTR flags repetitive spam the
+    * shingle-repetition gate t09 can miss at long range) and hapax
+    * fraction (share of tokens occurring exactly once in the WHOLE
+    * corpus — unusually high means OOV-gibberish, unusually low means
+    * template text). Per-row set math plus one corpus frequency attach
+    * join (dictionary-scale side, AQE broadcasts). */
+  def t26LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val base = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("token"))
+    val freq = base.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val perDoc = base.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_types"),
+        sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+    perDoc.select(col("doc_id"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_tokens"), 4).as("hapax_frac"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 keyword retrieval (Lucene's variant: idf = ln(1 + (N-df+0.5)/
     * (df+0.5)), k1 = 1.2, b = 0.75) for a fixed two-term query — the
     * text-retrieval sibling of the vector ANN tier. Postings join on the
@@ -654,6 +677,7 @@ object PipelineQueries {
     "t23_group_sample" -> t23GroupSample,
     "t24_epoch_mix" -> t24EpochMix,
     "t25_bigram_logprob" -> t25BigramLogprob,
+    "t26_lexical_diversity" -> t26LexicalDiversity,
     "v09_semdedup" -> v09SemDedup,
     "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
@@ -1061,6 +1085,16 @@ object PipelineQueries {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
         |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    "t26_lexical_diversity" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS cnt FROM base GROUP BY token)
+        |SELECT doc_id,
+        |  ROUND(CAST(COUNT(DISTINCT b.token) AS DOUBLE) / COUNT(*), 4) AS ttr,
+        |  ROUND(CAST(SUM(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS hapax_frac
+        |FROM base b JOIN freq f USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t25_bigram_logprob" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
         |bg AS (
