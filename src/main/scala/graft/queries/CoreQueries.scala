@@ -525,6 +525,58 @@ object CoreQueries {
       .orderBy("step")
   }
 
+  /** Time-series gap detection: contiguous 10-minute windows inside
+    * the events span with NO events, merged into outage RANGES — the
+    * missing-data screen a freshness monitor runs (a silent ingestion
+    * outage shows up as a gap, not an error). The expected spine is
+    * generated from the observed min/max (tiny agg → sequence
+    * explode), anti-joined against observed buckets (both sides
+    * bucket-grained, span-sized, never event-sized), and consecutive
+    * missing buckets fold into ranges via gaps-and-islands. Epochs
+    * stay integer seconds end to end — engine-neutral, no timestamp
+    * formatting in the contract. The islands window is global but runs
+    * over MISSING buckets only (bounded by span/step, not data). */
+  def q60GapDetection(s: SparkSession, dir: String): DataFrame = {
+    val step = 600L
+    val b = t(s, dir, "events")
+      .select((floor(unix_timestamp(col("ts")) / step) * step)
+        .cast("long").as("b"))
+      .distinct()
+    val span = b.agg(min("b").as("lo"), max("b").as("hi"))
+    val expected = span.select(
+      explode(sequence(col("lo"), col("hi"), lit(step))).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+    expected.join(b, Seq("b"), "left_anti")
+      .withColumn("run", col("b") / step - row_number().over(w))
+      .groupBy("run")
+      .agg(min("b").as("gap_start"), max("b").as("gap_end"),
+        count(lit(1)).as("n_buckets"))
+      .select("gap_start", "gap_end", "n_buckets")
+      .orderBy("gap_start")
+  }
+
+  /** RFM customer scoring — the classic marketing segmentation:
+    * recency (days since last order), frequency (order count), and
+    * monetary (total spend) quintiles per customer. One grouped pass
+    * over orders, then three ntile windows over the customer-grained
+    * result (tie-broken by customer key, so every engine ranks
+    * identically). */
+  def e11RfmScores(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asOf = lit("1998-12-01").cast("date")
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(datediff(asOf, max(col("o_orderdate")).cast("date")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val r = ntile(5).over(Window.orderBy(col("recency_days"), col("custkey")))
+    val f = ntile(5).over(Window.orderBy(desc("frequency"), col("custkey")))
+    val m = ntile(5).over(Window.orderBy(desc("monetary"), col("custkey")))
+    base.select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .orderBy("custkey")
+  }
+
   /** SCD type-2 MERGE over the customer dimension: a deterministic
     * update batch (every 10th customer's balance moves; 20 brand-new
     * keys arrive) applied via [[graft.operators.Scd.scd2Merge]] —
@@ -880,6 +932,8 @@ object CoreQueries {
     "e02_asof_orders" -> e02AsofOrders,
     "e09_transitions" -> e09Transitions,
     "e10_session_funnel" -> e10SessionFunnel,
+    "e11_rfm_scores" -> e11RfmScores,
+    "q60_gap_detection" -> q60GapDetection,
     "q38_rollup" -> q38Rollup,
     "q39_percentiles" -> q39Percentiles,
     "q36_frac_nullif" -> q36FracNullif,
@@ -1196,6 +1250,30 @@ object CoreQueries {
       ("""SELECT date_trunc('hour', ts) AS h, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
+    "q60_gap_detection" ->
+      ("""WITH b AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS b FROM events),
+        |span AS (SELECT min(b) AS lo, max(b) AS hi FROM b),
+        |expected AS (
+        |  SELECT unnest(generate_series(lo, hi, 600)) AS b FROM span),
+        |missing AS (
+        |  SELECT b, b / 600 - ROW_NUMBER() OVER (ORDER BY b) AS run
+        |  FROM expected WHERE b NOT IN (SELECT b FROM b))
+        |SELECT min(b) AS gap_start, max(b) AS gap_end,
+        |  CAST(count(*) AS BIGINT) AS n_buckets
+        |FROM missing GROUP BY run ORDER BY gap_start""".stripMargin),
+    "e11_rfm_scores" ->
+      ("""WITH base AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-01') AS INT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    ROUND(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT custkey, recency_days, frequency, monetary,
+        |  ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+        |FROM base ORDER BY custkey""".stripMargin),
     "e10_session_funnel" ->
       ("""WITH l AS (SELECT user_id, event_id, ts, event_type,
         |   CASE WHEN lag(ts) OVER w IS NULL
