@@ -257,10 +257,13 @@ object PipelineQueries {
       .select(col("doc_id"), explode(bgArr).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     // UNSCOPED like its t16 twin, so the multi-shuffle plan stays
-    // VISIBLE to the regression gate (scoped would checkpoint it away);
-    // the bigram lineage recomputes per consumer — the t16 trade.
+    // VISIBLE to the regression gate (scoped would checkpoint it away).
+    // The context counts c(a·) DERIVE from the bigram table (Σ_b c(ab)
+    // grouped by the first word) — an aggregation of the already-
+    // reduced counts, not another corpus-wide tokenize pass.
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     // smoothing V = full token-type vocabulary (so P(·|a) sums to 1) —
     // it cannot derive from `bg` (a doc's final token may never open a
     // bigram), so it is one extra single-column scan; a production
