@@ -59,7 +59,17 @@ object TopicSource {
     * otherwise the graft-topic log. Both produce the same 7-column
     * row shape, so every consumer downstream is identical — the
     * reference's broker consumers (simple_kafka_setup.py:114-177) map
-    * onto either backend unchanged. */
+    * onto either backend unchanged.
+    *
+    * TESTING CAVEAT: the `format("kafka")` branch is a thin option
+    * passthrough (format string + two options, no custom logic), but it
+    * can only EXECUTE where the spark-sql-kafka connector and a broker
+    * exist — neither ships with a stock Spark distribution, so in
+    * connector-less environments the branch is compile-checked and
+    * guard-tested (bootstrap configured + connector absent → fallback,
+    * TopicSourceSpec) yet never run. TopicSourceSpec carries an
+    * `assume(kafkaAvailable)`-gated case that exercises it automatically
+    * in any deployment that does bundle the connector. */
   def readStreamAuto(spark: SparkSession, topic: String, root: String,
       kafkaBootstrap: Option[String] = None): DataFrame =
     kafkaBootstrap match {

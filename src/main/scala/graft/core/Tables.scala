@@ -142,6 +142,77 @@ object Tables {
     (before.length, parquetFiles.length)
   }
 
+  /** Marker file carrying a summary table's last refresh epoch-millis —
+    * underscore-prefixed so parquet readers skip it; written inside
+    * [[replaceAtomic]]'s pre-swap tmp dir so it commits atomically WITH
+    * the data it stamps. */
+  val RefreshMarker = "_refreshed_at"
+
+  /** Result-cache tier — the engine analog of the reference dashboard's
+    * `st.cache_data(ttl=300)` memoization (assignment5
+    * streamlit_buy_orders_app.py:49-69, its one client-side
+    * optimization): a materialized summary table served as-is while
+    * younger than `ttlSeconds`, recomputed from `build` and atomically
+    * swapped ([[replaceAtomic]]) once stale. Readers never see a
+    * half-written refresh, and a crash mid-swap leaves the previous
+    * summary recoverable. `now` is injectable for deterministic tests.
+    *
+    * Scale posture: the summary is aggregate-sized, the refresh is one
+    * Spark job, and every read between refreshes is a parquet scan of
+    * the small summary — the dashboard never re-runs the fact-table
+    * query inside the TTL window, which is the whole point at 100 TB. */
+  def summaryTable(spark: SparkSession, dir: String, ttlSeconds: Long,
+      now: () => Long = () => System.currentTimeMillis())
+      (build: => DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, RefreshMarker)
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val ts = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+      now() - ts < ttlSeconds * 1000L
+    }
+    if (!fresh) {
+      val stamp = Some(RefreshMarker -> now().toString)
+      if (fs.exists(path)) replaceAtomic(spark, dir, build, stamp)
+      else {
+        // first materialization: stage + rename, same crash posture
+        val tmp = new org.apache.hadoop.fs.Path(dir + "__swap_tmp")
+        replaceAtomicFirstWrite(spark, fs, tmp, path, build, stamp)
+      }
+    }
+    spark.read.parquet(dir)
+  }
+
+  private def replaceAtomicFirstWrite(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tmp: org.apache.hadoop.fs.Path,
+      path: org.apache.hadoop.fs.Path, next: DataFrame,
+      marker: Option[(String, String)]): Unit = {
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    marker.foreach { case (name, content) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    if (!fs.rename(tmp, path)) throw new java.io.IOException(
+      s"summaryTable: could not move first materialization into $path")
+  }
+
+  /** The refresh-on-SCHEDULE form of [[summaryTable]] — the reference's
+    * "summary tables refreshed by a task" tier (SURVEY §4): a
+    * [[graft.flow.TaskDef]] that unconditionally rebuilds + swaps the
+    * summary each time its schedule fires, for wiring into a
+    * [[graft.flow.TaskGraph]] next to the rest of the pipeline DAG. */
+  def summaryRefreshTask(spark: SparkSession, name: String, dir: String,
+      everySeconds: Long)(build: => DataFrame): graft.flow.TaskDef =
+    graft.flow.TaskDef(name,
+      schedule = Some(graft.flow.Every(everySeconds)),
+      body = () => { summaryTable(spark, dir, ttlSeconds = 0)(build); () })
+
   /** S9 row-at-a-time parameterized INSERT (README_teacher.md:336-342) —
     * retained as semantics only: in Spark a single-row append is a
     * tiny-DataFrame append (the reference itself documents this path as

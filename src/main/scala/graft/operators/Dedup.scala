@@ -116,25 +116,74 @@ object Dedup {
       b => xxhash64(b, slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
   }
 
+  /** Default per-(band, bucket) population cap for LSH candidate
+    * generation — see [[withBucketStats]]. 1024 members is far above any
+    * honest near-dup bucket on non-degenerate corpora (so small-scale
+    * results stay EXACT pair enumerations) while bounding a degenerate
+    * boilerplate bucket's clique cost at ~0.5M pairs instead of the
+    * 10¹⁰+ a million-member template cluster would otherwise generate. */
+  val DefaultMaxBucket: Int = 1024
+
+  /** Annotate exploded (id, band, bucket, ...) rows with the bucket's
+    * population (`__bsz`) and its representative (`__rep` = the struct
+    * minimum, i.e. lowest id and that row's carried flags). One window
+    * shuffle on (band, bucket) — the SAME key the candidate self-join
+    * uses, so the join downstream reuses the partitioning.
+    *
+    * This is the hot-bucket guard: a real web corpus has boilerplate
+    * clusters of 10⁴-10⁶ near-identical documents whose members share
+    * EVERY band bucket, so un-capped clique generation degenerates to
+    * |cluster|² pairs per band — the classic MinHash blowup. Buckets at
+    * or under `maxBucket` keep the exact clique; buckets above it fall
+    * back to the STAR around the representative (every member pairs with
+    * the bucket's min id): candidate volume linear in bucket size,
+    * component CONNECTIVITY preserved (what [[dupClusters]] consumes),
+    * and every emitted pair still passes exact Jaccard verification —
+    * precision is unaffected, only exhaustive pair ENUMERATION inside a
+    * degenerate bucket is traded away. */
+  private def withBucketStats(exploded: DataFrame,
+      repCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("band", "bucket")
+    exploded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep",
+        min(struct((col("id") +: repCols.map(col)): _*)).over(w))
+  }
+
   /** Candidate pairs via LSH over a (id, sig) frame: explode band keys,
     * self-join per (band, bucket), dedupe pairs. The join is a shuffle on
-    * the band-key hash — bounded by bucket sizes, never |docs|². The
-    * exploded side is cached for the self-join (a self-join would
-    * otherwise recompute the whole signature lineage once per side) and
-    * released before returning ([[Caches.scoped]]). */
+    * the band-key hash — bounded by bucket sizes, never |docs|², with
+    * buckets above `maxBucket` degraded to representative stars
+    * ([[withBucketStats]]). The exploded+sized side is cached for the
+    * self-join (a self-join would otherwise recompute the whole signature
+    * lineage once per side) and released before returning
+    * ([[Caches.scoped]]). */
   def lshCandidatePairs(sig: DataFrame, bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val exploded = sig.select(col("id"),
+      rowsPerBand: Int = 4, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
+    val sized = withBucketStats(sig.select(col("id"),
       posexplode(bandKeys(col("sig"), bands, rowsPerBand))
-        .as(Seq("band", "bucket")))
-    Caches.scoped(exploded) {
-      exploded.as("a").join(exploded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
+        .as(Seq("band", "bucket"))))
+    Caches.scoped(sized) {
+      cappedCliqueAndStar(sized, maxBucket)
     }
+  }
+
+  /** The clique ∪ star candidate union over a [[withBucketStats]] frame:
+    * exact pair clique for buckets ≤ `maxBucket`, representative star
+    * above it. Emits (id_a < id_b), distinct. */
+  private def cappedCliqueAndStar(sized: DataFrame, maxBucket: Int): DataFrame = {
+    val small = sized.filter(col("__bsz") <= maxBucket)
+    val clique = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val star = sized
+      .filter(col("__bsz") > maxBucket && col("id") =!= col("__rep.id"))
+      // the representative is the bucket MIN id, so (rep, id) is ordered
+      .select(col("__rep.id").as("id_a"), col("id").as("id_b"))
+    clique.unionByName(star).distinct()
   }
 
   /** MinHash near-dup pairs, verified: candidates from LSH, then exact
@@ -147,27 +196,23 @@ object Dedup {
     * corpus — every missed-pair probability is < 4e-8 at jaccard ≥ 0.9. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)" +
         " — a fractional band would silently drop signature lanes")
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
     val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
     // candidate generation inlined (vs calling lshCandidatePairs) so the
-    // shingle frame AND the exploded band rows share ONE cache scope —
+    // shingle frame AND the sized band rows share ONE cache scope —
     // a single eager materialization instead of nested ones
-    val exploded = signaturesFromHashes(hs, numHashes)
+    val sized = withBucketStats(signaturesFromHashes(hs, numHashes)
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, numHashes / bands))
-          .as(Seq("band", "bucket")))
-    Caches.scoped(hs, exploded) {
-      val cands = exploded.as("a").join(exploded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      verifyJaccardPairs(cands, hs, threshold)
+          .as(Seq("band", "bucket"))))
+    Caches.scoped(hs, sized) {
+      verifyJaccardPairs(cappedCliqueAndStar(sized, maxBucket), hs, threshold)
     }
   }
 
@@ -200,28 +245,39 @@ object Dedup {
     * with at least one endpoint satisfying `newPred`. */
   def incrementalMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
       newPred: Column, threshold: Double = 0.7, k: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
     val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       newPred.as("is_new"), hashedShingles(col(textCol), k).as("hs"))
-    val exploded = signaturesFromHashes(hs.select("id", "hs"), numHashes)
-      .join(hs.select("id", "is_new"), "id")
-      .select(col("id"), col("is_new"),
-        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
-          .as(Seq("band", "bucket")))
-    Caches.scoped(hs, exploded) {
+    val sized = withBucketStats(
+      signaturesFromHashes(hs.select("id", "hs"), numHashes)
+        .join(hs.select("id", "is_new"), "id")
+        .select(col("id"), col("is_new"),
+          posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+            .as(Seq("band", "bucket"))),
+      repCols = Seq("is_new"))
+    Caches.scoped(hs, sized) {
       // probe with the increment only; both orders arrive (new×old and
       // old×new), canonicalized by least/greatest then distinct'd
-      val cands = exploded.filter(col("is_new")).as("a")
-        .join(exploded.as("b"),
+      val small = sized.filter(col("__bsz") <= maxBucket)
+      val clique = small.filter(col("is_new")).as("a")
+        .join(small.as("b"),
           col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.id") =!= col("b.id"))
         .select(least(col("a.id"), col("b.id")).as("id_a"),
           greatest(col("a.id"), col("b.id")).as("id_b"))
-        .distinct()
-      verifyJaccardPairs(cands, hs.select("id", "hs"), threshold)
+      // hot buckets: representative star, restricted to edges with at
+      // least one NEW endpoint (the operator's contract)
+      val star = sized
+        .filter(col("__bsz") > maxBucket && col("id") =!= col("__rep.id") &&
+          (col("is_new") || col("__rep.is_new")))
+        .select(col("__rep.id").as("id_a"), col("id").as("id_b"))
+      verifyJaccardPairs(clique.unionByName(star).distinct(),
+        hs.select("id", "hs"), threshold)
     }
   }
 
@@ -506,6 +562,53 @@ object Dedup {
         s"dupClusters did not converge in $maxRounds rounds — component " +
           "diameter exceeds the bound; labels would be split. Raise maxRounds.")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clustering with EXACT-dedup pre-collapse — the scale-safe
+    * composition for boilerplate-heavy corpora: collapse identical
+    * (normalized) documents to one representative per fingerprint FIRST,
+    * run MinHash+LSH+clustering over representatives only, then expand
+    * each member to its representative's cluster.
+    *
+    * Semantics are identical to `dupClusters(docs, minhashDedupPairs(
+    * docs, ...))`: fingerprint equality ([[graft.functions.TextFns
+    * .fingerprint]], whitespace-normalized lowercased text) implies
+    * token equality, hence identical shingle sets, hence Jaccard = 1 —
+    * so an exact-dup group is a clique in the full near-dup graph and
+    * collapsing it cannot change any component. The component min-id is
+    * also preserved: the representative IS its group's min id, so the
+    * min over representatives in a component equals the min over all
+    * members. Asserted equal to the uncollapsed form in DedupSpec.
+    *
+    * Why it matters at 100 TB: a 10⁶-copy template family puts 10⁶ rows
+    * in the SAME bucket of every band; the [[withBucketStats]] cap
+    * bounds that blowup, but pre-collapse removes it entirely (the
+    * family enters LSH as ONE row) and shrinks every downstream stage —
+    * signatures, band rows, verification — to the distinct-text corpus. */
+  def collapsedDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = DefaultMaxBucket,
+      maxRounds: Int = 20): DataFrame = {
+    val withFp = docs.select(col(idCol), col(textCol),
+      TextFns.fingerprint(col(textCol)).as("__fp"))
+    // one row per distinct normalized text; representative = min id
+    // (exactDedup's survivor rule)
+    val reps = withFp.groupBy("__fp").agg(min(col(idCol)).as("__rep_id"))
+    Caches.scoped(withFp, reps) {
+      val repDocs = withFp
+        .join(reps.select(col("__rep_id").as(idCol)), Seq(idCol))
+        .select(col(idCol), col(textCol))
+      val repClusters = dupClusters(repDocs, idCol,
+        minhashDedupPairs(repDocs, idCol, textCol, threshold, k,
+          numHashes, bands, maxBucket),
+        maxRounds)
+      // expand: member → its fingerprint's representative → its cluster
+      withFp.select(col(idCol), col("__fp"))
+        .join(reps, "__fp")
+        .join(repClusters.select(col(idCol).as("__rep_id"), col("cluster_id")),
+          "__rep_id")
+        .select(col(idCol), col("cluster_id"))
+    }
   }
 
   // ---- SimHash (portable, md5-derived) ----

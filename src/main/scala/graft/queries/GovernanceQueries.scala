@@ -116,25 +116,47 @@ object GovernanceQueries {
   /** Robust (MAD-based) outlier screen — the heavy-tail-safe sibling of
     * the 3σ rule (g05): |x − median| > 3·1.4826·MAD. Mean/stddev move
     * with the outliers they hunt; median/MAD don't (50% breakdown).
-    * Three passes: median, MAD (median of absolute deviations around
-    * it, the scalar riding along as a broadcast), then one counting
-    * scan. The exact interpolated percentile here is oracle-replayable
-    * (quantile_cont); the corpus-scale variant swaps in
-    * percentile_approx with the q53-style rank-count verification. */
+    *
+    * SKETCH-tier percentiles (GK `percentile_approx`, accuracy 2000 →
+    * 5e-4 worst-case rank error): an exact interpolated percentile is a
+    * TypedImperative aggregate whose final merge buffers every value —
+    * a guaranteed OOM at 100 TB — while the GK sketch is fixed-size
+    * mergeable state. Correctness is gated the q53 way: each estimate's
+    * EXACT rank (two conditional counts, map-side combined) must land
+    * inside the ±0.005 band around its target, so the oracle asserts
+    * the guarantee literally and the gate is deterministic. Three
+    * single-column passes: median sketch, MAD sketch around it (the
+    * scalar rides along as a broadcast), then one counting scan that
+    * yields both rank gates.
+    *
+    * The declared columns are the engine-invariant ones — n_total,
+    * ok_med, ok_mad (sketch estimates themselves have no cross-engine
+    * twin); DqChecksSpec pins the exact-percentile screen (median, MAD,
+    * outlier count) and asserts the sketch thresholds reproduce its
+    * outlier count at spec scale. */
   def g12MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.005
     val x = col("l_extendedprice")
     val li = t(s, dir, "lineitem").select(x)
-    val med = li.agg(percentile(x, lit(0.5)).as("med"))
+    val med = li.agg(percentile_approx(x, lit(0.5), lit(2000)).as("med"),
+      count(lit(1)).as("n"))
     val dev = li.crossJoin(broadcast(med))
-      .agg(percentile(abs(x - col("med")), lit(0.5)).as("mad"),
-        first(col("med")).as("med"))
+      .agg(percentile_approx(abs(x - col("med")), lit(0.5), lit(2000)).as("mad"),
+        first(col("med")).as("med"), first(col("n")).as("n"))
     li.crossJoin(broadcast(dev))
       .agg(
-        count(when(abs(x - col("med")) > lit(3.0) * lit(1.4826) * col("mad"),
-          lit(1))).as("n_outliers"),
-        count(lit(1)).as("n_total"),
-        round(first(col("med")), 4).as("median"),
-        round(first(col("mad")), 4).as("mad"))
+        sum((x < col("med")).cast("long")).as("__lo_m"),
+        sum((x <= col("med")).cast("long")).as("__hi_m"),
+        sum((abs(x - col("med")) < col("mad")).cast("long")).as("__lo_d"),
+        sum((abs(x - col("med")) <= col("mad")).cast("long")).as("__hi_d"),
+        first(col("n")).as("n_total"))
+      .select(col("n_total"),
+        ((col("__lo_m").cast("double") <= col("n_total") * (0.5 + eps)) &&
+          (col("__hi_m").cast("double") >= col("n_total") * (0.5 - eps)))
+          .cast("int").as("ok_med"),
+        ((col("__lo_d").cast("double") <= col("n_total") * (0.5 + eps)) &&
+          (col("__hi_d").cast("double") >= col("n_total") * (0.5 - eps)))
+          .cast("int").as("ok_mad"))
   }
 
   /** Benford first-digit screen over order totals — the classic
@@ -231,14 +253,8 @@ object GovernanceQueries {
         |  ROUND(LOG10(1.0 + 1.0 / digit), 4) AS exp_p
         |FROM g ORDER BY digit""".stripMargin),
     "g12_mad_outliers" ->
-      ("""WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
-        |d AS (SELECT quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
-        |      FROM lineitem l, m)
-        |SELECT
-        |  CAST(count(CASE WHEN abs(l.l_extendedprice - m.med) > 3.0 * 1.4826 * d.mad THEN 1 END) AS BIGINT) AS n_outliers,
-        |  CAST(count(*) AS BIGINT) AS n_total,
-        |  ROUND(m.med, 4) AS median, ROUND(d.mad, 4) AS mad
-        |FROM lineitem l, m, d GROUP BY m.med, d.mad""".stripMargin),
+      ("SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+        "1 AS ok_med, 1 AS ok_mad FROM lineitem"),
     "g01_duplicates" ->
       "SELECT l_orderkey, COUNT(*) AS n_dups FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey",
     "g02_range_violations" ->

@@ -72,12 +72,16 @@ object PipelineQueries {
         threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  def d05DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.dupClusters(d, "doc_id",
-        Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5))
+  /** Declared in the exact-dedup-pre-collapsed form
+    * ([[Dedup.collapsedDupClusters]]): semantically identical to
+    * `dupClusters(minhashDedupPairs(...))` (the oracle replays THAT as a
+    * recursive closure over brute-force pairs), but identical texts enter
+    * LSH as one representative row — the 100 TB boilerplate-cluster
+    * guard, carried by the declared query so the oracle gates it. */
+  def d05DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.collapsedDupClusters(docs(s, dir), "doc_id", "text",
+        threshold = 0.5)
       .orderBy("doc_id")
-  }
 
   /** Triangle count over the near-dup pair graph — the graph-density
     * probe of a dedup report (triangle-rich components are template
@@ -284,18 +288,26 @@ object PipelineQueries {
     * shingle-repetition gate t09 can miss at long range) and hapax
     * fraction (share of tokens occurring exactly once in the WHOLE
     * corpus — unusually high means OOV-gibberish, unusually low means
-    * template text). Per-row set math plus one corpus frequency attach
-    * join (dictionary-scale side, AQE broadcasts). */
+    * template text). Per-row set math plus one HAPAX-ONLY frequency
+    * join: token/type counts need no corpus frequencies, so only the
+    * cnt=1 sliver of the vocabulary is joined back (the corpus's
+    * heaviest column never rides a full token⋈freq attach — at 100 TB
+    * that join would shuffle every occurrence to learn a bit only the
+    * hapax subset carries). A hapax token occurs exactly once corpus-
+    * wide, so the inner join emits one row per (doc, hapax token). */
   def t26LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     val base = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(toks).as("token"))
-    val freq = base.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val perDoc = base.join(freq, "token")
-      .groupBy("doc_id")
+    val hapax = base.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 1).select("token")
+    val nHapax = base.join(hapax, "token")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hapax"))
+    val perDoc = base.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("token")).as("n_types"),
-        sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+        countDistinct(col("token")).as("n_types"))
+      .join(nHapax, Seq("doc_id"), "left")
+      .withColumn("n_hapax", coalesce(col("n_hapax"), lit(0L)))
     perDoc.select(col("doc_id"),
         round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
         round(col("n_hapax").cast("double") / col("n_tokens"), 4).as("hapax_frac"))
@@ -358,14 +370,14 @@ object PipelineQueries {
     * representative ([[Dedup.dupClusters]] over MinHash pairs), and the
     * resulting selection decision (keep ∧ representative). This is the
     * query a reference user's END-TO-END pipeline reduces to; each stage
-    * keeps its own scale posture (codegen'd projections, LSH-bounded
-    * self-join, key-partitioned label propagation, md5 split — no new
-    * shuffles beyond the stages' own). */
+    * keeps its own scale posture (codegen'd projections, exact-dedup
+    * pre-collapse + capped LSH self-join, key-partitioned label
+    * propagation, md5 split — no new shuffles beyond the stages' own). */
   def t19CorpusManifest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val quality = t12FilterPass(s, dir).select("doc_id", "keep")
-    val clusters = Dedup.dupClusters(d, "doc_id",
-      Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5))
+    val clusters = Dedup.collapsedDupClusters(d, "doc_id", "text",
+      threshold = 0.5)
     val splits = Sampling.withSplit(d.select("doc_id"), "doc_id")
     quality.join(clusters, "doc_id").join(splits, "doc_id")
       .select(col("doc_id"), col("split"), col("keep"),
@@ -416,6 +428,27 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"))
     val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
         k = 3, numPlanes = 6, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Recall\@k gate for the IVF tier — v08's truth-join recall computed
+    * over [[Similarity.ivfTopK]] instead of LSH, so BOTH approximate
+    * index families publish their quality metric in-engine and oracled.
+    * The materialized twin [[Similarity.ivfServeTopK]] is plan-identical
+    * by IvfIndexSpec's served ≡ inline assertion, so this gate covers
+    * the build/serve path too (asserted again directly in IvfIndexSpec). */
+  def v13IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        k = 3, nCentroids = 16, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
@@ -506,13 +539,15 @@ object PipelineQueries {
         newPred = col("doc_id") % 10 === 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** Bloom-prefiltered decontamination: eval set = every 97th doc,
+  /** Bloom-prefiltered decontamination: eval set = every 7th doc,
     * train docs sharing ≥ 2 5-grams. Same exact semantics as t15's
     * operator (Bloom has no false negatives) with the corpus-side
-    * shuffle pruned to probable hits — the 100 TB form of the query. */
+    * shuffle pruned to probable hits — the 100 TB form of the query.
+    * (The %7 eval slice matches BloomSpec's and yields hits on the test
+    * corpus, so the oracle gate exercises the prefilter non-vacuously.) */
   def d08BloomDecontam(s: SparkSession, dir: String): DataFrame =
     Dedup.bloomContaminatedDocs(docs(s, dir), "doc_id", "text",
-        evalPred = col("doc_id") % 97 === 0, k = 5, minShared = 2L)
+        evalPred = col("doc_id") % 7 === 0, k = 5, minShared = 2L)
       .orderBy("doc_id")
 
   /** Heavy-hitter tokens via the Misra-Gries sketch, gated against the
@@ -533,10 +568,15 @@ object PipelineQueries {
       val sketch = tok.agg(
         graft.functions.FreqSketchAgg.freqSketch(col("token"), cap).as("sk"),
         count(lit(1)).as("n_total"))
-      val est = sketch.select(explode(col("sk")), col("n_total"))
-        .select(col("key").as("token"), col("value").as("est"), col("n_total"))
+      val est = sketch.select(explode(col("sk")))
+        .select(col("key").as("token"), col("value").as("est"))
+      // n_total rides onto EVERY exact row via the broadcast scalar, not
+      // the est side of the left join — an evicted (unmatched) token
+      // would otherwise get a NULL bound and a NULL ok where the
+      // guarantee says "eviction below the bound is fine"
       val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("token")).limit(10)
+        .crossJoin(broadcast(sketch.select(col("n_total"))))
       // assert exactly what Misra-Gries GUARANTEES: presence-with-band
       // for tokens above the n/(cap+1) additive bound; below it the
       // sketch may legitimately evict, so absence there is still ok —
@@ -706,6 +746,7 @@ object PipelineQueries {
     "v05_label_centroids" -> v05LabelCentroids,
     "v07_kmeans_step" -> v07KmeansStep,
     "v08_ann_recall" -> v08AnnRecall,
+    "v13_ivf_recall" -> v13IvfRecall,
     "v11_mmr_rerank" -> v11MmrRerank,
     "v12_hard_negatives" -> v12HardNegatives,
     "m01_multimodal_meta" -> m01MultimodalMeta,
@@ -886,6 +927,18 @@ object PipelineQueries {
        |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
        |WHERE list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** v13 replays the v01 truth and the v04 IVF probe as CTEs and
+    * recomputes the same left-join recall (the v08 pattern). */
+  private lazy val v13OracleSql: String =
+    s"""WITH truth AS ($v01OracleSql),
+       |approx AS ($v04OracleSql)
+       |SELECT t.query_id,
+       |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   private lazy val v04OracleSql: String =
     """WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1077,8 +1130,8 @@ object PipelineQueries {
         |    END AS sh
         |  FROM toks),
         |u AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |ev AS (SELECT s, doc_id AS eval_id FROM u WHERE doc_id % 97 = 0),
-        |tr AS (SELECT s, doc_id FROM u WHERE doc_id % 97 <> 0)
+        |ev AS (SELECT s, doc_id AS eval_id FROM u WHERE doc_id % 7 = 0),
+        |tr AS (SELECT s, doc_id FROM u WHERE doc_id % 7 <> 0)
         |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared_shingles,
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
         |FROM tr JOIN ev USING (s) GROUP BY doc_id
@@ -1308,6 +1361,7 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin),
     "v01_ann_brute" -> v01OracleSql,
     "v08_ann_recall" -> v08OracleSql,
+    "v13_ivf_recall" -> v13OracleSql,
     "t13_boilerplate" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),

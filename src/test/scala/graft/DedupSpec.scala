@@ -288,6 +288,81 @@ class DedupSpec extends SparkSuite {
     assert(incr.forall(p => isNew(p._1) || isNew(p._2)))
   }
 
+  test("hot-bucket cap: identical-doc cluster stays linear, keeps connectivity") {
+    // 5000 identical docs = the boilerplate-template blowup: every member
+    // shares EVERY band bucket, so un-capped clique generation would emit
+    // ~12.5M candidate pairs (5000·4999/2); the cap must route the bucket
+    // through the representative star — N-1 pairs, cluster intact
+    val n = 5000L
+    val hot = (1L to n).map(i => i -> "the same boilerplate template text repeated verbatim on every page")
+    val others = Seq(
+      (n + 1L) -> "one genuinely unique document about spark catalyst plans",
+      (n + 2L) -> "another singleton document with fully distinct token content")
+    val d = (hot ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairs(d, "doc_id", "text",
+      threshold = 0.5, maxBucket = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // star around min id: exactly N-1 verified pairs, all jaccard 1.0
+    assert(got.length === (n - 1).toInt)
+    assert(got.forall { case (a, _, j) => a == 1L && j == 1.0 })
+    // connectivity is what dedup consumes: one cluster, min-id rep
+    val clusters = Dedup.dupClusters(d, "doc_id", pairs)
+      .groupBy("cluster_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters === Map(1L -> n, (n + 1L) -> 1L, (n + 2L) -> 1L))
+  }
+
+  test("hot-bucket cap: lshCandidatePairs star is bounded and ordered") {
+    val sig = (1L to 100L).map(i => i -> Seq.fill(8)(42L)).toDF("id", "sig")
+    val cands = Dedup.lshCandidatePairs(sig, bands = 4, rowsPerBand = 2,
+        maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands === (2L to 100L).map(i => (1L, i)).toSet)
+  }
+
+  test("hot-bucket cap: below-cap buckets keep the exact clique") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(1L -> base, 2L -> base, 3L -> base,
+      4L -> "completely different content about other things entirely")
+    // bucket size 3 <= cap: full clique of the triple must survive
+    val got = Dedup.minhashDedupPairs(d, "doc_id", "text",
+        threshold = 0.9, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("collapsedDupClusters ≡ uncollapsed dupClusters(minhashDedupPairs)") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    // seed exact duplicates (normalization variants) on top of the corpus
+    val extra = Seq(
+      (100001L, "The quick brown fox JUMPS over   the lazy dog tonight"),
+      (100002L, "the quick brown fox jumps over the lazy dog tonight"),
+      (100003L, "the   quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val all = d.select("doc_id", "text").unionByName(extra)
+    def norm(df0: org.apache.spark.sql.DataFrame) =
+      df0.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val collapsed = norm(Dedup.collapsedDupClusters(all, "doc_id", "text",
+      threshold = 0.5))
+    val plain = norm(Dedup.dupClusters(all, "doc_id",
+      Dedup.minhashDedupPairs(all, "doc_id", "text", threshold = 0.5)))
+    assert(collapsed === plain)
+    // the seeded exact-dup family collapsed into one cluster
+    assert(collapsed.filter(_._1 > 100000L).map(_._2).distinct.size === 1)
+  }
+
+  test("incremental minhash with hot-bucket cap keeps the new-endpoint contract") {
+    val n = 500L
+    val hot = (1L to n).map(i => i -> "identical template body text shared by every page in the crawl")
+    val d = hot.toDF("doc_id", "text")
+    val incr = Dedup.incrementalMinhashPairs(d, "doc_id", "text",
+        newPred = col("doc_id") > 450L, threshold = 0.5, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star around rep id 1 (old), restricted to new endpoints
+    assert(incr === (451L to n).map(i => (1L, i)).toSet)
+  }
+
   test("winnowing guarantees a fingerprint in every window and stays deterministic") {
     val rnd = new scala.util.Random(3)
     val d = docs((1L to 10L).map(i =>

@@ -90,4 +90,25 @@ class DqChecksSpec extends SparkSuite {
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(out === Seq((2L, 2.0), (1L, 5.0)))
   }
+
+  test("g12 sketch MAD screen: rank gates green, outlier count matches exact twin") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_extendedprice").as("x"))
+    // the EXACT screen (full value buffer — the spec-only form; the
+    // declared query carries the sketch + rank-gate shape)
+    val med = li.agg(percentile(col("x"), lit(0.5))).head.getDouble(0)
+    val mad = li.agg(percentile(abs(col("x") - med), lit(0.5))).head.getDouble(0)
+    val exactOut = li.filter(abs(col("x") - med) > 3.0 * 1.4826 * mad).count()
+    // the sketch thresholds reproduce the same screen at this scale
+    val medA = li.agg(percentile_approx(col("x"), lit(0.5), lit(2000)))
+      .head.getDouble(0)
+    val madA = li.agg(percentile_approx(abs(col("x") - medA), lit(0.5), lit(2000)))
+      .head.getDouble(0)
+    val sketchOut = li.filter(abs(col("x") - medA) > 3.0 * 1.4826 * madA).count()
+    assert(sketchOut === exactOut)
+    // and the declared query's rank gates hold
+    val row = SparkEntry.queries("g12_mad_outliers")(spark, sf0001).head
+    assert(row.getAs[Int]("ok_med") === 1)
+    assert(row.getAs[Int]("ok_mad") === 1)
+  }
 }

@@ -108,4 +108,40 @@ class ExplorerSpec extends SparkSuite {
     assert(back.count() === 5)
     assert(back.filter($"txid".isNull).count() === 0)
   }
+
+  test("summaryTable: TTL result cache serves-while-fresh, refreshes-when-stale") {
+    var clock = 0L
+    var builds = 0
+    val dir = Files.createTempDirectory("summary").toString + "/sales_summary"
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    // first read materializes
+    assert(Tables.summaryTable(spark, dir, 300, () => clock)(build).count() === 2)
+    assert(builds === 1)
+    // inside the TTL window: served from the table, no rebuild
+    clock = 200_000L
+    Tables.summaryTable(spark, dir, 300, () => clock)(build).count()
+    assert(builds === 1)
+    // past the TTL: rebuilt + atomically swapped
+    clock = 400_000L
+    Tables.summaryTable(spark, dir, 300, () => clock)(build).count()
+    assert(builds === 2)
+  }
+
+  test("summaryRefreshTask wires scheduled refresh into a TaskGraph") {
+    import java.sql.Timestamp
+    var clock = 1_000_000L
+    var builds = 0
+    val dir = Files.createTempDirectory("summary_task").toString + "/hourly"
+    def build = { builds += 1; Seq((builds, "x")).toDF("n", "v") }
+    val g = new graft.flow.TaskGraph(() => new Timestamp(clock))
+    g.add(Tables.summaryRefreshTask(spark, "refresh_hourly", dir, 600)(build))
+    g.resume("refresh_hourly")
+    g.tick(); assert(builds === 1)
+    clock += 1_000 // not due yet
+    g.tick(); assert(builds === 1)
+    clock += 700_000 // past the 600 s interval — refreshes and swaps
+    g.tick(); assert(builds === 2)
+    assert(spark.read.parquet(dir).head.getInt(0) === 2)
+    assert(g.history.count(_.status == "SUCCEEDED") === 2)
+  }
 }
