@@ -1,6 +1,9 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
 
 /** Persist-scope helper for operators that self-join or multi-probe an
   * intermediate frame.
@@ -15,9 +18,23 @@ import org.apache.spark.sql.DataFrame
   * drivers): every leaked block adds GC pressure until unrelated queries
   * crawl. */
 private[graft] object Caches {
+
+  /** Test-only probe: when a thread installs a buffer here, [[scoped]]
+    * records the physical plan of every output it materializes. The
+    * eager materialization inside scoped() is exactly why these internal
+    * plans are invisible to the declared-query snapshot gate
+    * (PlanRegressionSpec sees only the checkpoint scan) — the probe lets
+    * ShuffleWidthSpec assert on the REAL operator internals (shuffle
+    * row-width classes) without reconstructing them out-of-band. */
+  private[graft] val planProbe = new ThreadLocal[mutable.Buffer[SparkPlan]]
+
   def scoped(intermediates: DataFrame*)(out: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist())
-    try out.localCheckpoint()
+    try {
+      val o = out
+      Option(planProbe.get).foreach(_ += o.queryExecution.executedPlan)
+      o.localCheckpoint()
+    }
     finally intermediates.foreach(_.unpersist())
   }
 
@@ -30,13 +47,27 @@ private[graft] object Caches {
     * key fixes the parallelism AND pre-satisfies the downstream
     * groupBy(key) distribution (no second exchange). The partition count
     * is pinned (repartition(n, key)) so AQE's size-based coalescing
-    * doesn't fold the tiny-by-bytes rows back into one partition. */
+    * doesn't fold the tiny-by-bytes rows back into one partition.
+    *
+    * At corpus scale the guard inverts: once the optimizer's size
+    * estimate says the scan will already produce at least `n` splits
+    * (estimate ≥ 2·n·maxPartitionBytes, the 2× margin absorbing
+    * compression-ratio noise in the estimate), the repartition would be
+    * a full shuffle of RAW DOCUMENT BYTES purely to re-key rows the
+    * scan already parallelized — the single most expensive no-op a
+    * 100 TB dedup pass could run — so it is skipped and the natural
+    * scan splits feed the pipeline directly. */
   def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     // the conf can hold a non-integer on AQE-managed platforms ("auto");
     // fall back to the cluster's default parallelism rather than throwing
     val n = scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "").toInt)
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    df.repartition(n, key)
+    val maxPartitionBytes = scala.util.Try(
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      .getOrElse(128L * 1024 * 1024)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= BigInt(maxPartitionBytes) * n * 2) df
+    else df.repartition(n, key)
   }
 }

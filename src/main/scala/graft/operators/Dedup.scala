@@ -169,6 +169,27 @@ object Dedup {
     }
   }
 
+  /** The count-and-report side of the hot-bucket guard: every
+    * (band, bucket) whose population is at least `minSize`, with its
+    * representative (min id) as the template-family exemplar — the
+    * diagnostic a corpus owner runs to SEE the boilerplate clusters the
+    * cap is absorbing and to tune `maxBucket`. One signature pass plus
+    * one map-side-combined count; no self-join at all, so it is safe to
+    * run on any corpus at any scale. */
+  def lshHotBuckets(docs: DataFrame, idCol: String, textCol: String,
+      minSize: Long = DefaultMaxBucket.toLong, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    minhashSignatures(docs, idCol, textCol, k, numHashes)
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("exemplar_id"))
+      .filter(col("n_docs") >= minSize)
+  }
+
   /** The clique ∪ star candidate union over a [[withBucketStats]] frame:
     * exact pair clique for buckets ≤ `maxBucket`, representative star
     * above it. Emits (id_a < id_b), distinct. */

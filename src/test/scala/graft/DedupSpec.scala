@@ -331,6 +331,18 @@ class DedupSpec extends SparkSuite {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("lshHotBuckets reports template families without any self-join") {
+    val d = ((1L to 200L).map(i => i -> "the same boilerplate template text repeated verbatim on every page") ++
+      Seq(201L -> "a genuinely unique document about catalyst plans"))
+      .toDF("doc_id", "text")
+    val hot = Dedup.lshHotBuckets(d, "doc_id", "text", minSize = 100L)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    // identical docs share every band bucket: 16 bands, 200 members,
+    // exemplar = min id; the singleton never reaches minSize
+    assert(hot.length === 16)
+    assert(hot.forall { case (_, n, ex) => n == 200L && ex == 1L })
+  }
+
   test("collapsedDupClusters ≡ uncollapsed dupClusters(minhashDedupPairs)") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     // seed exact duplicates (normalization variants) on top of the corpus

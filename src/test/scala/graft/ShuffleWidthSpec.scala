@@ -1,0 +1,121 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.types._
+
+import graft.operators.{Caches, Dedup}
+
+/** Shuffle row-WIDTH ratchet for the dedup tier.
+  *
+  * The exchange-budget gate (PlanRegressionSpec) caps shuffle COUNTS;
+  * this spec pins what the dedup shuffles CARRY. The whole point of the
+  * hashed-shingle/signature design is that every post-tokenize exchange
+  * moves fixed-width integers (xxhash64 longs, signature arrays, ids) —
+  * a future edit that shuffles raw text or string shingles where hashes
+  * suffice would still pass the count budget while multiplying the bytes
+  * on the corpus's heaviest column. Here it fails.
+  *
+  * Mechanics: [[Caches.planProbe]] records the physical plan of each
+  * operator's materialized output (the internals the snapshot gate can't
+  * see past the checkpoint); every ShuffleExchange in that plan — and in
+  * the cached lineages it scans — is classified text-width (any
+  * string/binary anywhere in its row type) or fixed-width. Contract per
+  * operator: EXACTLY ONE text-width exchange, the initial spreadByKey of
+  * the raw documents (which the size guard drops at corpus scale), and
+  * zero others. */
+class ShuffleWidthSpec extends SparkSuite {
+
+  private def isTextType(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType => true
+    case ArrayType(et, _) => isTextType(et)
+    case st: StructType => st.fields.exists(f => isTextType(f.dataType))
+    case MapType(k, v, _) => isTextType(k) || isTextType(v)
+    case _ => false
+  }
+
+  private def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+    val here = p match { case e: ShuffleExchangeExec => Seq(e); case _ => Nil }
+    val kids = p match {
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case _ => p.children
+    }
+    here ++ kids.flatMap(allExchanges)
+  }
+
+  /** Run `op` with AQE off (so captured plans expose plain
+    * ShuffleExchangeExec nodes) and the plan probe installed; return the
+    * (text-width, fixed-width) exchange partition. */
+  private def probeExchanges(op: => Unit): (Seq[ShuffleExchangeExec], Seq[ShuffleExchangeExec]) = {
+    val buf = mutable.Buffer.empty[SparkPlan]
+    Caches.planProbe.set(buf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try op
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Caches.planProbe.remove()
+    }
+    assert(buf.nonEmpty, "operator recorded no scoped plan — probe broken?")
+    // a cached lineage is scanned by several InMemoryTableScans but its
+    // exchanges ran once — dedupe captured nodes by plan identity
+    val ex = buf.flatMap(allExchanges).distinctBy(_.id).toSeq
+    assert(ex.nonEmpty, "no shuffle exchanges captured — walker broken?")
+    ex.partition(e => e.output.exists(a => isTextType(a.dataType)))
+  }
+
+  private def docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select("doc_id", "text")
+
+  private def assertOnlySpreadIsText(
+      parts: (Seq[ShuffleExchangeExec], Seq[ShuffleExchangeExec])): Unit = {
+    val (text, fixed) = parts
+    assert(text.size === 1,
+      s"expected exactly the raw-doc spread as the one text-width shuffle, got ${text.size}:\n" +
+        text.map(e => e.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString(", ")).mkString("\n"))
+    // and the one text shuffle is the document spread (it carries the
+    // raw text column), not some index/verify-side string leak
+    assert(text.head.output.exists(_.name == "text"))
+    assert(fixed.nonEmpty)
+  }
+
+  test("d02 minhash internals shuffle signatures/hashes, never shingle strings") {
+    assertOnlySpreadIsText(probeExchanges {
+      Dedup.minhashDedupPairs(docsDf, "doc_id", "text", threshold = 0.5).count()
+    })
+  }
+
+  test("d04 ngram-jaccard inverted index shuffles hashed shingles only") {
+    assertOnlySpreadIsText(probeExchanges {
+      Dedup.ngramJaccardPairs(docsDf, "doc_id", "text", threshold = 0.5).count()
+    })
+  }
+
+  test("t15 contamination (hashed form) shuffles 8-byte grams only") {
+    assertOnlySpreadIsText(probeExchanges {
+      Dedup.contaminatedDocs(docsDf, "doc_id", "text",
+        evalPred = col("doc_id") < 50, k = 5, hashed = true).count()
+    })
+  }
+
+  test("spreadByKey skips the raw-text shuffle once the scan is wide enough") {
+    // shrink the split size so the (tiny) test table's size estimate
+    // clears the guard threshold — the repartition must disappear
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      val spread = Caches.spreadByKey(docsDf, col("doc_id"))
+      assert(spread.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+      }.isEmpty, "repartition present despite a wide-enough scan")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    // and the small-input default still pins the partition count
+    val small = Caches.spreadByKey(docsDf, col("doc_id"))
+    assert(small.rdd.getNumPartitions ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+}
