@@ -545,9 +545,8 @@ object Dedup {
     * cliques, so 2-3 rounds in practice; `maxRounds` bounds adversarial
     * chains). Each round is one key-partitioned shuffle; labels are
     * re-checkpointed per round so the iterative lineage never grows.
-    * At extreme diameters the O(log n) large-star/small-star rewrite
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    * drops in behind the same signature.
+    * At extreme diameters use [[dupClustersLogStar]] — the O(log n)
+    * large-star/small-star rewrite behind the same signature.
     *
     * Throws `IllegalStateException` if propagation is still changing
     * labels after `maxRounds` — truncated propagation would silently
@@ -583,6 +582,75 @@ object Dedup {
         s"dupClusters did not converge in $maxRounds rounds — component " +
           "diameter exceeds the bound; labels would be split. Raise maxRounds.")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** O(log n)-round connected components — the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) behind the SAME signature as [[dupClusters]], for
+    * components whose DIAMETER is adversarial (chains of incremental
+    * revisions, crawl snapshots): min-label propagation pays one
+    * key-partitioned round per hop of diameter, this pays O(log n)
+    * rounds total regardless of shape.
+    *
+    * Per round: large-star hangs every neighbor LARGER than a node onto
+    * the minimum of that node's closed neighborhood; small-star re-hangs
+    * the smaller neighbors (and the node) onto their minimum. Both are
+    * one groupBy + one join on the node key — the same shuffle shape as
+    * a propagation round — and the edge set provably contracts to one
+    * star per component rooted at its minimum id. Edges are
+    * re-checkpointed per round so the iterative lineage never grows.
+    * Equality with [[dupClusters]] on arbitrary graphs is asserted in
+    * DedupSpec; a 300-hop chain converges in ~9 rounds where min-label
+    * needs 300. */
+  def dupClustersLogStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    // (src, dst) BOTH directions — each star step processes full
+    // neighborhoods keyed by src
+    def undirect(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    // canonical ordered form, for the convergence check
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+
+    var edges = undirect(pairs.select(col("id_a").as("src"),
+      col("id_b").as("dst"))).localCheckpoint()
+    var prev = canon(edges).localCheckpoint()
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star: for (x, y>x) emit (y, min(Γ(x) ∪ {x}))
+      val lMins = edges.groupBy("src").agg(min("dst").as("nmin"))
+      val large = edges.join(lMins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"),
+          least(col("src"), col("nmin")).as("dst"))
+      val afterLarge = undirect(large).localCheckpoint()
+      // small-star: for (x, y<x) emit (y, m) and (x, m), m = min(y's)
+      val small = afterLarge.filter(col("dst") < col("src"))
+      val sMins = small.groupBy("src").agg(min("dst").as("nmin"))
+      val afterSmall = canon(
+        small.join(sMins, "src")
+          .select(col("dst").as("src"), col("nmin").as("dst"))
+          .unionByName(sMins.select(col("src"), col("nmin").as("dst"))))
+        .localCheckpoint()
+      converged = afterSmall.exceptAll(prev).isEmpty &&
+        prev.exceptAll(afterSmall).isEmpty
+      prev = afterSmall
+      edges = undirect(afterSmall).localCheckpoint()
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClustersLogStar did not converge in $maxRounds rounds — " +
+          "labels would be split. Raise maxRounds.")
+    // fixed point = one star per component, rooted at the component min
+    docs.select(col(idCol).as("id"))
+      .join(prev.select(col("dst").as("id"), col("src").as("root")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Near-dup clustering with EXACT-dedup pre-collapse — the scale-safe

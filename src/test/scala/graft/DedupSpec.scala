@@ -331,6 +331,41 @@ class DedupSpec extends SparkSuite {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("dupClustersLogStar ≡ dupClusters on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val n = 200L
+    val d = (1L to n).toDF("doc_id")
+    val pairs = Seq.fill(150)(
+      (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def norm(df0: org.apache.spark.sql.DataFrame) =
+      df0.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(norm(Dedup.dupClustersLogStar(d, "doc_id", pairs)) ===
+      norm(Dedup.dupClusters(d, "doc_id", pairs, maxRounds = 300)))
+  }
+
+  test("dupClustersLogStar: a 300-hop chain converges in O(log n) rounds") {
+    val n = 300L
+    val d = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // min-label propagation would need ~300 rounds on this diameter;
+    // the star alternation must land well inside 15
+    val got = Dedup.dupClustersLogStar(d, "doc_id", chain, maxRounds = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n.toInt)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("dupClustersLogStar: no pairs → every doc is its own cluster") {
+    val d = (1L to 5L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.dupClustersLogStar(d, "doc_id", empty)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (1L to 5L).map(i => i -> i))
+  }
+
   test("lshHotBuckets reports template families without any self-join") {
     val d = ((1L to 200L).map(i => i -> "the same boilerplate template text repeated verbatim on every page") ++
       Seq(201L -> "a genuinely unique document about catalyst plans"))
