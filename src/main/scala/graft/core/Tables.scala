@@ -101,12 +101,7 @@ object Tables {
           s"replaceAtomic: crash recovery failed — could not restore $bak to $path")
       } else fs.delete(bak, true)
     }
-    next.write.mode("overwrite").parquet(tmp.toString)
-    marker.foreach { case (name, content) =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    stageWrite(fs, tmp, next, marker)
     if (!fs.rename(path, bak)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"replaceAtomic: could not move $path aside")
@@ -119,6 +114,20 @@ object Tables {
           s" AND restore failed — table preserved at $bak"}")
     }
     fs.delete(bak, true)
+  }
+
+  /** Stage `next` (and an optional marker file) into `tmp` — the shared
+    * pre-swap step of [[replaceAtomic]] and the summary-table first
+    * materialization; one copy so crash-posture fixes can't diverge. */
+  private def stageWrite(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, next: DataFrame,
+      marker: Option[(String, String)]): Unit = {
+    next.write.mode("overwrite").parquet(tmp.toString)
+    marker.foreach { case (name, content) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   def compact(spark: SparkSession, dir: String,
@@ -153,9 +162,17 @@ object Tables {
     * streamlit_buy_orders_app.py:49-69, its one client-side
     * optimization): a materialized summary table served as-is while
     * younger than `ttlSeconds`, recomputed from `build` and atomically
-    * swapped ([[replaceAtomic]]) once stale. Readers never see a
-    * half-written refresh, and a crash mid-swap leaves the previous
-    * summary recoverable. `now` is injectable for deterministic tests.
+    * swapped ([[replaceAtomic]]) once stale. A crash mid-swap leaves the
+    * previous summary recoverable. `now` is injectable for deterministic
+    * tests.
+    *
+    * Concurrency contract: ONE refresher at a time. The crash posture is
+    * replaceAtomic's (single-writer rename dance, shared `__swap_tmp`
+    * staging path, a rename-window where the directory briefly moves);
+    * concurrent stale readers that all decide to refresh would race on
+    * that staging path. Serialize refreshes — e.g. through a single
+    * [[summaryRefreshTask]] in the pipeline's TaskGraph, the intended
+    * wiring — and let plain readers hit the parquet directly.
     *
     * Scale posture: the summary is aggregate-sized, the refresh is one
     * Spark job, and every read between refreshes is a parquet scan of
@@ -192,12 +209,7 @@ object Tables {
       path: org.apache.hadoop.fs.Path, next: DataFrame,
       marker: Option[(String, String)]): Unit = {
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    next.write.mode("overwrite").parquet(tmp.toString)
-    marker.foreach { case (name, content) =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    stageWrite(fs, tmp, next, marker)
     if (!fs.rename(tmp, path)) throw new java.io.IOException(
       s"summaryTable: could not move first materialization into $path")
   }

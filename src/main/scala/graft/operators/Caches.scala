@@ -67,7 +67,16 @@ private[graft] object Caches {
       df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
       .getOrElse(128L * 1024 * 1024)
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes >= BigInt(maxPartitionBytes) * n * 2) df
+    // stats-less sources (LogicalRDD, checkpointed frames, JDBC) report
+    // the defaultSizeInBytes SENTINEL (Long.MaxValue-ish), which would
+    // read as "huge" and silently skip the spread for a tiny
+    // single-partition input — treat it as unknown and keep the
+    // repartition; only a REAL file-size estimate may skip it
+    val sentinel = scala.util.Try(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      .getOrElse(Long.MaxValue)
+    if (estBytes < BigInt(sentinel) &&
+      estBytes >= BigInt(maxPartitionBytes) * n * 2) df
     else df.repartition(n, key)
   }
 }

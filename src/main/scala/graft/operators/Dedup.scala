@@ -136,11 +136,20 @@ object Dedup {
     * |cluster|² pairs per band — the classic MinHash blowup. Buckets at
     * or under `maxBucket` keep the exact clique; buckets above it fall
     * back to the STAR around the representative (every member pairs with
-    * the bucket's min id): candidate volume linear in bucket size,
-    * component CONNECTIVITY preserved (what [[dupClusters]] consumes),
-    * and every emitted pair still passes exact Jaccard verification —
-    * precision is unaffected, only exhaustive pair ENUMERATION inside a
-    * degenerate bucket is traded away. */
+    * the bucket's min id): candidate volume linear in bucket size, and
+    * every emitted pair still passes exact Jaccard verification, so
+    * precision is unaffected.
+    *
+    * The recall trade, precisely: inside an overflowed bucket only
+    * rep–member pairs are enumerated, so a member stays connected to
+    * the component iff its Jaccard TO THE REPRESENTATIVE clears the
+    * threshold — a fringe member whose member–member edges would have
+    * passed can drop out if its rep edge fails. In practice overflowed
+    * buckets are near-identical template families (that is WHY they
+    * overflowed) where rep similarity ≈ 1; for the exact-duplicate case
+    * the guarantee is absolute when [[collapsedDupClusters]] pre-folds
+    * identical texts (Jaccard = 1 edges can't fail). Corpora where this
+    * residual matters should raise `maxBucket`, not disable the cap. */
   private def withBucketStats(exploded: DataFrame,
       repCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("band", "bucket")
@@ -635,8 +644,10 @@ object Dedup {
           .select(col("dst").as("src"), col("nmin").as("dst"))
           .unionByName(sMins.select(col("src"), col("nmin").as("dst"))))
         .localCheckpoint()
-      converged = afterSmall.exceptAll(prev).isEmpty &&
-        prev.exceptAll(afterSmall).isEmpty
+      // both sides are distinct() sets, so |A| = |B| ∧ A\B = ∅ ⇒ equal —
+      // one except job per round, not two
+      converged = afterSmall.count() == prev.count() &&
+        afterSmall.exceptAll(prev).isEmpty
       prev = afterSmall
       edges = undirect(afterSmall).localCheckpoint()
       round += 1
@@ -678,8 +689,15 @@ object Dedup {
       threshold: Double = 0.7, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxBucket: Int = DefaultMaxBucket,
       maxRounds: Int = 20): DataFrame = {
+    // NULL-text docs must come out as singletons exactly like the
+    // uncollapsed form (null shingles → no signature → no pairs). A null
+    // fingerprint would (a) group EVERY null doc into one fake exact-dup
+    // family (groupBy groups nulls) and (b) vanish from the non-null-safe
+    // expansion join — so each null doc gets a per-doc unique sentinel
+    // fingerprint instead, making it its own group/representative
     val withFp = docs.select(col(idCol), col(textCol),
-      TextFns.fingerprint(col(textCol)).as("__fp"))
+      coalesce(TextFns.fingerprint(col(textCol)),
+        concat(lit("__null_text__"), col(idCol).cast("string"))).as("__fp"))
     // one row per distinct normalized text; representative = min id
     // (exactDedup's survivor rule)
     val reps = withFp.groupBy("__fp").agg(min(col(idCol)).as("__rep_id"))

@@ -422,6 +422,20 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine above threshold, LSH-blocked
     * (the embedding analog of [[Dedup.minhashDedupPairs]]). */
+  /** Recall\@k of an approximate top-k against its brute-force truth —
+    * the ONE recall computation every index family's gate shares
+    * (v08 LSH, v13 IVF, IvfIndexSpec's serve path). Left join FROM
+    * truth, so neighbors the approximate index missed count as misses;
+    * both sides are k rows per query, trivially broadcastable at any
+    * corpus size. Inputs need (query_id, neighbor_id). */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)), 4).as("recall"))
+
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {

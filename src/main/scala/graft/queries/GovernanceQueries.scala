@@ -131,9 +131,10 @@ object GovernanceQueries {
     *
     * The declared columns are the engine-invariant ones — n_total,
     * ok_med, ok_mad (sketch estimates themselves have no cross-engine
-    * twin); DqChecksSpec pins the exact-percentile screen (median, MAD,
-    * outlier count) and asserts the sketch thresholds reproduce its
-    * outlier count at spec scale. */
+    * twin); the full screen REPORT (n_outliers/median/mad at the same
+    * sketch thresholds) is the [[graft.dq.DqChecks.madOutliers]]
+    * operator, and DqChecksSpec asserts its count matches the
+    * exact-percentile twin at spec scale. */
   def g12MadOutliers(s: SparkSession, dir: String): DataFrame = {
     val eps = 0.005
     val x = col("l_extendedprice")

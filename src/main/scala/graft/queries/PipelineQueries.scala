@@ -424,15 +424,10 @@ object PipelineQueries {
   def v08AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)
-    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
-        k = 3, numPlanes = 6, dim = 64)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
-        count(lit(1)), 4).as("recall"))
+    Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
+        Similarity.lshTopK(e, q, "vec_id", "embedding",
+          k = 3, numPlanes = 6, dim = 64))
       .orderBy("query_id")
   }
 
@@ -445,15 +440,10 @@ object PipelineQueries {
   def v13IvfRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)
-    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
-        k = 3, nCentroids = 16, nProbe = 4)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
-        count(lit(1)), 4).as("recall"))
+    Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
+        Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 3, nCentroids = 16, nProbe = 4))
       .orderBy("query_id")
   }
 

@@ -399,6 +399,22 @@ class DedupSpec extends SparkSuite {
     assert(collapsed.filter(_._1 > 100000L).map(_._2).distinct.size === 1)
   }
 
+  test("collapsedDupClusters: null-text docs stay singletons, like the uncollapsed form") {
+    val d = Seq((1L, Some("alpha beta gamma delta epsilon")),
+      (2L, Some("alpha beta gamma delta epsilon")),
+      (3L, None), (4L, None))
+      .toDF("doc_id", "text")
+    def norm(df0: org.apache.spark.sql.DataFrame) =
+      df0.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val collapsed = norm(Dedup.collapsedDupClusters(d, "doc_id", "text",
+      threshold = 0.5))
+    val plain = norm(Dedup.dupClusters(d, "doc_id",
+      Dedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)))
+    assert(collapsed === plain)
+    assert(collapsed === Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("incremental minhash with hot-bucket cap keeps the new-endpoint contract") {
     val n = 500L
     val hot = (1L to n).map(i => i -> "identical template body text shared by every page in the crawl")

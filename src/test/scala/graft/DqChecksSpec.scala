@@ -106,6 +106,10 @@ class DqChecksSpec extends SparkSuite {
       .head.getDouble(0)
     val sketchOut = li.filter(abs(col("x") - medA) > 3.0 * 1.4826 * madA).count()
     assert(sketchOut === exactOut)
+    // the published screen operator reports the same count
+    val screen = DqChecks.madOutliers(li, "x").head
+    assert(screen.getAs[Long]("n_outliers") === sketchOut)
+    assert(screen.getAs[Long]("n_total") === li.count())
     // and the declared query's rank gates hold
     val row = SparkEntry.queries("g12_mad_outliers")(spark, sf0001).head
     assert(row.getAs[Int]("ok_med") === 1)

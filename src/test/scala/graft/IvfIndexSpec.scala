@@ -54,14 +54,8 @@ class IvfIndexSpec extends SparkSuite {
     // the served top-k against brute-force truth equals the declared
     // v13_ivf_recall (inline) per query
     val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
-        k = 3)
-      .select(col("query_id"), col("neighbor_id"))
-    val servedRecall = truth.join(
-        servedDf.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
-        Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
-        count(lit(1)), 4).as("recall"))
+      k = 3)
+    val servedRecall = Similarity.recallAtK(truth, servedDf)
       .orderBy("query_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val declared = SparkEntry.queries("v13_ivf_recall")(spark, sfDir)
