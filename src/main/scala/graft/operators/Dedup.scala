@@ -791,17 +791,28 @@ object Dedup {
     * maxHamming ≤ 3 the pigeonhole blocking is EXACT (any pair within
     * hamming 3 shares at least one whole chunk), so the blocked join
     * returns precisely the brute-force all-pairs answer — fully
-    * oracle-checkable, no recall asterisk. */
+    * oracle-checkable, no recall asterisk... up to the same hot-bucket
+    * guard as the MinHash path ([[withBucketStats]]): an identical-
+    * fingerprint boilerplate family puts every member in the SAME chunk
+    * bucket, so chunk buckets above `maxBucket` degrade from clique to
+    * the representative star (rep–member pairs only, hamming-verified
+    * against the rep's chunks riding the window struct). Bounded
+    * candidates, same recall trade as documented on withBucketStats;
+    * honest corpora never hit the cap and stay exactly all-pairs. */
   def simhashPortablePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
     val withFp = withSimhashChunks(docs, idCol, textCol)
     Caches.scoped(withFp) {
-      val chunks = withFp.select(
-        col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
-          .as(Seq("chunk_idx", "chunk")))
+      val sized = withBucketStats(
+        withFp.select(
+          col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+            .as(Seq("band", "bucket"))),
+        repCols = Seq("c0", "c1", "c2", "c3"))
+      val small = sized.filter(col("__bsz") <= maxBucket)
       val hamming = (0 until 4).map(j =>
         bit_count(col(s"a.c$j").bitwiseXOR(col(s"b.c$j")))).reduce(_ + _)
       // first-shared-chunk rule: a pair sharing several chunks would match
@@ -809,14 +820,28 @@ object Dedup {
       // chunk to differ — exactly one emission per pair, no distinct()
       // shuffle over the (large) candidate stream
       val firstMatch = (0 until 3).map(j =>
-        when(col("a.chunk_idx") > j, col(s"a.c$j") =!= col(s"b.c$j"))
+        when(col("a.band") > j, col(s"a.c$j") =!= col(s"b.c$j"))
           .otherwise(lit(true))).reduce(_ && _)
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id") &&
+      val clique = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
             firstMatch && hamming <= maxHamming)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           hamming.cast("long").as("hamming"))
+      // hot buckets: representative star, verified against the rep's
+      // chunks; the same first-match rule dedupes a (rep, member) pair
+      // that shares several hot chunk buckets
+      val repHamming = (0 until 4).map(j =>
+        bit_count(col(s"c$j").bitwiseXOR(col(s"__rep.c$j")))).reduce(_ + _)
+      val repFirstMatch = (0 until 3).map(j =>
+        when(col("band") > j, col(s"c$j") =!= col(s"__rep.c$j"))
+          .otherwise(lit(true))).reduce(_ && _)
+      val star = sized
+        .filter(col("__bsz") > maxBucket && col("id") =!= col("__rep.id") &&
+          repFirstMatch && repHamming <= maxHamming)
+        .select(col("__rep.id").as("id_a"), col("id").as("id_b"),
+          repHamming.cast("long").as("hamming"))
+      clique.unionByName(star)
     }
   }
 

@@ -308,20 +308,44 @@ object Similarity {
     * shape as the LSH-bucketed dedups, with the cluster assignment
     * produced by one |N|·|C| pass against a broadcast centroid table
     * (the [[ivfTopK]] build). Returns every corpus row with its cluster
-    * and verdict: (id, cid, keep). */
+    * and verdict: (id, cid, keep).
+    *
+    * Hot-cluster guard: a cluster larger than `maxCluster` (a
+    * boilerplate embedding family — exactly the content SemDeDup
+    * exists to drop) is screened against its MIN-ID member only instead
+    * of all lower-id mates: linear in cluster size, and for the
+    * near-identical members that caused the overflow the verdict is the
+    * same (they sit above threshold of the min too). The residual is
+    * CONSERVATIVE — a fringe member similar to some mid-id mate but not
+    * to the min is kept rather than dropped, never the reverse — so the
+    * cap can only under-dedup, not destroy data. Honest clusters stay
+    * exactly the paper's verdict. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCentroids: Int = 16): DataFrame = {
+      threshold: Double, nCentroids: Int = 16,
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxCluster >= 1, s"maxCluster ($maxCluster) must be >= 1")
     val (_, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
+    val w = Window.partitionBy("cid")
     val a = assigned.select(col("neighbor_id").as("id"), col("v"),
-      col("vn"), col("cid"))
+        col("vn"), col("cid"))
+      .withColumn("__csz", count(lit(1)).over(w))
+      .withColumn("__rep",
+        min(struct(col("id"), col("v"), col("vn"))).over(w))
     // the assignment feeds the self-join twice plus the verdict join —
     // materialize once, release on return
     Caches.scoped(a) {
-      val dups = a.as("x").join(a.as("y"),
+      val small = a.filter(col("__csz") <= maxCluster)
+      val cliqueDups = small.as("x").join(small.as("y"),
           col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
         .filter(dot(col("x.v"), col("y.v")) /
           nullif(col("x.vn") * col("y.vn"), lit(0.0)) >= threshold)
-        .select(col("y.id").as("id")).distinct()
+        .select(col("y.id").as("id"))
+      val starDups = a
+        .filter(col("__csz") > maxCluster && col("id") =!= col("__rep.id"))
+        .filter(dot(col("__rep.v"), col("v")) /
+          nullif(col("__rep.vn") * col("vn"), lit(0.0)) >= threshold)
+        .select(col("id"))
+      val dups = cliqueDups.unionByName(starDups).distinct()
       a.select("id", "cid")
         .join(dups.withColumn("__dup", lit(1)), Seq("id"), "left")
         .select(col("id"), col("cid"),
@@ -436,24 +460,45 @@ object Similarity {
       .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
         count(lit(1)), 4).as("recall"))
 
+  /** Embedding near-dup pairs via one LSH bucket self-join, with the
+    * same hot-bucket guard as the text dedups ([[Dedup.withBucketStats]]
+    * rationale): a bucket holding more than `maxBucket` vectors (a
+    * near-identical embedding family — re-encoded boilerplate) degrades
+    * from the exact clique to the representative star, every emitted
+    * pair still cosine-verified. Honest buckets stay exact; the recall
+    * trade inside an overflowed bucket is rep-edge-only, per the
+    * withBucketStats docstring. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
     // cached for the self-join (signature lineage runs once, not twice),
     // released on return; per-row norms so each candidate pair pays one
     // dot product
+    val w = Window.partitionBy("bucket")
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
         lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct(col("id"), col("v"), col("n"))).over(w))
     Caches.scoped(c) {
-      c.as("a").join(c.as("b"),
+      def simOf(av: Column, an: Column, bv: Column, bn: Column) =
+        dot(av, bv) / nullif(an * bn, lit(0.0))
+      val small = c.filter(col("__bsz") <= maxBucket)
+      val clique = small.as("a").join(small.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .withColumn("sim", dot(col("a.v"), col("b.v")) /
-          nullif(col("a.n") * col("b.n"), lit(0.0)))
+        .withColumn("sim",
+          simOf(col("a.v"), col("a.n"), col("b.v"), col("b.n")))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      val star = c
+        .filter(col("__bsz") > maxBucket && col("id") =!= col("__rep.id"))
+        .withColumn("sim",
+          simOf(col("__rep.v"), col("__rep.n"), col("v"), col("n")))
+        .select(col("__rep.id").as("id_a"), col("id").as("id_b"), col("sim"))
+      clique.unionByName(star)
         .filter(col("sim") >= threshold)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     }
   }
 }

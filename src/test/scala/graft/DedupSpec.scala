@@ -399,6 +399,20 @@ class DedupSpec extends SparkSuite {
     assert(collapsed.filter(_._1 > 100000L).map(_._2).distinct.size === 1)
   }
 
+  test("simhash hot-bucket cap: identical-fingerprint family stays linear") {
+    val n = 300L
+    val d = ((1L to n).map(i => i -> "identical template body words shared by every page") ++
+      Seq((n + 1L) -> "completely different content about catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPortablePairs(d, "doc_id", "text",
+        maxHamming = 3, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // star around min id, each pair emitted once (first-match rule),
+    // hamming 0 throughout; the singleton never pairs
+    assert(pairs.length === (n - 1).toInt)
+    assert(pairs.forall { case (a, _, h) => a == 1L && h == 0L })
+  }
+
   test("collapsedDupClusters: null-text docs stay singletons, like the uncollapsed form") {
     val d = Seq((1L, Some("alpha beta gamma delta epsilon")),
       (2L, Some("alpha beta gamma delta epsilon")),

@@ -148,6 +148,31 @@ class SimilaritySpec extends SparkSuite {
     assert(out.length === 3)
   }
 
+  test("cosineNearDupPairs hot-bucket cap: identical-embedding family stays linear") {
+    val clone = Seq(1.0f, 0.5f, 0.25f, 0.125f)
+    val d = vecs(((1L to 300L).map(i => i -> clone) :+
+      (301L -> Seq(-1.0f, 0.9f, -0.3f, 0.2f))): _*)
+    val pairs = Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 4, dim = 4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // rep star: 299 pairs, all anchored at id 1 with sim 1.0
+    assert(pairs.length === 299)
+    assert(pairs.forall { case (a, _, s) => a == 1L && s == 1.0 })
+  }
+
+  test("semDedup hot-cluster cap keeps exactly the family minimum") {
+    val clone = Seq(1.0f, 0.5f, 0.25f, 0.125f)
+    val d = vecs(((1L to 300L).map(i => i -> clone) :+
+      (301L -> Seq(0.0f, 0.0f, 1.0f, 0.0f))): _*)
+    val out = Similarity.semDedup(d, "vec_id", "embedding",
+        threshold = 0.9, nCentroids = 4, maxCluster = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(out.size === 301)
+    assert(out(1L) === 1)                       // family min survives
+    assert((2L to 300L).forall(out(_) === 0))   // clones dropped via star
+    assert(out(301L) === 1)                     // the distinct vector kept
+  }
+
   test("semDedup verdicts cover the corpus exactly once (sf0.001)") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.semDedup(e, "vec_id", "embedding",
