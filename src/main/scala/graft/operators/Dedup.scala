@@ -415,9 +415,14 @@ object Dedup {
     // documents that don't contain k tokens
     val gramArr = when(size(toks) >= k, gramSeq(toks, k))
       .otherwise(array().cast("array<string>"))
+    // grams join on their xxhash64, not the string: the inverted-index
+    // shuffle moves 8-byte longs instead of ~25-char text (the d04
+    // hashed-shingle argument — equal up to 64-bit collision odds, and a
+    // colliding gram pair would only ever ADD a spurious 1-gram match on
+    // some diagonal, not break an existing run)
     val grams = Caches.spreadByKey(docs, col(idCol))
       .select(col(idCol).as("id"), posexplode(gramArr))
-      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
+      .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
     // the tokenize+posexplode lineage feeds BOTH sides of the self-join —
     // materialize it once for the operator's scope
     Caches.scoped(grams) {

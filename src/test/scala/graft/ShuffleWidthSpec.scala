@@ -42,6 +42,13 @@ class ShuffleWidthSpec extends SparkSuite {
     val here = p match { case e: ShuffleExchangeExec => Seq(e); case _ => Nil }
     val kids = p match {
       case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      // AQE wrappers are leaf-like — descend into the current physical
+      // plan (some captures still plan adaptively despite the conf
+      // toggle, e.g. when a cached fragment was planned earlier)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
       case _ => p.children
     }
     here ++ kids.flatMap(allExchanges)
@@ -93,6 +100,22 @@ class ShuffleWidthSpec extends SparkSuite {
     assertOnlySpreadIsText(probeExchanges {
       Dedup.ngramJaccardPairs(docsDf, "doc_id", "text", threshold = 0.5).count()
     })
+  }
+
+  test("d07 dup-spans inverted index shuffles hashed grams only") {
+    // the (id, p, xxhash64(gram)) projection MAY collapse below the
+    // spread repartition (then zero text shuffles at all); either way
+    // the only permissible text-width exchange is the raw-doc spread —
+    // gram STRINGS must never ride a shuffle
+    val (text, _) = probeExchanges {
+      Dedup.dupSpans(docsDf, "doc_id", "text", k = 5, minSpan = 10).count()
+    }
+    // at spec scale the gram join broadcasts and downstream aggs reuse
+    // the spread's partitioning, so the spread may be the ONLY exchange —
+    // the invariant is just that no gram STRING ever rides a shuffle
+    assert(text.size <= 1 && text.forall(_.output.exists(_.name == "text")),
+      text.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+        .mkString(", ")).mkString("\n"))
   }
 
   test("t15 contamination (hashed form) shuffles 8-byte grams only") {
