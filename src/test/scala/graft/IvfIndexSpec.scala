@@ -62,4 +62,40 @@ class IvfIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(servedRecall === declared)
   }
+
+  test("appendToIvfIndex ≡ one-shot build when the centroid sample coincides") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    // split so the md5-smallest 16 ids (the centroid sample) all land in
+    // the INITIAL build — then append(rest) must leave the index in
+    // exactly the state a one-shot build over the full corpus produces
+    val centroidIds = emb
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0))
+    val initialIds = (centroidIds ++
+      allIds.filterNot(centroidIds).take(allIds.length / 2)).toSeq
+    val initial = emb.filter(col("vec_id").isin(initialIds: _*))
+    val rest = emb.filter(!col("vec_id").isin(initialIds: _*))
+    assert(rest.count() > 0)
+
+    val incrDir = Files.createTempDirectory("ivf_incr").toString
+    val fullDir = Files.createTempDirectory("ivf_full").toString
+    Similarity.buildIvfIndex(initial, "vec_id", "embedding", incrDir,
+      nCentroids = 16)
+    Similarity.appendToIvfIndex(spark, incrDir, rest, "vec_id", "embedding")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", fullDir,
+      nCentroids = 16)
+
+    def served(dir: String) = Similarity.ivfServeTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(served(incrDir) === served(fullDir))
+    // every vector assigned exactly once after the append
+    val assigned = spark.read.parquet(s"$incrDir/assigned")
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("neighbor_id").distinct().count() === emb.count())
+  }
 }
