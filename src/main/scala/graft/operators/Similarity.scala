@@ -334,6 +334,118 @@ object Similarity {
           array((0 until dim).map(i => col(s"__m$i")): _*)).as("centroid"))
   }
 
+  /** Product-quantization (PQ) codebook: the md5-sampled corpus rows'
+    * subvectors, one `nCodes`-entry codebook per `m` subspace (Jégou et
+    * al., "Product quantization for nearest neighbor search", TPAMI
+    * 2011 — the third classic ANN scale path beside LSH and IVF).
+    * Sampling follows the [[ivfTopK]] centroid contract (smallest
+    * md5(id), tie by id) so any engine with md5 can replay the exact
+    * codebook. Output: (j, cid, cidx, cs, csq) — subspace, source row
+    * id, dense code index (rank of cid), subvector, and its
+    * self-dot — m·nCodes rows, always broadcast-scale. */
+  private def pqCodebook(c: DataFrame, m: Int, dsub: Int,
+      nCodes: Int): DataFrame = {
+    // rank once (the sampled id set is the same in every subspace), so
+    // cidx is "position of cid among the sampled ids" everywhere
+    val wIdx = Window.orderBy(col("cid")) // nCodes rows: fine unpartitioned
+    c.withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(nCodes)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .withColumn("cidx", row_number().over(wIdx) - 1)
+      .select(explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("cid"), col("cidx"), col("cv"))
+      .withColumn("cs", slice(col("cv"), col("j") * dsub + 1, lit(dsub)))
+      .select(col("j"), col("cid"), col("cidx"), col("cs"),
+        dot(col("cs"), col("cs")).as("csq"))
+      // tiny (m·nCodes rows) but feeds BOTH the encode pass and the
+      // per-query LUT build: materialize once
+      .localCheckpoint()
+  }
+
+  /** Encode every corpus vector as its `m` nearest-subvector code
+    * indices: (id, codes array<int>, ordered by subspace). One
+    * |N|·m·nCodes pass of dsub-wide L2² distances against the broadcast
+    * codebook — the PQ build cost. The output row is id + m small ints
+    * (8 bytes/vector at the defaults vs 256 of raw float32): THIS is
+    * the table a billion-vector serving tier scans, shuffles, and
+    * caches instead of the embeddings. */
+  private def pqEncodeAgainst(c: DataFrame, codebook: DataFrame, m: Int,
+      dsub: Int): DataFrame = {
+    val wCode = Window.partitionBy("id", "j")
+      .orderBy(col("dist").asc, col("cidx"))
+    val sub = c
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("v"))
+      .withColumn("xs", slice(col("v"), col("j") * dsub + 1, lit(dsub)))
+      .select(col("id"), col("j"), col("xs"),
+        dot(col("xs"), col("xs")).as("xsq"))
+    sub.join(broadcast(codebook), "j")
+      // L2² via the three-dot identity, left-assoc — bit-reproducible
+      // by the oracle's  xsq - 2*dot + csq  in the same order
+      .withColumn("dist",
+        col("xsq") - lit(2.0) * dot(col("xs"), col("cs")) + col("csq"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cidx")))),
+        s => s.getField("cidx")).as("codes"))
+  }
+
+  /** PQ-ADC approximate top-k: answer each query against the CODES
+    * table, never the float vectors. Per query, one m·nCodes lookup
+    * table of exact subvector L2² distances (asymmetric distance
+    * computation — query side stays unquantized); per corpus vector, an
+    * m-step table walk summed in fixed subspace order. Smaller-is-nearer,
+    * so ranks ascend by `adist`.
+    *
+    * Scale shape: codebook and per-query LUTs broadcast (m·nCodes
+    * doubles each); the corpus-side scan carries (id, m codes) only —
+    * the 32× memory compression is exactly what makes the scan/shuffle
+    * affordable at 10⁹ vectors, and re-ranking the returned k with true
+    * distances ([[bruteForceTopK]] over the k ids) is the standard
+    * second stage when exactness matters. Recall vs the brute truth is
+    * gated in-engine (v15, the v08/v13 pattern). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val codebook = pqCodebook(c, m, dsub, nCodes)
+    val codes = pqEncodeAgainst(c, codebook, m, dsub)
+    // per-query LUT: exact L2² of each query subvector against every
+    // codebook entry, flattened to a (m·nCodes)-slot array in
+    // (j, cidx) order so the ADC walk is element_at arithmetic
+    val qsub = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
+      .withColumn("qs", slice(col("qv"), col("j") * dsub + 1, lit(dsub)))
+      .select(col("query_id"), col("j"), col("qs"),
+        dot(col("qs"), col("qs")).as("qsq"))
+    val luts = qsub.join(broadcast(codebook), "j")
+      .withColumn("pdist",
+        col("qsq") - lit(2.0) * dot(col("qs"), col("cs")) + col("csq"))
+      .withColumn("slot", col("j") * nCodes + col("cidx"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdist")))),
+        s => s.getField("pdist")).as("lut"))
+    // ADC: textually unrolled left-assoc sum over subspaces — the
+    // oracle unrolls the identical expression, so every double matches
+    val adc = (0 until m).map { j =>
+      element_at(col("lut"), col("codes").getItem(j) + lit(j * nCodes + 1))
+    }.reduceLeft(_ + _)
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adist", adc)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adist"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adist"), 4).as("adist"), col("rank").cast("long").as("rank"))
+  }
+
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
     * deduplication via embedding clusters — cluster the corpus, compare
     * pairs only WITHIN a cluster, and drop every vector that sits above

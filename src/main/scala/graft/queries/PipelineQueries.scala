@@ -447,6 +447,29 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** PQ-compressed ANN top-3 for queries 0-4: the corpus is scanned as
+    * 8 codebook indices per vector (never the floats), distances are
+    * ADC table walks — the memory/scan tier a billion-vector serving
+    * deployment runs on. [[Similarity.pqTopK]]. */
+  def v14PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall\@k gate for the PQ tier — the same truth-join recall v08
+    * (LSH) and v13 (IVF) publish, so all three approximate index
+    * families carry an in-engine, oracled quality metric. */
+  def v15PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
+        Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3))
+      .orderBy("query_id")
+  }
+
   /** Per-label embedding centroid norms — the first pass of
     * centroid-based dataset cleaning (a vector far from its label's
     * centroid is a labeling-error candidate). One grouped aggregate,
@@ -737,6 +760,8 @@ object PipelineQueries {
     "v07_kmeans_step" -> v07KmeansStep,
     "v08_ann_recall" -> v08AnnRecall,
     "v13_ivf_recall" -> v13IvfRecall,
+    "v14_pq_topk" -> v14PqTopK,
+    "v15_pq_recall" -> v15PqRecall,
     "v11_mmr_rerank" -> v11MmrRerank,
     "v12_hard_negatives" -> v12HardNegatives,
     "m01_multimodal_meta" -> m01MultimodalMeta,
@@ -923,6 +948,64 @@ object PipelineQueries {
   private lazy val v13OracleSql: String =
     s"""WITH truth AS ($v01OracleSql),
        |approx AS ($v04OracleSql)
+       |SELECT t.query_id,
+       |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** DuckDB twin of [[Similarity.pqTopK]] at the v14 defaults (m=8,
+    * dsub=8, nCodes=16): same md5-sampled codebook, same three-dot L2²
+    * per subspace, and the ADC sum textually unrolled in subspace order
+    * so every double matches the Spark left-assoc fold bit-for-bit. */
+  private lazy val v14OracleSql: String = {
+    val m = 8; val dsub = 8; val nCodes = 16
+    // lut is flattened (j, cidx)-ordered; codes list is j-ordered.
+    // DuckDB lists are 1-based: slot j*nCodes + codes[j+1] + 1.
+    val adc = (0 until m).map(j =>
+      s"l.lut[$j*$nCodes + cd.codes[${j + 1}] + 1]").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM c
+       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCodes),
+       |cb AS (SELECT t.j, cid,
+       |    CAST(row_number() OVER (PARTITION BY t.j ORDER BY cid) - 1 AS INT) AS cidx,
+       |    cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS cs,
+       |    list_dot_product(cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
+       |                     cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS csq
+       |  FROM cent, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
+       |sub AS (SELECT id, t.j, v[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS xs,
+       |    list_dot_product(v[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
+       |                     v[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS xsq
+       |  FROM c, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
+       |enc AS (SELECT id, j, cidx FROM (
+       |  SELECT sub.id, sub.j, cb.cidx,
+       |    row_number() OVER (PARTITION BY sub.id, sub.j ORDER BY
+       |      sub.xsq - 2*list_dot_product(sub.xs, cb.cs) + cb.csq ASC, cb.cidx) AS rn
+       |  FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+       |codes AS (SELECT id, list(cidx ORDER BY j) AS codes FROM enc GROUP BY id),
+       |q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+       |qsub AS (SELECT query_id, t.j, qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS qs,
+       |    list_dot_product(qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
+       |                     qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS qsq
+       |  FROM q, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
+       |lut AS (SELECT query_id,
+       |    list(qsub.qsq - 2*list_dot_product(qsub.qs, cb.cs) + cb.csq
+       |         ORDER BY qsub.j*$nCodes + cb.cidx) AS lut
+       |  FROM qsub JOIN cb ON qsub.j = cb.j GROUP BY query_id),
+       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $adc AS adist
+       |  FROM codes cd, lut l WHERE l.query_id <> cd.id)
+       |SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** v15 replays the v01 truth and the v14 PQ search as CTEs and
+    * recomputes the same left-join recall (the v08/v13 pattern). */
+  private lazy val v15OracleSql: String =
+    s"""WITH truth AS ($v01OracleSql),
+       |approx AS ($v14OracleSql)
        |SELECT t.query_id,
        |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
        |    / COUNT(*), 4) AS recall
@@ -1352,6 +1435,8 @@ object PipelineQueries {
     "v01_ann_brute" -> v01OracleSql,
     "v08_ann_recall" -> v08OracleSql,
     "v13_ivf_recall" -> v13OracleSql,
+    "v14_pq_topk" -> v14OracleSql,
+    "v15_pq_recall" -> v15OracleSql,
     "t13_boilerplate" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),

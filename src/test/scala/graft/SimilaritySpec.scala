@@ -85,6 +85,44 @@ class SimilaritySpec extends SparkSuite {
     assert(counts.values.forall(_ === 5L))
   }
 
+  test("pqTopK: identical vector is the ADC argmin; recall vs brute force") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5)
+    val rows = pq.collect()
+    // k rows per query, self excluded, adist ascending with rank
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size === 10 && byQuery.values.forall(_.length === 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getDouble(2)).toSeq ===
+        sorted.map(_.getDouble(2)).sorted.toSeq)
+    }
+    // a query duplicated into the corpus under a fresh id quantizes to
+    // the same codes; those codes hit the per-subspace minimum of the
+    // query's LUT in every subspace, so the dup is the ADC argmin (its
+    // adist is the query's own quantization error, not 0 — ADC is
+    // asymmetric: the query side stays unquantized)
+    val base = e.select("vec_id", "embedding")
+    val dup = base.filter($"vec_id" === 3)
+      .select((lit(9000L)).as("vec_id"), $"embedding")
+    val out = Similarity.pqTopK(base.unionByName(dup),
+        e.filter($"vec_id" === 3), "vec_id", "embedding", k = 1)
+      .collect()(0)
+    assert(out.getLong(1) === 9000L)
+    // uniformly random unit vectors are PQ's worst case (all cosines
+    // near 0, so quantization distortion swamps the neighbor margins);
+    // the gate is "clearly above chance", not an absolute recall —
+    // chance is k/(N-1) ≈ 0.01 here
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall > 0.03, s"PQ recall not above chance: $recall")
+  }
+
   test("lsh recall vs brute force on real embeddings (sf0.001)") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
