@@ -167,6 +167,67 @@ object DqChecks {
 
   /** G9 hourly metric trend (A4:924-930): aggregates over
     * date_trunc('hour') buckets. */
+  /** Population-stability-index drift screen: per group, compare the
+    * `valueCol` distribution of the CURRENT rows against the BASELINE
+    * rows (the industry-standard week-over-week / train-vs-serve drift
+    * metric; PSI > 0.25 is the conventional "investigate" line).
+    *
+    * Bin edges are `nBins` equal widths over the BASELINE min/max (the
+    * fixed yardstick — current-side values outside it clamp into the
+    * edge bins, which is exactly the mass a drift screen must see);
+    * densities are Laplace-smoothed (+0.5 per bin) so empty bins can't
+    * produce log(0); psi = Σ (p_cur − p_base)·ln(p_cur/p_base), summed
+    * in bin order via an ordered fold so the result is engine- and
+    * partition-independent.
+    *
+    * Scale: one filtered aggregate for the baseline yardstick (tiny,
+    * broadcast), then ONE full scan binned and counted — the shuffle
+    * carries (group, bin) partial counts, never rows. Groups absent
+    * from the baseline have no yardstick and are not scored. */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      isBaseline: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins ($nBins) must be >= 2")
+    val stats = df.filter(isBaseline).groupBy(groupCol)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val counts = df.join(broadcast(stats), groupCol)
+      .withColumn("__w", (col("__hi") - col("__lo")) / nBins)
+      .withColumn("__bin",
+        when(col("__w") > 0,
+          least(lit(nBins - 1), greatest(lit(0),
+            floor((col(valueCol) - col("__lo")) / col("__w")).cast("int"))))
+          .otherwise(lit(0)))
+      .groupBy(groupCol, "__bin")
+      .agg(sum(isBaseline.cast("long")).as("__nb"),
+        sum((!isBaseline).cast("long")).as("__nc"))
+    // every (group, bin) slot must exist for the smoothed densities —
+    // a bin empty on both sides still contributes its (tiny) smoothing
+    // mass symmetrically (contrib 0), and one-sided gaps are REAL drift
+    val slots = stats
+      .select(col(groupCol), explode(sequence(lit(0), lit(nBins - 1))).as("__bin"))
+      .join(counts, Seq(groupCol, "__bin"), "left")
+      .select(col(groupCol), col("__bin"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val contrib = slots
+      .withColumn("__tb", sum(col("__nb")).over(w))
+      .withColumn("__tc", sum(col("__nc")).over(w))
+      .withColumn("__pb", (col("__nb") + lit(0.5)) /
+        (col("__tb").cast("double") + lit(0.5 * nBins)))
+      .withColumn("__pc", (col("__nc") + lit(0.5)) /
+        (col("__tc").cast("double") + lit(0.5 * nBins)))
+      .withColumn("__contrib",
+        (col("__pc") - col("__pb")) * log(col("__pc") / col("__pb")))
+    contrib.groupBy(groupCol)
+      .agg(first(col("__tb")).as("n_base"), first(col("__tc")).as("n_cur"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__bin"), col("__contrib")))),
+            s => s.getField("__contrib")),
+          lit(0.0), (acc, x) => acc + x).as("__psi"))
+      .select(col(groupCol), col("n_base"), col("n_cur"),
+        round(col("__psi"), 4).as("psi"))
+  }
+
   def hourlyTrend(df: DataFrame, tsCol: String,
       aggExprs: Seq[Column]): DataFrame =
     df.groupBy(date_trunc("hour", col(tsCol)).as("bucket_hour"))

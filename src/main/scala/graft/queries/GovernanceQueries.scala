@@ -211,6 +211,15 @@ object GovernanceQueries {
         round(lit(1.0) - sum(col("p") * col("p")), 4).as("gini"))
   }
 
+  /** Distribution-drift screen (PSI) of event values, week-1 baseline
+    * vs the rest of the month, per event type — the check a serving or
+    * ingest pipeline runs before trusting "this week looks like last
+    * week". [[graft.dq.DqChecks.psiDrift]]. */
+  def g16PsiDrift(s: SparkSession, dir: String): DataFrame =
+    DqChecks.psiDrift(t(s, dir, "events"), "event_type", "value",
+        col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), nBins = 10)
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -227,9 +236,39 @@ object GovernanceQueries {
     "g13_benford" -> g13Benford,
     "g14_k_anonymity" -> g14KAnonymity,
     "g15_entropy" -> g15Entropy,
+    "g16_psi_drift" -> g16PsiDrift,
   )
 
   val oracles: Map[String, String] = Map(
+    "g16_psi_drift" ->
+      ("""WITH b AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
+        |cnt AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN (b.hi - b.lo)/10 > 0
+        |         THEN LEAST(9, GREATEST(0, CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo)/10)) AS INT)))
+        |         ELSE 0 END AS bin,
+        |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        |  FROM events e JOIN b USING (event_type) GROUP BY 1, 2),
+        |slots AS (
+        |  SELECT b.event_type, t.j AS bin, COALESCE(cnt.nb, 0) AS nb, COALESCE(cnt.nc, 0) AS nc
+        |  FROM b CROSS JOIN (SELECT CAST(range AS INT) AS j FROM range(10)) t
+        |  LEFT JOIN cnt ON cnt.event_type = b.event_type AND cnt.bin = t.j),
+        |dens AS (
+        |  SELECT event_type, bin, nb, nc,
+        |    SUM(nb) OVER (PARTITION BY event_type) AS tb,
+        |    SUM(nc) OVER (PARTITION BY event_type) AS tc
+        |  FROM slots),
+        |contrib AS (
+        |  SELECT event_type, bin, tb, tc,
+        |    ((nc + 0.5) / (CAST(tc AS DOUBLE) + 5.0) - (nb + 0.5) / (CAST(tb AS DOUBLE) + 5.0))
+        |      * LN(((nc + 0.5) / (CAST(tc AS DOUBLE) + 5.0)) / ((nb + 0.5) / (CAST(tb AS DOUBLE) + 5.0))) AS c
+        |  FROM dens)
+        |SELECT event_type, CAST(MIN(tb) AS BIGINT) AS n_base, CAST(MIN(tc) AS BIGINT) AS n_cur,
+        |  ROUND(list_sum(list(c ORDER BY bin)), 4) AS psi
+        |FROM contrib GROUP BY event_type ORDER BY event_type""".stripMargin),
     "g14_k_anonymity" ->
       ("""WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size

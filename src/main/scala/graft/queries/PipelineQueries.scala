@@ -83,6 +83,31 @@ object PipelineQueries {
         threshold = 0.5)
       .orderBy("doc_id")
 
+  /** Quality-aware fuzzy-dedup selection: the d05 near-dup clusters with
+    * the kept copy chosen by QUALITY (highest t02 score, tie lowest id)
+    * instead of lowest id — what a production corpus dedup actually
+    * retains: drop the duplicates, keep the best-written copy. The
+    * cluster pass is exactly d05's (exact-pre-collapsed, hot-bucket
+    * guarded); the rep choice adds one per-cluster window over
+    * (quality, doc_id) — a key-partitioned shuffle, no new corpus scan
+    * beyond the quality projection. Per-doc verdict:
+    * (doc_id, cluster_id, rep_id, kept). */
+  def d10QualityReps(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.collapsedDupClusters(d, "doc_id", "text",
+      threshold = 0.5)
+    val q = d.select(col("doc_id"), TextFns.qualityScore(col("text")).as("__q"))
+    // quality is rounded to 4dp on both engines, so the (quality desc,
+    // id asc) order — and therefore the chosen rep — is engine-invariant
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("__q").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Triangle count over the near-dup pair graph — the graph-density
     * probe of a dedup report (triangle-rich components are template
     * families; triangle-free ones are chains worth eyeballing). Ordered
@@ -727,6 +752,7 @@ object PipelineQueries {
     "d07_dup_spans" -> d07DupSpans,
     "d08_bloom_decontam" -> d08BloomDecontam,
     "d09_incremental_minhash" -> d09IncrementalMinhash,
+    "d10_quality_reps" -> d10QualityReps,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
     "t22_winnow" -> t22Winnow,
@@ -1135,6 +1161,21 @@ object PipelineQueries {
       |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** d10 replays the d05 closure and re-derives the rep per cluster by
+    * (quality desc, doc_id) — same 4dp-rounded quality as t02's oracle,
+    * so the ordering (and the verdict) is engine-invariant. */
+  private lazy val d10OracleSql: String =
+    s"""WITH c AS ($d05OracleSql),
+       |q AS (SELECT doc_id, ${TextFns.qualityScoreSql("text")} AS q FROM documents),
+       |j AS (SELECT c.doc_id, c.cluster_id, q.q FROM c JOIN q USING (doc_id)),
+       |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+       |  SELECT cluster_id, doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+       |  FROM j) WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, rep.rep_id,
+       |  CAST(j.doc_id = rep.rep_id AS INT) AS kept
+       |FROM j JOIN rep USING (cluster_id) ORDER BY j.doc_id""".stripMargin
+
   private lazy val d06OracleSql: String =
     s"""WITH $dupPairsCtes
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -1404,6 +1445,7 @@ object PipelineQueries {
     // min reachable id per doc = the cluster representative the Spark
     // label propagation must agree with
     "d05_dup_clusters" -> d05OracleSql,
+    "d10_quality_reps" -> d10OracleSql,
     "d06_dup_triangles" -> d06OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit
     "t05_split" -> t05OracleSql,

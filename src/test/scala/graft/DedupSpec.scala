@@ -509,4 +509,28 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 2L, 6L)))
   }
+
+  test("d10 quality reps: one rep per cluster, kept ⇔ is-rep, rep maximizes quality") {
+    import graft.functions.TextFns
+    val rows = SparkEntry.queries("d10_quality_reps")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length === 500)
+    rows.foreach { case (doc, _, rep, kept) =>
+      assert(kept === (if (doc == rep) 1 else 0))
+    }
+    // exactly one rep per cluster, and it is a cluster member
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._3).toSet.size === 1, s"cluster $cid: mixed reps")
+      assert(members.map(_._1).contains(members.head._3))
+    }
+    // the rep's (4dp) quality is the cluster max
+    val qual = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", TextFns.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    byCluster.values.foreach { members =>
+      val repQ = qual(members.head._3)
+      assert(members.forall(m => qual(m._1) <= repQ))
+    }
+  }
 }

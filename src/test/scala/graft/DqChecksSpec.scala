@@ -115,4 +115,27 @@ class DqChecksSpec extends SparkSuite {
     assert(row.getAs[Int]("ok_med") === 1)
     assert(row.getAs[Int]("ok_mad") === 1)
   }
+
+  test("psiDrift: identical distribution ≈ 0, shifted distribution large, clamped") {
+    val mk = (side: Int, vs: Seq[Double]) => vs.map(v => (side, "g", v))
+    // identical baseline/current → psi only reflects smoothing noise
+    val same = (mk(1, (1 to 100).map(_.toDouble * 0.1)) ++
+      mk(0, (1 to 100).map(_.toDouble * 0.1))).toDF("base", "k", "v")
+    val psiSame = DqChecks.psiDrift(same, "k", "v", col("base") === 1)
+      .head.getAs[Double]("psi")
+    assert(psiSame < 0.01, s"identical dists scored psi=$psiSame")
+    // current mass shifted wholly above the baseline range clamps into
+    // the top bin → a large PSI, not a crash or silent drop
+    val shifted = (mk(1, (1 to 100).map(_.toDouble * 0.1)) ++
+      mk(0, (1 to 100).map(v => 100.0 + v))).toDF("base", "k", "v")
+    val out = DqChecks.psiDrift(shifted, "k", "v", col("base") === 1).head
+    assert(out.getAs[Double]("psi") > 1.0)
+    assert(out.getAs[Long]("n_base") === 100L && out.getAs[Long]("n_cur") === 100L)
+    // a group with no baseline rows has no yardstick and is not scored
+    val mixed = (mk(1, Seq(1.0, 2.0)) ++ mk(0, Seq(1.5)) ++
+      Seq((0, "h", 9.0))).toDF("base", "k", "v")
+    val groups = DqChecks.psiDrift(mixed, "k", "v", col("base") === 1)
+      .select("k").as[String].collect().toSet
+    assert(groups === Set("g"))
+  }
 }
