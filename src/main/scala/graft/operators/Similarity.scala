@@ -408,13 +408,24 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
-    val c = Caches.spreadByKey(corpus, col(idCol))
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val c = pqPrepare(corpus, idCol, vecCol)
     val codebook = pqCodebook(c, m, dsub, nCodes)
-    val codes = pqEncodeAgainst(c, codebook, m, dsub)
-    // per-query LUT: exact L2² of each query subvector against every
-    // codebook entry, flattened to a (m·nCodes)-slot array in
-    // (j, cidx) order so the ADC walk is element_at arithmetic
+    pqAdcSearch(pqEncodeAgainst(c, codebook, m, dsub),
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes), k, m, nCodes)
+  }
+
+  private def pqPrepare(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+
+  /** Per-query ADC lookup table: exact L2² of each query subvector
+    * against every codebook entry, flattened to a (m·nCodes)-slot array
+    * in (j, cidx) order so the ADC walk is element_at arithmetic.
+    * |Q|·m·nCodes rows in, |Q| array rows out — always broadcast-scale. */
+  private def pqLuts(queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dsub: Int,
+      nCodes: Int): DataFrame = {
     val qsub = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .select(col("query_id"),
@@ -422,15 +433,21 @@ object Similarity {
       .withColumn("qs", slice(col("qv"), col("j") * dsub + 1, lit(dsub)))
       .select(col("query_id"), col("j"), col("qs"),
         dot(col("qs"), col("qs")).as("qsq"))
-    val luts = qsub.join(broadcast(codebook), "j")
+    qsub.join(broadcast(codebook), "j")
       .withColumn("pdist",
         col("qsq") - lit(2.0) * dot(col("qs"), col("cs")) + col("csq"))
       .withColumn("slot", col("j") * nCodes + col("cidx"))
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdist")))),
         s => s.getField("pdist")).as("lut"))
-    // ADC: textually unrolled left-assoc sum over subspaces — the
-    // oracle unrolls the identical expression, so every double matches
+  }
+
+  /** The ADC scan + rank pass shared by [[pqTopK]] (inline) and
+    * [[pqServeTopK]] (persisted index): every (query, corpus-code-row)
+    * pair pays an m-step table walk, textually unrolled in subspace
+    * order (left-assoc) so the oracle reproduces every double. */
+  private def pqAdcSearch(codes: DataFrame, luts: DataFrame, k: Int,
+      m: Int, nCodes: Int): DataFrame = {
     val adc = (0 until m).map { j =>
       element_at(col("lut"), col("codes").getItem(j) + lit(j * nCodes + 1))
     }.reduceLeft(_ + _)
@@ -444,6 +461,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adist"), 4).as("adist"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Materialize the PQ index: codebook (m·nCodes subvector entries)
+    * plus the codes table — (id, m small ints) per corpus vector, the
+    * 32×-compressed scan target. Build once per corpus version, serve
+    * many; the build pays the one |N|·m·nCodes encode pass. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, m: Int = 8, dsub: Int = 8,
+      nCodes: Int = 16): Unit = {
+    val c = pqPrepare(corpus, idCol, vecCol)
+    val codebook = pqCodebook(c, m, dsub, nCodes)
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    pqEncodeAgainst(c, codebook, m, dsub)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Append NEW vectors to a materialized PQ index without rebuilding —
+    * the [[appendToIvfIndex]] shape for the PQ tier: the settled codes
+    * are never re-read, only the increment pays an encode pass against
+    * the saved codebook. The codebook DRIFTS as the corpus grows (it
+    * stays the build-time sample) — serve results remain exactly "PQ
+    * with the original codebook over the full corpus"; the rebuild
+    * signal is the v15 recall gate degrading, not the append. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val (m, dsub, _) = pqMeta(codebook)
+    pqEncodeAgainst(pqPrepare(newVecs, idCol, vecCol), codebook, m, dsub)
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** Serve ANN queries from a [[buildPqIndex]]-materialized index —
+    * bit-identical to the inline [[pqTopK]] over the same corpus
+    * (PqIndexSpec asserts it): the scan touches only the codes table
+    * (id + m bytes per vector), never the embeddings. */
+  def pqServeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val (m, dsub, nCodes) = pqMeta(codebook)
+    pqAdcSearch(spark.read.parquet(s"$indexDir/codes"),
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes), k, m, nCodes)
+  }
+
+  /** (m, dsub, nCodes) recovered from a saved codebook — one bounded
+    * aggregate over m·nCodes rows (the ADC unroll needs m at plan-build
+    * time, so this is driver-side by necessity, like [[ivfServeTopK]]'s
+    * probed-cid collect). */
+  private def pqMeta(codebook: DataFrame): (Int, Int, Int) = {
+    val r = codebook.agg(max(col("j")), max(size(col("cs"))),
+      max(col("cidx"))).head
+    (r.getInt(0) + 1, r.getInt(1), r.getInt(2) + 1)
   }
 
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
