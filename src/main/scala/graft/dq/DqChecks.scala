@@ -190,12 +190,8 @@ object DqChecks {
     val stats = df.filter(isBaseline).groupBy(groupCol)
       .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     val counts = df.join(broadcast(stats), groupCol)
-      .withColumn("__w", (col("__hi") - col("__lo")) / nBins)
       .withColumn("__bin",
-        when(col("__w") > 0,
-          least(lit(nBins - 1), greatest(lit(0),
-            floor((col(valueCol) - col("__lo")) / col("__w")).cast("int"))))
-          .otherwise(lit(0)))
+        psiBin(col(valueCol), col("__lo"), col("__hi"), nBins))
       .groupBy(groupCol, "__bin")
       .agg(sum(isBaseline.cast("long")).as("__nb"),
         sum((!isBaseline).cast("long")).as("__nc"))
@@ -208,6 +204,29 @@ object DqChecks {
       .select(col(groupCol), col("__bin"),
         coalesce(col("__nb"), lit(0L)).as("__nb"),
         coalesce(col("__nc"), lit(0L)).as("__nc"))
+    psiFromSlots(slots, groupCol, nBins)
+  }
+
+  /** The equal-width bin of `v` against a [lo, hi] yardstick: out-of-
+    * range values clamp into the edge bins, a degenerate (lo = hi)
+    * yardstick puts everything in bin 0, nulls stay null (unscored).
+    * Shared by [[psiDrift]] and the streaming monitor
+    * ([[graft.streaming.StreamDrift]]) so both sides bin identically. */
+  private[graft] def psiBin(v: Column, lo: Column, hi: Column,
+      nBins: Int): Column = {
+    val w = (hi - lo) / nBins
+    when(w > 0,
+      least(lit(nBins - 1), greatest(lit(0),
+        floor((v - lo) / w).cast("int"))))
+      .otherwise(lit(0))
+  }
+
+  /** PSI from complete per-(group, bin) slot counts — (groupCol, __bin,
+    * __nb, __nc) with every bin present. The one place the smoothing
+    * and the ordered-fold sum live, so the batch screen and the
+    * streaming monitor compute the SAME number from the same counts. */
+  private[graft] def psiFromSlots(slots: DataFrame, groupCol: String,
+      nBins: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val contrib = slots
       .withColumn("__tb", sum(col("__nb")).over(w))
