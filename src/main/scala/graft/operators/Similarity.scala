@@ -446,16 +446,26 @@ object Similarity {
     * [[pqServeTopK]] (persisted index): every (query, corpus-code-row)
     * pair pays an m-step table walk, textually unrolled in subspace
     * order (left-assoc) so the oracle reproduces every double. */
-  private def pqAdcSearch(codes: DataFrame, luts: DataFrame, k: Int,
-      m: Int, nCodes: Int): DataFrame = {
-    val adc = (0 until m).map { j =>
+  /** The m-step ADC table walk, textually unrolled in subspace order
+    * (left-assoc) so the oracle reproduces every double. */
+  private def adcExpr(m: Int, nCodes: Int): Column =
+    (0 until m).map { j =>
       element_at(col("lut"), col("codes").getItem(j) + lit(j * nCodes + 1))
     }.reduceLeft(_ + _)
+
+  private def pqAdcSearch(codes: DataFrame, luts: DataFrame, k: Int,
+      m: Int, nCodes: Int): DataFrame =
+    pqAdcRank(codes.crossJoin(broadcast(luts)), k, m, nCodes)
+
+  /** Score + rank candidate (query_id, id, codes, lut) rows — shared by
+    * the full-scan PQ search and the probed-list IVF-PQ search. */
+  private def pqAdcRank(cands: DataFrame, k: Int, m: Int,
+      nCodes: Int): DataFrame = {
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id"))
-    codes.crossJoin(broadcast(luts))
+    cands
       .filter(col("query_id") =!= col("id"))
-      .withColumn("adist", adc)
+      .withColumn("adist", adcExpr(m, nCodes))
       .select(col("query_id"), col("id").as("neighbor_id"), col("adist"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
@@ -514,6 +524,99 @@ object Similarity {
     val r = codebook.agg(max(col("j")), max(size(col("cs"))),
       max(col("cidx"))).head
     (r.getInt(0) + 1, r.getInt(1), r.getInt(2) + 1)
+  }
+
+  /** IVF-PQ: the canonical billion-vector serving architecture — IVF
+    * LIST PRUNING (each query scans only its `nProbe` probed lists)
+    * combined with PQ COMPRESSION (the lists hold m-byte codes, not
+    * vectors). At 10⁹ vectors the per-query scan is
+    * nProbe/nCentroids × 1/32 of the raw corpus bytes — the two
+    * reductions multiply, which is why every production vector store
+    * ships this exact shape. Codes quantize the RAW vectors against
+    * the one global codebook (not per-list residuals): recall is
+    * gated by the same machinery as v15, and the md5 sampling
+    * contract stays engine-replayable. Distance is the [[pqTopK]] ADC
+    * walk restricted to each query's probed lists. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val (centroids, codebook, codes) =
+      ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, dsub, nCodes)
+    ivfPqSearch(codes,
+      ivfProbes(centroids, queries, idCol, vecCol, nProbe),
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes),
+      k, m, nCodes)
+  }
+
+  /** The IVF-PQ build: centroid table, PQ codebook, and the compressed
+    * inverted file — (id, codes, cid), the ONLY corpus-sized artifact. */
+  private def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, m: Int, dsub: Int,
+      nCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        l2Norm(asDouble(col(vecCol))).as("vn"))
+    val centroids = c
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
+      .localCheckpoint()
+    val codebook = pqCodebook(c.select(col("id"), col("v")), m, dsub, nCodes)
+    val codes = pqEncodeAgainst(c.select(col("id"), col("v")),
+        codebook, m, dsub)
+      .join(assignToCentroids(
+          c.select(col("id").as("neighbor_id"), col("v"), col("vn")),
+          centroids)
+        .select(col("neighbor_id").as("id"), col("cid")), "id")
+    (centroids, codebook, codes)
+  }
+
+  /** Probed-list ADC: candidates come from the equi-join of the codes
+    * table with each query's probed cids — per-query work is bounded by
+    * the probed-list sizes, in code bytes. */
+  private def ivfPqSearch(codes: DataFrame, probes: DataFrame,
+      luts: DataFrame, k: Int, m: Int, nCodes: Int): DataFrame =
+    pqAdcRank(
+      codes.join(probes.select(col("query_id"), col("cid")), "cid")
+        .join(broadcast(luts), "query_id"),
+      k, m, nCodes)
+
+  /** Materialize the IVF-PQ index: centroids + codebook (both tiny) and
+    * the compressed inverted file, PARTITIONED BY cid — serving scans
+    * nProbe partition directories of m-byte codes, the smallest
+    * possible read for an ANN query over this corpus. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCentroids: Int = 16,
+      m: Int = 8, dsub: Int = 8, nCodes: Int = 16): Unit = {
+    val (centroids, codebook, codes) =
+      ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, dsub, nCodes)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    codes.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Serve from a [[buildIvfPqIndex]] index — bit-identical to the
+    * inline [[ivfPqTopK]] (IvfPqIndexSpec asserts it). The probed cids
+    * are collected into a LITERAL partition filter, so the scan
+    * statically prunes to nProbe cid= directories of codes. */
+  def ivfPqServeTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val (m, dsub, nCodes) = pqMeta(codebook)
+    val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
+      .localCheckpoint()
+    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cid").isin(cids.toSeq: _*))
+      .select(col("id"), col("codes"), col("cid"))
+    ivfPqSearch(codes, probes,
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes),
+      k, m, nCodes)
   }
 
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
