@@ -598,6 +598,32 @@ object Similarity {
       .parquet(s"$indexDir/codes")
   }
 
+  /** Append NEW vectors to a materialized IVF-PQ index without
+    * rebuilding — the increment pays one assignment pass against the
+    * saved centroids and one encode pass against the saved codebook,
+    * then lands in its cid= partitions. Both yardsticks DRIFT as the
+    * corpus grows (they stay the build-time samples); the rebuild
+    * signal is the recall gate degrading, as with the other two index
+    * families. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val (m, dsub, _) = pqMeta(codebook)
+    val c = Caches.spreadByKey(newVecs, col(idCol))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        l2Norm(asDouble(col(vecCol))).as("vn"))
+    pqEncodeAgainst(c.select(col("id"), col("v")), codebook, m, dsub)
+      .join(assignToCentroids(
+          c.select(col("id").as("neighbor_id"), col("v"), col("vn")),
+          centroids)
+        .select(col("neighbor_id").as("id"), col("cid")), "id")
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexDir/codes")
+  }
+
   /** Serve from a [[buildIvfPqIndex]] index — bit-identical to the
     * inline [[ivfPqTopK]] (IvfPqIndexSpec asserts it). The probed cids
     * are collected into a LITERAL partition filter, so the scan

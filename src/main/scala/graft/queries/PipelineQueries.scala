@@ -183,6 +183,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus novelty per document: the fraction of its distinct
+    * 3-shingles whose FIRST corpus occurrence (by doc_id order) is this
+    * document — the freshness signal an ingestion pipeline tracks per
+    * batch (falling novelty = the crawl is re-reading itself; t09 is
+    * within-doc repetition, this is against-the-corpus repetition).
+    * One shingle spread + one hash-keyed window: the shuffle carries
+    * (doc_id, shingle-hash) pairs — 16 bytes/row, never strings — and
+    * the first-seen verdict is a per-key min, no self-join. Joining on
+    * xxhash64 keys is the d07 trade: a 64-bit collision merges two
+    * shingles' first-seen, vanishingly unlikely below ~10⁹ distinct
+    * shingles and worth the string-free shuffle. */
+  def t27Novelty(s: SparkSession, dir: String): DataFrame = {
+    val ex = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    ex.withColumn("__first", min(col("doc_id")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum((col("doc_id") === col("__first")).cast("long"))
+          .cast("double") / count(lit(1)), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document salient terms: top-3 by (term frequency DESC, corpus
     * document frequency ASC, term ASC) — the integer-exact cousin of
     * tf-idf ranking (frequent in the doc, rare in the corpus), chosen
@@ -760,6 +785,7 @@ object PipelineQueries {
     "t24_epoch_mix" -> t24EpochMix,
     "t25_bigram_logprob" -> t25BigramLogprob,
     "t26_lexical_diversity" -> t26LexicalDiversity,
+    "t27_novelty" -> t27Novelty,
     "v09_semdedup" -> v09SemDedup,
     "v10_semantic_leak" -> v10SemanticLeak,
     "t05_split" -> t05Split,
@@ -1255,6 +1281,22 @@ object PipelineQueries {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt, 1 AS ok
         |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    // exact-string twin of the hashed first-seen window (the hash is a
+    // pure join-key compression on the Spark side)
+    "t27_novelty" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS shl
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+        |f AS (SELECT doc_id, s, MIN(doc_id) OVER (PARTITION BY s) AS first FROM ex)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  ROUND(CAST(SUM(CASE WHEN doc_id = first THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS novelty
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t26_lexical_diversity" ->
       ("""WITH base AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

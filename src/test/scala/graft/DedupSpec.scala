@@ -510,6 +510,19 @@ class DedupSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 2L, 6L)))
   }
 
+  test("t27 novelty: first doc fully novel, ratios in [0,1], dups score 0-novel") {
+    val rows = SparkEntry.queries("t27_novelty")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 500)
+    // doc 0 sees every one of its shingles first
+    assert(rows.find(_._1 == 0L).get._3 === 1.0)
+    rows.foreach { case (_, n, nov) =>
+      assert(n > 0 && nov >= 0.0 && nov <= 1.0)
+    }
+    // the corpus has near-duplicates, so somebody scores low
+    assert(rows.map(_._3).min < 0.5)
+  }
+
   test("d10 quality reps: one rep per cluster, kept ⇔ is-rep, rep maximizes quality") {
     import graft.functions.TextFns
     val rows = SparkEntry.queries("d10_quality_reps")(spark, "/root/testdata/sf0.001")

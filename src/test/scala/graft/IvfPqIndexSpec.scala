@@ -53,6 +53,40 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(served.groupBy(_._1).forall(_._2.size == 3))
   }
 
+  test("appendToIvfPqIndex ≡ one-shot build when both samples coincide") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    // nCentroids = nCodes = 16 at the defaults and both sample by
+    // smallest md5(id), so ONE 16-id set is the whole yardstick; put it
+    // in the initial build and append(rest) must reproduce the one-shot
+    // index over the full corpus exactly
+    val seedIds = emb
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0))
+    val initialIds = (seedIds ++
+      allIds.filterNot(seedIds).take(allIds.length / 2)).toSeq
+    val initial = emb.filter(col("vec_id").isin(initialIds: _*))
+    val rest = emb.filter(!col("vec_id").isin(initialIds: _*))
+    assert(rest.count() > 0)
+
+    val incrDir = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    Similarity.buildIvfPqIndex(initial, "vec_id", "embedding", incrDir)
+    Similarity.appendToIvfPqIndex(spark, incrDir, rest, "vec_id", "embedding")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", fullDir)
+
+    def served(dir: String) = Similarity.ivfPqServeTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(served(incrDir) === served(fullDir))
+    val codes = spark.read.parquet(s"$incrDir/codes")
+    assert(codes.count() === emb.count())
+    assert(codes.select("id").distinct().count() === emb.count())
+  }
+
   test("an identical vector is found at rank 1 through the probed lists") {
     val emb = Tables.table(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
