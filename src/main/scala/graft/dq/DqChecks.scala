@@ -215,10 +215,16 @@ object DqChecks {
   private[graft] def psiBin(v: Column, lo: Column, hi: Column,
       nBins: Int): Column = {
     val w = (hi - lo) / nBins
-    when(w > 0,
-      least(lit(nBins - 1), greatest(lit(0),
-        floor((v - lo) / w).cast("int"))))
-      .otherwise(lit(0))
+    // clamp on the LONG before the int cast: a wildly drifted value can
+    // push floor() past Int.MaxValue, and ANSI mode would turn the cast
+    // into a crash exactly on the data a drift screen exists to catch;
+    // the explicit isNotNull guard keeps nulls null (greatest/least
+    // SKIP nulls, so without it a null value would clamp into bin 0
+    // and count as spurious bin-0 mass)
+    when(v.isNotNull && w > 0,
+      least(lit(nBins - 1).cast("long"), greatest(lit(0L),
+        floor((v - lo) / w))).cast("int"))
+      .when(v.isNotNull, lit(0))
   }
 
   /** PSI from complete per-(group, bin) slot counts — (groupCol, __bin,

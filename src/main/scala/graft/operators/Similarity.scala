@@ -149,6 +149,16 @@ object Similarity {
       assigned, k)
   }
 
+  /** THE deterministic sampling contract every yardstick in this file
+    * shares (IVF centroids, k-means seed, PQ codebook): the `n` rows
+    * with smallest md5(id-as-string), tie by id — stable across
+    * runs/partitionings AND reproducible by any engine with md5 (the
+    * DuckDB oracles replay it verbatim). One definition so the contract
+    * can never silently fork between the index families. */
+  private def md5Sample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(n).drop("__h")
+
   /** The IVF build pass shared by [[ivfTopK]] (inline) and
     * [[buildIvfIndex]] (persisted): (centroid table, assignment lists). */
   private def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
@@ -156,12 +166,7 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
-    // deterministic sample: the nCentroids corpus rows with smallest
-    // md5(id-as-string) — stable across runs/partitionings AND
-    // reproducible by any engine with md5 (the DuckDB oracle replays it)
-    val centroids = c
-      .withColumn("__h", md5(col("neighbor_id").cast("string")))
-      .orderBy(col("__h"), col("neighbor_id")).limit(nCentroids)
+    val centroids = md5Sample(c, "neighbor_id", nCentroids)
       .select(col("neighbor_id").as("cid"), col("v").as("cv"),
         col("vn").as("cn"))
       // tiny (nCentroids rows) but referenced by build AND search side:
@@ -302,9 +307,7 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))
-    val centroids = c
-      .withColumn("__h", md5(col("id").cast("string")))
-      .orderBy(col("__h"), col("id")).limit(nCentroids)
+    val centroids = md5Sample(c, "id", nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
       .localCheckpoint() // tiny; feeds assignment AND the shift join
     val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
@@ -344,13 +347,20 @@ object Similarity {
     * id, dense code index (rank of cid), subvector, and its
     * self-dot — m·nCodes rows, always broadcast-scale. */
   private def pqCodebook(c: DataFrame, m: Int, dsub: Int,
-      nCodes: Int): DataFrame = {
+      nCodes: Int): DataFrame =
+    pqCodebookFromSample(
+      md5Sample(c, "id", nCodes)
+        .select(col("id").as("cid"), col("v").as("cv")), m, dsub)
+
+  /** Subspace-explode an already-sampled (cid, cv) seed table into the
+    * codebook — split out so [[ivfPqBuild]] can reuse ONE corpus sample
+    * for both yardsticks when the sizes coincide. */
+  private def pqCodebookFromSample(sample: DataFrame, m: Int,
+      dsub: Int): DataFrame = {
     // rank once (the sampled id set is the same in every subspace), so
     // cidx is "position of cid among the sampled ids" everywhere
     val wIdx = Window.orderBy(col("cid")) // nCodes rows: fine unpartitioned
-    c.withColumn("__h", md5(col("id").cast("string")))
-      .orderBy(col("__h"), col("id")).limit(nCodes)
-      .select(col("id").as("cid"), col("v").as("cv"))
+    sample
       .withColumn("cidx", row_number().over(wIdx) - 1)
       .select(explode(sequence(lit(0), lit(m - 1))).as("j"),
         col("cid"), col("cidx"), col("cv"))
@@ -408,16 +418,34 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
+    requirePqDim(corpus, vecCol, m, dsub)
     val c = pqPrepare(corpus, idCol, vecCol)
     val codebook = pqCodebook(c, m, dsub, nCodes)
+    // the lut stride is the DENSE codebook size — smaller than the
+    // requested nCodes when the corpus has fewer rows; striding by the
+    // request would walk the wrong subspace's entries
+    val (_, _, nActual) = pqMeta(codebook)
     pqAdcSearch(pqEncodeAgainst(c, codebook, m, dsub),
-      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes), k, m, nCodes)
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nActual),
+      k, m, nActual)
   }
 
   private def pqPrepare(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+
+  /** Driver-side dim probe: the PQ slicers silently mangle vectors
+    * whose length != m·dsub (short tail subvectors, null-padded dots),
+    * so fail fast on the first row instead. Bounded: head(1). */
+  private def requirePqDim(df: DataFrame, vecCol: String, m: Int,
+      dsub: Int): Unit = {
+    require(m >= 1 && dsub >= 1, s"m ($m) and dsub ($dsub) must be >= 1")
+    df.select(size(col(vecCol)).as("d")).head(1).foreach { r =>
+      require(r.getInt(0) == m * dsub,
+        s"embedding dim ${r.getInt(0)} != m*dsub = ${m * dsub}")
+    }
+  }
 
   /** Per-query ADC lookup table: exact L2² of each query subvector
     * against every codebook entry, flattened to a (m·nCodes)-slot array
@@ -442,17 +470,18 @@ object Similarity {
         s => s.getField("pdist")).as("lut"))
   }
 
-  /** The ADC scan + rank pass shared by [[pqTopK]] (inline) and
-    * [[pqServeTopK]] (persisted index): every (query, corpus-code-row)
-    * pair pays an m-step table walk, textually unrolled in subspace
-    * order (left-assoc) so the oracle reproduces every double. */
   /** The m-step ADC table walk, textually unrolled in subspace order
-    * (left-assoc) so the oracle reproduces every double. */
+    * (left-assoc) so the oracle reproduces every double. `nCodes` MUST
+    * be the lut's actual stride (the dense codebook's size — [[pqMeta]]
+    * recovers it), not the requested one. */
   private def adcExpr(m: Int, nCodes: Int): Column =
     (0 until m).map { j =>
       element_at(col("lut"), col("codes").getItem(j) + lit(j * nCodes + 1))
     }.reduceLeft(_ + _)
 
+  /** The full-scan ADC pass shared by [[pqTopK]] (inline) and
+    * [[pqServeTopK]] (persisted index): every (query, corpus-code-row)
+    * pair pays one table walk. */
   private def pqAdcSearch(codes: DataFrame, luts: DataFrame, k: Int,
       m: Int, nCodes: Int): DataFrame =
     pqAdcRank(codes.crossJoin(broadcast(luts)), k, m, nCodes)
@@ -480,6 +509,7 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, m: Int = 8, dsub: Int = 8,
       nCodes: Int = 16): Unit = {
+    requirePqDim(corpus, vecCol, m, dsub)
     val c = pqPrepare(corpus, idCol, vecCol)
     val codebook = pqCodebook(c, m, dsub, nCodes)
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
@@ -499,6 +529,7 @@ object Similarity {
       vecCol: String): Unit = {
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val (m, dsub, _) = pqMeta(codebook)
+    requirePqDim(newVecs, vecCol, m, dsub)
     pqEncodeAgainst(pqPrepare(newVecs, idCol, vecCol), codebook, m, dsub)
       .write.mode("append").parquet(s"$indexDir/codes")
   }
@@ -541,12 +572,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
+    requirePqDim(corpus, vecCol, m, dsub)
     val (centroids, codebook, codes) =
       ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, dsub, nCodes)
+    val (_, _, nActual) = pqMeta(codebook) // dense stride, see pqTopK
     ivfPqSearch(codes,
       ivfProbes(centroids, queries, idCol, vecCol, nProbe),
-      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes),
-      k, m, nCodes)
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nActual),
+      k, m, nActual)
   }
 
   /** The IVF-PQ build: centroid table, PQ codebook, and the compressed
@@ -557,12 +590,16 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))
-    val centroids = c
-      .withColumn("__h", md5(col("id").cast("string")))
-      .orderBy(col("__h"), col("id")).limit(nCentroids)
+    val sample = md5Sample(c, "id", nCentroids).localCheckpoint()
+    val centroids = sample
       .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
-      .localCheckpoint()
-    val codebook = pqCodebook(c.select(col("id"), col("v")), m, dsub, nCodes)
+    // at the (default) nCentroids == nCodes the two yardsticks are the
+    // SAME md5 sample — derive both from one checkpointed corpus sort
+    val codebook =
+      if (nCodes == nCentroids)
+        pqCodebookFromSample(
+          sample.select(col("id").as("cid"), col("v").as("cv")), m, dsub)
+      else pqCodebook(c.select(col("id"), col("v")), m, dsub, nCodes)
     val codes = pqEncodeAgainst(c.select(col("id"), col("v")),
         codebook, m, dsub)
       .join(assignToCentroids(
@@ -589,6 +626,7 @@ object Similarity {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, nCentroids: Int = 16,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): Unit = {
+    requirePqDim(corpus, vecCol, m, dsub)
     val (centroids, codebook, codes) =
       ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, dsub, nCodes)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -611,6 +649,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val (m, dsub, _) = pqMeta(codebook)
+    requirePqDim(newVecs, vecCol, m, dsub)
     val c = Caches.spreadByKey(newVecs, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))

@@ -246,11 +246,13 @@ object GovernanceQueries {
         |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
         |cnt AS (
         |  SELECT e.event_type,
-        |    CASE WHEN (b.hi - b.lo)/10 > 0
-        |         THEN LEAST(9, GREATEST(0, CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo)/10)) AS INT)))
-        |         ELSE 0 END AS bin,
-        |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        |    CASE WHEN e.value IS NOT NULL AND (b.hi - b.lo)/10 > 0
+        |         THEN CAST(LEAST(9, GREATEST(0, FLOOR((e.value - b.lo) / ((b.hi - b.lo)/10)))) AS INT)
+        |         WHEN e.value IS NOT NULL THEN 0 END AS bin,
+        |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1
+        |             WHEN NOT (e.ts < TIMESTAMP '2024-01-08 00:00:00') THEN 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0
+        |             WHEN NOT (e.ts < TIMESTAMP '2024-01-08 00:00:00') THEN 1 END) AS BIGINT) AS nc
         |  FROM events e JOIN b USING (event_type) GROUP BY 1, 2),
         |slots AS (
         |  SELECT b.event_type, t.j AS bin, COALESCE(cnt.nb, 0) AS nb, COALESCE(cnt.nc, 0) AS nc

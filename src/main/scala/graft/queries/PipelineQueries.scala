@@ -195,17 +195,25 @@ object PipelineQueries {
     * shingles' first-seen, vanishingly unlikely below ~10⁹ distinct
     * shingles and worth the string-free shuffle. */
   def t27Novelty(s: SparkSession, dir: String): DataFrame = {
+    // two map-side-combinable aggregates + one doc-keyed join — NOT a
+    // per-hash window: a boilerplate shingle shared by most of the
+    // corpus would funnel all its rows into one window task, while
+    // groupBy(h).agg(min) partial-aggregates it away (the same hot-key
+    // discipline as the LSH bucket caps)
     val ex = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    ex.withColumn("__first", min(col("doc_id")).over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        round(sum((col("doc_id") === col("__first")).cast("long"))
-          .cast("double") / count(lit(1)), 4).as("novelty"))
-      .orderBy("doc_id")
+    graft.operators.Caches.scoped(ex) {
+      val perDoc = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novelPerDoc = ex.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("__n_novel"))
+      perDoc.join(novelPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          round(coalesce(col("__n_novel"), lit(0L)).cast("double") /
+            col("n_shingles"), 4).as("novelty"))
+        .orderBy("doc_id")
+    }
   }
 
   /** Per-document salient terms: top-3 by (term frequency DESC, corpus
