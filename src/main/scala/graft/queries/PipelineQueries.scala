@@ -528,6 +528,17 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** IVF-PQ top-3 for queries 0-4 — the list-pruned, code-compressed
+    * search itself under the oracle gate: probed lists from the v04
+    * machinery, ADC distances from the v14 machinery, composed.
+    * [[Similarity.ivfPqTopK]]. */
+  def v16AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding centroid norms — the first pass of
     * centroid-based dataset cleaning (a vector far from its label's
     * centroid is a labeling-error candidate). One grouped aggregate,
@@ -822,6 +833,7 @@ object PipelineQueries {
     "v13_ivf_recall" -> v13IvfRecall,
     "v14_pq_topk" -> v14PqTopK,
     "v15_pq_recall" -> v15PqRecall,
+    "v16_ann_ivfpq" -> v16AnnIvfPq,
     "v11_mmr_rerank" -> v11MmrRerank,
     "v12_hard_negatives" -> v12HardNegatives,
     "m01_multimodal_meta" -> m01MultimodalMeta,
@@ -1055,6 +1067,69 @@ object PipelineQueries {
        |  FROM qsub JOIN cb ON qsub.j = cb.j GROUP BY query_id),
        |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $adc AS adist
        |  FROM codes cd, lut l WHERE l.query_id <> cd.id)
+       |SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.ivfPqTopK]] at the v16 defaults: the
+    * v04 machinery (md5-sampled centroids, cosine assignment, rn<=4
+    * probes) composed with the v14 machinery (same-sample codebook —
+    * nCentroids == nCodes, so ONE sampled table seeds both — codes,
+    * LUTs, unrolled ADC), candidates restricted to each query's probed
+    * lists. Every piece is the same text as the oracle that already
+    * gates it alone. */
+  private lazy val v16OracleSql: String = {
+    val m = 8; val dsub = 8; val nCodes = 16
+    val adc = (0 until m).map(j =>
+      s"l.lut[$j*$nCodes + cd.codes[${j + 1}] + 1]").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+       |cent AS (SELECT id AS cid, v AS cv, vn AS ccn FROM cn
+       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCodes),
+       |assigned AS (SELECT id, cid FROM (
+       |  SELECT cn.id, cent.cid,
+       |    row_number() OVER (PARTITION BY cn.id
+       |      ORDER BY list_dot_product(cn.v, cent.cv) / NULLIF(cn.vn * cent.ccn, 0.0) DESC, cent.cid) AS rn
+       |  FROM cn, cent) WHERE rn = 1),
+       |cb AS (SELECT t.j, cid,
+       |    CAST(row_number() OVER (PARTITION BY t.j ORDER BY cid) - 1 AS INT) AS cidx,
+       |    cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS cs,
+       |    list_dot_product(cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
+       |                     cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS csq
+       |  FROM cent, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
+       |sub AS (SELECT id, t.j, v[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS xs,
+       |    list_dot_product(v[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
+       |                     v[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS xsq
+       |  FROM c, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
+       |enc AS (SELECT id, j, cidx FROM (
+       |  SELECT sub.id, sub.j, cb.cidx,
+       |    row_number() OVER (PARTITION BY sub.id, sub.j ORDER BY
+       |      sub.xsq - 2*list_dot_product(sub.xs, cb.cs) + cb.csq ASC, cb.cidx) AS rn
+       |  FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+       |codes AS (SELECT id, list(cidx ORDER BY j) AS codes FROM enc GROUP BY id),
+       |q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+       |qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnn FROM q),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT qn.query_id, cent.cid,
+       |    row_number() OVER (PARTITION BY qn.query_id
+       |      ORDER BY list_dot_product(qn.qv, cent.cv) / NULLIF(qn.qnn * cent.ccn, 0.0) DESC, cent.cid) AS rn
+       |  FROM qn, cent) WHERE rn <= 4),
+       |qsub AS (SELECT query_id, t.j, qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS qs,
+       |    list_dot_product(qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
+       |                     qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS qsq
+       |  FROM q, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
+       |lut AS (SELECT query_id,
+       |    list(qsub.qsq - 2*list_dot_product(qsub.qs, cb.cs) + cb.csq
+       |         ORDER BY qsub.j*$nCodes + cb.cidx) AS lut
+       |  FROM qsub JOIN cb ON qsub.j = cb.j GROUP BY query_id),
+       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $adc AS adist
+       |  FROM codes cd
+       |  JOIN assigned a ON cd.id = a.id
+       |  JOIN probes p ON p.cid = a.cid
+       |  JOIN lut l ON l.query_id = p.query_id
+       |  WHERE l.query_id <> cd.id)
        |SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
@@ -1529,6 +1604,7 @@ object PipelineQueries {
     "v13_ivf_recall" -> v13OracleSql,
     "v14_pq_topk" -> v14OracleSql,
     "v15_pq_recall" -> v15OracleSql,
+    "v16_ann_ivfpq" -> v16OracleSql,
     "t13_boilerplate" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
