@@ -502,6 +502,35 @@ object Similarity {
         round(col("adist"), 4).as("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** Two-stage PQ serving: ADC over the codes table shortlists
+    * `shortlist` candidates per query, then ONLY those rows' true
+    * vectors are fetched for an exact cosine re-rank — the standard
+    * production recipe (quantization error is concentrated in the
+    * final ordering, which the exact stage repairs, while the
+    * corpus-wide scan stays compressed). Vector fetch cost is
+    * |Q|·shortlist rows, never the corpus. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int = 20,
+      m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = pqTopK(corpus, queries, idCol, vecCol, shortlist,
+        m, dsub, nCodes)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * col("vn"), lit(0.0)))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Materialize the PQ index: codebook (m·nCodes subvector entries)
     * plus the codes table — (id, m small ints) per corpus vector, the
     * 32×-compressed scan target. Build once per corpus version, serve

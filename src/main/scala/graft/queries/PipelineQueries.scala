@@ -528,6 +528,17 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** Two-stage PQ serving for queries 0-4: ADC shortlist of 20, exact
+    * cosine re-rank to top-3 — the production pattern that buys back
+    * quantization error where it matters (the final ordering) while
+    * the corpus scan stays compressed. [[Similarity.pqRerankTopK]]. */
+  def v17PqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, shortlist = 20)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ top-3 for queries 0-4 — the list-pruned, code-compressed
     * search itself under the oracle gate: probed lists from the v04
     * machinery, ADC distances from the v14 machinery, composed.
@@ -834,6 +845,7 @@ object PipelineQueries {
     "v14_pq_topk" -> v14PqTopK,
     "v15_pq_recall" -> v15PqRecall,
     "v16_ann_ivfpq" -> v16AnnIvfPq,
+    "v17_pq_rerank" -> v17PqRerank,
     "v11_mmr_rerank" -> v11MmrRerank,
     "v12_hard_negatives" -> v12HardNegatives,
     "m01_multimodal_meta" -> m01MultimodalMeta,
@@ -1031,7 +1043,11 @@ object PipelineQueries {
     * dsub=8, nCodes=16): same md5-sampled codebook, same three-dot L2²
     * per subspace, and the ADC sum textually unrolled in subspace order
     * so every double matches the Spark left-assoc fold bit-for-bit. */
-  private lazy val v14OracleSql: String = {
+  private lazy val v14OracleSql: String = v14OracleSqlK(3)
+
+  /** The v14 replica parameterized by k — v17's re-rank replays it at
+    * shortlist size. */
+  private def v14OracleSqlK(k: Int): String = {
     val m = 8; val dsub = 8; val nCodes = 16
     // lut is flattened (j, cidx)-ordered; codes list is j-ordered.
     // DuckDB lists are 1-based: slot j*nCodes + codes[j+1] + 1.
@@ -1070,7 +1086,7 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
-       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB twin of [[Similarity.ivfPqTopK]] at the v16 defaults: the
@@ -1135,6 +1151,21 @@ object PipelineQueries {
        |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** v17 replays the v14 shortlist at size 20 and re-ranks it with the
+    * exact cosine (the v01 sim), top-3. */
+  private lazy val v17OracleSql: String =
+    s"""WITH approx AS (${v14OracleSqlK(20)}),
+       |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+       |rescored AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    list_cosine_similarity(qv.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+       |  FROM approx a
+       |  JOIN qv ON qv.query_id = a.query_id
+       |  JOIN embeddings e ON e.vec_id = a.neighbor_id)
+       |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM rescored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** v15 replays the v01 truth and the v14 PQ search as CTEs and
     * recomputes the same left-join recall (the v08/v13 pattern). */
@@ -1605,6 +1636,7 @@ object PipelineQueries {
     "v14_pq_topk" -> v14OracleSql,
     "v15_pq_recall" -> v15OracleSql,
     "v16_ann_ivfpq" -> v16OracleSql,
+    "v17_pq_rerank" -> v17OracleSql,
     "t13_boilerplate" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),

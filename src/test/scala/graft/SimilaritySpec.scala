@@ -123,6 +123,25 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.03, s"PQ recall not above chance: $recall")
   }
 
+  test("pqRerankTopK: recall dominates raw PQ and rank-1 is exact-best of shortlist") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3))
+    val raw = pairs(Similarity.pqTopK(e, q, "vec_id", "embedding", 3))
+    val rr = Similarity.pqRerankTopK(e, q, "vec_id", "embedding",
+      k = 3, shortlist = 20)
+    // the re-rank picks the exact-cosine-best 3 of a SUPERSET of the
+    // raw top-3, so its recall can never be lower
+    assert((brute intersect pairs(rr)).size >= (brute intersect raw).size)
+    // sims are exact cosine: rank-1 sim >= every other returned sim
+    rr.collect().groupBy(_.getLong(0)).values.foreach { rs =>
+      val top = rs.minBy(_.getLong(3)).getDouble(2)
+      assert(rs.forall(_.getDouble(2) <= top))
+    }
+  }
+
   test("lsh recall vs brute force on real embeddings (sf0.001)") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
