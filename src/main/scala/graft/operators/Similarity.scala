@@ -55,6 +55,14 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("qv"), col("v")) /
         nullif(col("qn") * col("vn"), lit(0.0)))
+    cosineRank(scored, k)
+  }
+
+  /** THE exact-cosine output contract shared by every similarity
+    * ranker (brute force, LSH, IVF, PQ re-rank): per-query row_number
+    * over (sim desc, neighbor_id), top k, 4dp sim, long rank. One
+    * definition so the tie-break and output shape can never fork. */
+  private def cosineRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -119,12 +127,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", dot(col("qv"), col("v")) /
         nullif(col("qn") * col("vn"), lit(0.0)))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+    cosineRank(scored, k)
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path beside LSH.
@@ -210,18 +213,13 @@ object Similarity {
   /** The probed-list scan + rank pass shared by [[ivfTopK]] and
     * [[ivfServeTopK]]. */
   private def ivfSearch(probes: DataFrame, assigned: DataFrame,
-      k: Int): DataFrame = {
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) /
-        nullif(col("qn") * col("vn"), lit(0.0)))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
-  }
+      k: Int): DataFrame =
+    cosineRank(
+      probes.join(assigned, "cid")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", dot(col("qv"), col("v")) /
+          nullif(col("qn") * col("vn"), lit(0.0))),
+      k)
 
   /** Materialize the IVF index: the centroid table plus the assignment
     * lists written PARTITIONED BY centroid id — build once per corpus
@@ -516,19 +514,20 @@ object Similarity {
     val short = pqTopK(corpus, queries, idCol, vecCol, shortlist,
         m, dsub, nCodes)
       .select(col("query_id"), col("neighbor_id"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    // the corpus side stays RAW through the shortlist semi-join —
+    // decode (double-cast) and norm are computed above the join, on the
+    // |Q|·shortlist survivors only, never the corpus (computed
+    // projections don't push below a join, so this holds in the plan)
     val qv = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    short.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("v", asDouble(col("__nv")))
       .withColumn("sim", dot(col("qv"), col("v")) /
-        nullif(col("qn") * col("vn"), lit(0.0)))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank").cast("long").as("rank"))
+        nullif(col("qn") * l2Norm(col("v")), lit(0.0)))
+    cosineRank(scored, k)
   }
 
   /** Materialize the PQ index: codebook (m·nCodes subvector entries)

@@ -1045,18 +1045,21 @@ object PipelineQueries {
     * so every double matches the Spark left-assoc fold bit-for-bit. */
   private lazy val v14OracleSql: String = v14OracleSqlK(3)
 
-  /** The v14 replica parameterized by k — v17's re-rank replays it at
-    * shortlist size. */
-  private def v14OracleSqlK(k: Int): String = {
-    val m = 8; val dsub = 8; val nCodes = 16
-    // lut is flattened (j, cidx)-ordered; codes list is j-ordered.
-    // DuckDB lists are 1-based: slot j*nCodes + codes[j+1] + 1.
-    val adc = (0 until m).map(j =>
-      s"l.lut[$j*$nCodes + cd.codes[${j + 1}] + 1]").mkString(" + ")
-    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS (SELECT id AS cid, v AS cv FROM c
-       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCodes),
-       |cb AS (SELECT t.j, cid,
+  private val pqM = 8; private val pqDsub = 8; private val pqNCodes = 16
+
+  /** The unrolled ADC walk over aliases `l` (lut) and `cd` (codes).
+    * lut is flattened (j, cidx)-ordered; codes list is j-ordered.
+    * DuckDB lists are 1-based: slot j*nCodes + codes[j+1] + 1. */
+  private lazy val pqAdcSqlExpr: String = (0 until pqM).map(j =>
+    s"l.lut[$j*$pqNCodes + cd.codes[${j + 1}] + 1]").mkString(" + ")
+
+  /** The PQ machinery CTE text (codebook explode, per-subspace encode,
+    * codes, per-query LUT) shared VERBATIM by the v14 and v16 replicas —
+    * one definition so the two oracles cannot fork. Expects upstream
+    * CTEs `c` (id, v), `cent` (cid, cv, ...), `q` (query_id, qv). */
+  private lazy val pqMachineryCtes: String = {
+    val m = pqM; val dsub = pqDsub; val nCodes = pqNCodes
+    s"""cb AS (SELECT t.j, cid,
        |    CAST(row_number() OVER (PARTITION BY t.j ORDER BY cid) - 1 AS INT) AS cidx,
        |    cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS cs,
        |    list_dot_product(cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
@@ -1072,7 +1075,6 @@ object PipelineQueries {
        |      sub.xsq - 2*list_dot_product(sub.xs, cb.cs) + cb.csq ASC, cb.cidx) AS rn
        |  FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
        |codes AS (SELECT id, list(cidx ORDER BY j) AS codes FROM enc GROUP BY id),
-       |q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
        |qsub AS (SELECT query_id, t.j, qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS qs,
        |    list_dot_product(qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
        |                     qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS qsq
@@ -1080,14 +1082,23 @@ object PipelineQueries {
        |lut AS (SELECT query_id,
        |    list(qsub.qsq - 2*list_dot_product(qsub.qs, cb.cs) + cb.csq
        |         ORDER BY qsub.j*$nCodes + cb.cidx) AS lut
-       |  FROM qsub JOIN cb ON qsub.j = cb.j GROUP BY query_id),
-       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $adc AS adist
+       |  FROM qsub JOIN cb ON qsub.j = cb.j GROUP BY query_id)""".stripMargin
+  }
+
+  /** The v14 replica parameterized by k — v17's re-rank replays it at
+    * shortlist size. */
+  private def v14OracleSqlK(k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM c
+       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $pqNCodes),
+       |q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+       |$pqMachineryCtes,
+       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $pqAdcSqlExpr AS adist
        |  FROM codes cd, lut l WHERE l.query_id <> cd.id)
        |SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   /** DuckDB twin of [[Similarity.ivfPqTopK]] at the v16 defaults: the
     * v04 machinery (md5-sampled centroids, cosine assignment, rn<=4
@@ -1096,35 +1107,16 @@ object PipelineQueries {
     * LUTs, unrolled ADC), candidates restricted to each query's probed
     * lists. Every piece is the same text as the oracle that already
     * gates it alone. */
-  private lazy val v16OracleSql: String = {
-    val m = 8; val dsub = 8; val nCodes = 16
-    val adc = (0 until m).map(j =>
-      s"l.lut[$j*$nCodes + cd.codes[${j + 1}] + 1]").mkString(" + ")
+  private lazy val v16OracleSql: String =
     s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
        |cent AS (SELECT id AS cid, v AS cv, vn AS ccn FROM cn
-       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCodes),
+       |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $pqNCodes),
        |assigned AS (SELECT id, cid FROM (
        |  SELECT cn.id, cent.cid,
        |    row_number() OVER (PARTITION BY cn.id
        |      ORDER BY list_dot_product(cn.v, cent.cv) / NULLIF(cn.vn * cent.ccn, 0.0) DESC, cent.cid) AS rn
        |  FROM cn, cent) WHERE rn = 1),
-       |cb AS (SELECT t.j, cid,
-       |    CAST(row_number() OVER (PARTITION BY t.j ORDER BY cid) - 1 AS INT) AS cidx,
-       |    cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS cs,
-       |    list_dot_product(cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
-       |                     cv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS csq
-       |  FROM cent, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
-       |sub AS (SELECT id, t.j, v[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS xs,
-       |    list_dot_product(v[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
-       |                     v[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS xsq
-       |  FROM c, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
-       |enc AS (SELECT id, j, cidx FROM (
-       |  SELECT sub.id, sub.j, cb.cidx,
-       |    row_number() OVER (PARTITION BY sub.id, sub.j ORDER BY
-       |      sub.xsq - 2*list_dot_product(sub.xs, cb.cs) + cb.csq ASC, cb.cidx) AS rn
-       |  FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
-       |codes AS (SELECT id, list(cidx ORDER BY j) AS codes FROM enc GROUP BY id),
        |q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
        |qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnn FROM q),
        |probes AS (SELECT query_id, cid FROM (
@@ -1132,15 +1124,8 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY qn.query_id
        |      ORDER BY list_dot_product(qn.qv, cent.cv) / NULLIF(qn.qnn * cent.ccn, 0.0) DESC, cent.cid) AS rn
        |  FROM qn, cent) WHERE rn <= 4),
-       |qsub AS (SELECT query_id, t.j, qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)] AS qs,
-       |    list_dot_product(qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)],
-       |                     qv[(t.j*$dsub+1):(t.j*$dsub+$dsub)]) AS qsq
-       |  FROM q, (SELECT CAST(range AS INT) AS j FROM range($m)) t),
-       |lut AS (SELECT query_id,
-       |    list(qsub.qsq - 2*list_dot_product(qsub.qs, cb.cs) + cb.csq
-       |         ORDER BY qsub.j*$nCodes + cb.cidx) AS lut
-       |  FROM qsub JOIN cb ON qsub.j = cb.j GROUP BY query_id),
-       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $adc AS adist
+       |$pqMachineryCtes,
+       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $pqAdcSqlExpr AS adist
        |  FROM codes cd
        |  JOIN assigned a ON cd.id = a.id
        |  JOIN probes p ON p.cid = a.cid
@@ -1150,7 +1135,6 @@ object PipelineQueries {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** v17 replays the v14 shortlist at size 20 and re-ranks it with the
     * exact cosine (the v01 sim), top-3. */
