@@ -204,7 +204,7 @@ object DqChecks {
       .select(col(groupCol), col("__bin"),
         coalesce(col("__nb"), lit(0L)).as("__nb"),
         coalesce(col("__nc"), lit(0L)).as("__nc"))
-    psiFromSlots(slots, groupCol, nBins)
+    psiFromSlots(slots, groupCol)
   }
 
   /** The equal-width bin of `v` against a [lo, hi] yardstick: out-of-
@@ -228,19 +228,23 @@ object DqChecks {
   }
 
   /** PSI from complete per-(group, bin) slot counts — (groupCol, __bin,
-    * __nb, __nc) with every bin present. The one place the smoothing
-    * and the ordered-fold sum live, so the batch screen and the
-    * streaming monitor compute the SAME number from the same counts. */
-  private[graft] def psiFromSlots(slots: DataFrame, groupCol: String,
-      nBins: Int): DataFrame = {
+    * __nb, __nc) with every bin present; __bin may be any orderable
+    * type (int bins for the numeric screen, category strings for the
+    * categorical one — slot count per group is taken from the data, so
+    * variable-width groups work). The one place the smoothing and the
+    * ordered-fold sum live, so the batch screens and the streaming
+    * monitor compute the SAME number from the same counts. */
+  private[graft] def psiFromSlots(slots: DataFrame,
+      groupCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val contrib = slots
       .withColumn("__tb", sum(col("__nb")).over(w))
       .withColumn("__tc", sum(col("__nc")).over(w))
+      .withColumn("__ns", count(lit(1)).over(w))
       .withColumn("__pb", (col("__nb") + lit(0.5)) /
-        (col("__tb").cast("double") + lit(0.5 * nBins)))
+        (col("__tb").cast("double") + lit(0.5) * col("__ns")))
       .withColumn("__pc", (col("__nc") + lit(0.5)) /
-        (col("__tc").cast("double") + lit(0.5 * nBins)))
+        (col("__tc").cast("double") + lit(0.5) * col("__ns")))
       .withColumn("__contrib",
         (col("__pc") - col("__pb")) * log(col("__pc") / col("__pb")))
     contrib.groupBy(groupCol)
@@ -251,6 +255,40 @@ object DqChecks {
           lit(0.0), (acc, x) => acc + x).as("__psi"))
       .select(col(groupCol), col("n_base"), col("n_cur"),
         round(col("__psi"), 4).as("psi"))
+  }
+
+  /** Categorical PSI — the class-mix drift screen (label distribution,
+    * source mix, event-type mix): slots are the BASELINE's categories
+    * plus one `__OTHER__` bucket that absorbs categories the baseline
+    * never saw (their appearance IS drift and must carry mass, not
+    * vanish). Null categories normalize to a `__NULL__` slot on both
+    * sides. Same smoothing + ordered-fold core as the numeric screen;
+    * the baseline dictionary is groups × categories — broadcast-scale —
+    * so the current-side pass is one broadcast join + one combinable
+    * count. */
+  def psiDriftCategorical(df: DataFrame, groupCol: String, catCol: String,
+      isBaseline: Column): DataFrame = {
+    val cat = coalesce(col(catCol).cast("string"), lit("__NULL__"))
+    val base = df.filter(isBaseline)
+      .groupBy(col(groupCol), cat.as("__bin"))
+      .agg(count(lit(1)).as("__nb"))
+    val baseSlots = base
+      .unionByName(base.select(col(groupCol)).distinct()
+        .withColumn("__bin", lit("__OTHER__"))
+        .withColumn("__nb", lit(0L)))
+    val curCounts = df.filter(!isBaseline)
+      .select(col(groupCol), cat.as("__cat"))
+      .join(broadcast(base.select(col(groupCol),
+        col("__bin").as("__cat"), lit(1).as("__known"))),
+        Seq(groupCol, "__cat"), "left")
+      .withColumn("__bin",
+        when(col("__known").isNotNull, col("__cat")).otherwise(lit("__OTHER__")))
+      .groupBy(groupCol, "__bin").agg(count(lit(1)).as("__nc"))
+    val slots = baseSlots
+      .join(curCounts, Seq(groupCol, "__bin"), "left")
+      .select(col(groupCol), col("__bin"), col("__nb"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    psiFromSlots(slots, groupCol)
   }
 
   def hourlyTrend(df: DataFrame, tsCol: String,

@@ -220,6 +220,18 @@ object GovernanceQueries {
         col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), nBins = 10)
       .orderBy("event_type")
 
+  /** Categorical drift of the event-type MIX, week-1 baseline vs the
+    * rest of the month — the class-balance check a labeler/router
+    * pipeline runs (a category the baseline never saw lands in the
+    * `__OTHER__` bucket and carries drift mass).
+    * [[graft.dq.DqChecks.psiDriftCategorical]]. */
+  def g17CatDrift(s: SparkSession, dir: String): DataFrame =
+    DqChecks.psiDriftCategorical(
+        t(s, dir, "events").withColumn("segment", lit("event_type_mix")),
+        "segment", "event_type",
+        col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .orderBy("segment")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -237,9 +249,35 @@ object GovernanceQueries {
     "g14_k_anonymity" -> g14KAnonymity,
     "g15_entropy" -> g15Entropy,
     "g16_psi_drift" -> g16PsiDrift,
+    "g17_cat_drift" -> g17CatDrift,
   )
 
   val oracles: Map[String, String] = Map(
+    "g17_cat_drift" ->
+      ("""WITH b AS (
+        |  SELECT COALESCE(CAST(event_type AS VARCHAR), '__NULL__') AS bin, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
+        |slots0 AS (SELECT bin, nb FROM b UNION ALL SELECT '__OTHER__', 0),
+        |cur AS (
+        |  SELECT CASE WHEN b2.bin IS NOT NULL THEN c.bin ELSE '__OTHER__' END AS bin
+        |  FROM (SELECT COALESCE(CAST(event_type AS VARCHAR), '__NULL__') AS bin
+        |        FROM events WHERE NOT (ts < TIMESTAMP '2024-01-08 00:00:00')) c
+        |  LEFT JOIN b b2 ON b2.bin = c.bin),
+        |cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nc FROM cur GROUP BY 1),
+        |d AS (
+        |  SELECT s.bin, s.nb, COALESCE(cc.nc, 0) AS nc,
+        |    SUM(s.nb) OVER () AS tb, SUM(COALESCE(cc.nc, 0)) OVER () AS tc,
+        |    COUNT(*) OVER () AS ns
+        |  FROM slots0 s LEFT JOIN cc USING (bin)),
+        |contrib AS (
+        |  SELECT bin, tb, tc,
+        |    ((nc + 0.5) / (CAST(tc AS DOUBLE) + 0.5 * ns) - (nb + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * ns))
+        |      * LN(((nc + 0.5) / (CAST(tc AS DOUBLE) + 0.5 * ns)) / ((nb + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * ns))) AS c
+        |  FROM d)
+        |SELECT 'event_type_mix' AS segment,
+        |  CAST(MIN(tb) AS BIGINT) AS n_base, CAST(MIN(tc) AS BIGINT) AS n_cur,
+        |  ROUND(list_sum(list(c ORDER BY bin)), 4) AS psi
+        |FROM contrib""".stripMargin),
     "g16_psi_drift" ->
       ("""WITH b AS (
         |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi

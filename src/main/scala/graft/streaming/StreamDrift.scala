@@ -73,6 +73,6 @@ object StreamDrift {
       .join(currentCounts, Seq(groupCol, "__bin"), "left")
       .select(col(groupCol), col("__bin"), col("__nb"),
         coalesce(col("__nc"), lit(0L)).as("__nc"))
-    DqChecks.psiFromSlots(slots, groupCol, nBins)
+    DqChecks.psiFromSlots(slots, groupCol)
   }
 }

@@ -116,6 +116,27 @@ class DqChecksSpec extends SparkSuite {
     assert(row.getAs[Int]("ok_mad") === 1)
   }
 
+  test("psiDriftCategorical: unseen category carries mass, identical mix ≈ 0, nulls slotted") {
+    val mk = (base: Int, cats: Seq[String]) => cats.map(c => (base, "g", c))
+    // identical mixes → only smoothing noise
+    val same = (mk(1, Seq.fill(50)("a") ++ Seq.fill(50)("b")) ++
+      mk(0, Seq.fill(50)("a") ++ Seq.fill(50)("b"))).toDF("base", "k", "c")
+    val psiSame = DqChecks.psiDriftCategorical(same, "k", "c", col("base") === 1)
+      .head.getAs[Double]("psi")
+    assert(psiSame < 0.01, s"identical mixes scored psi=$psiSame")
+    // a category the baseline never saw lands in __OTHER__ and drifts
+    val novel = (mk(1, Seq.fill(100)("a")) ++
+      mk(0, Seq.fill(50)("a") ++ Seq.fill(50)("zzz_new"))).toDF("base", "k", "c")
+    val out = DqChecks.psiDriftCategorical(novel, "k", "c", col("base") === 1).head
+    assert(out.getAs[Double]("psi") > 0.5)
+    assert(out.getAs[Long]("n_base") === 100L && out.getAs[Long]("n_cur") === 100L)
+    // null categories are a REAL slot on both sides, not dropped
+    val nulls = (Seq((1, "g", null: String), (1, "g", "a")) ++
+      Seq((0, "g", null: String), (0, "g", "a"))).toDF("base", "k", "c")
+    val outN = DqChecks.psiDriftCategorical(nulls, "k", "c", col("base") === 1).head
+    assert(outN.getAs[Long]("n_base") === 2L && outN.getAs[Long]("n_cur") === 2L)
+  }
+
   test("psiDrift: identical distribution ≈ 0, shifted distribution large, clamped") {
     val mk = (side: Int, vs: Seq[Double]) => vs.map(v => (side, "g", v))
     // identical baseline/current → psi only reflects smoothing noise
