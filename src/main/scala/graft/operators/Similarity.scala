@@ -379,8 +379,6 @@ object Similarity {
     * caches instead of the embeddings. */
   private def pqEncodeAgainst(c: DataFrame, codebook: DataFrame, m: Int,
       dsub: Int): DataFrame = {
-    val wCode = Window.partitionBy("id", "j")
-      .orderBy(col("dist").asc, col("cidx"))
     val sub = c
       .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
         col("v"))
@@ -392,8 +390,15 @@ object Similarity {
       // by the oracle's  xsq - 2*dot + csq  in the same order
       .withColumn("dist",
         col("xsq") - lit(2.0) * dot(col("xs"), col("cs")) + col("csq"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
+      // argmin as a lexicographic struct-min (dist asc, tie cidx asc —
+      // the same order a rank window would use) so the per-(id, j)
+      // reduction is a MAP-SIDE-COMBINABLE aggregate over (id, j,
+      // dist, cidx) rows: the shuffle carries one ~28-byte partial per
+      // (id, j, partition), never the m·nCodes-amplified subvector rows
+      // a window sort would move (ShuffleWidthSpec pins this)
+      .select(col("id"), col("j"), col("dist"), col("cidx"))
+      .groupBy("id", "j")
+      .agg(min(struct(col("dist"), col("cidx"))).getField("cidx").as("cidx"))
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cidx")))),
         s => s.getField("cidx")).as("codes"))

@@ -141,4 +141,35 @@ class ShuffleWidthSpec extends SparkSuite {
     assert(small.rdd.getNumPartitions ===
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
+
+  test("pq search: the only vector-width exchange is the corpus spread") {
+    // the PQ analog of the text ratchet: after the subspace explode,
+    // every exchange must carry codes/partials (ints, small structs) —
+    // a future edit that lets the m·nCodes-amplified subvector rows or
+    // the decoded corpus ride a shuffle passes the count budget while
+    // multiplying the bytes; here it fails
+    def isVecType(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case st: StructType => st.fields.exists(f => isVecType(f.dataType))
+      case _ => false
+    }
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Similarity.pqTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      val vec = allExchanges(df.queryExecution.executedPlan)
+        .distinctBy(_.id)
+        .filter(_.output.exists(a => isVecType(a.dataType)))
+      assert(vec.size <= 1,
+        s"expected at most the corpus spread as a vector-width shuffle, got ${vec.size}:\n" +
+          vec.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+            .mkString(", ")).mkString("\n"))
+      // and if present it is the raw corpus spread (carries the input
+      // vector column — before or after the double-cast projection)
+      assert(vec.forall(_.output.exists(a =>
+        a.name == "v" || a.name == "embedding")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
