@@ -77,6 +77,40 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
   }
 
+  /** Per-domain document cap — the CCNet/Gopher-style corpus rule "no
+    * single domain may contribute more than `n` documents": keep the
+    * top-`n` rows of each group by (`scoreCol` desc, `tieCol` asc), with
+    * the kept row's 1-based rank in `rankAs`.
+    *
+    * Two-phase so one hot domain never lands all its rows in a single
+    * window partition (a web crawl is power-law: the top host can be
+    * 10^6+ pages, and a plain per-group window would ship them into one
+    * task): phase 1 ranks within (group, slice) — slice = origin
+    * partition id mod `slices`, so a hot group's rows spread across up
+    * to `slices` window partitions and each keeps at most `n` — and
+    * phase 2 ranks the surviving ≤ n·slices rows per group. Because
+    * (score desc, tie asc) is a total order, the global top-n is a
+    * subset of the union of per-slice top-n, so the two-phase result is
+    * exactly the single-window result — only the shuffle shape differs. */
+  def capPerGroupByScore(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, n: Int, slices: Int = 64,
+      rankAs: String = "grp_rank"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(slices >= 1, "slices must be >= 1")
+    val ord = Seq(col(scoreCol).desc, col(tieCol).asc)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__slice")).orderBy(ord: _*)
+    val capped = df
+      .withColumn("__slice", spark_partition_id() % slices)
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= n)
+      .drop("__rn", "__slice")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(ord: _*)
+    capped.withColumn(rankAs, row_number().over(w2).cast("long"))
+      .filter(col(rankAs) <= n)
+  }
+
   /** Stratified deterministic sampling — per-stratum keep rates (the
     * corpus-mixture rebalance: upsample rare languages/sources, downweigh
     * the dominant one). Same md5-digit cut as [[sampleDeterministic]],

@@ -278,6 +278,30 @@ object PipelineQueries {
         defaultPermille = 200)
       .orderBy("doc_id")
 
+  /** Per-domain document cap — the CCNet/Gopher corpus rule: no source
+    * may contribute more than 10 documents, and within a source the
+    * BEST-written copies win (t02 quality desc, doc_id tie). The
+    * two-phase salted window ([[Sampling.capPerGroupByScore]]) is the
+    * 100 TB shape: a hot domain's rows pre-cap per input slice, so no
+    * single window task ever sees a power-law host's full page set.
+    * Output is the kept docs with their within-source rank. */
+  def t28DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val q = docs(s, dir).select(col("doc_id"), col("source"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    Sampling.capPerGroupByScore(q, "source", "quality", "doc_id",
+        n = 10, rankAs = "src_rank")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Top principal component of the embedding corpus by two unrolled
+    * power-iteration steps ([[graft.operators.Pca.topComponent]]) — the
+    * embedding-health screen: `var_share` near 1 means a collapsed
+    * space (one direction soaks up the variance), near 1/dim a healthy
+    * isotropic one. Fully oracled: every stage is decimal-summed and
+    * 6dp-quantized, so DuckDB replays the identical arithmetic. */
+  def v18PcaPower(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.topComponent(emb(s, dir), "embedding", 64)
+
   /** Unigram-logprob quality signal — the perplexity-filter proxy: a
     * document's mean negative log-probability under the corpus's own
     * unigram distribution. Gibberish and boilerplate sit far from the
@@ -832,6 +856,8 @@ object PipelineQueries {
     "t16_unigram_logprob" -> t16UnigramLogprob,
     "t17_bm25" -> t17Bm25,
     "t18_stratified" -> t18Stratified,
+    "t28_domain_cap" -> t28DomainCap,
+    "v18_pca_power" -> v18PcaPower,
     "t19_corpus_manifest" -> t19CorpusManifest,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
@@ -1658,6 +1684,16 @@ object PipelineQueries {
         " AS b FROM documents) WHERE b * 1000 < " +
         "CASE WHEN lang = 'en' THEN 100 * 65536 WHEN lang = 'zh' THEN 300 * 65536 " +
         "ELSE 200 * 65536 END ORDER BY doc_id")),
+    "t28_domain_cap" ->
+      (s"""WITH q AS (SELECT doc_id, source,
+         |  ${TextFns.qualityScoreSql("text")} AS quality FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS BIGINT) AS src_rank FROM q)
+         |SELECT doc_id, source, quality, src_rank FROM r
+         |WHERE src_rank <= 10 ORDER BY source, doc_id""".stripMargin),
+    "v18_pca_power" ->
+      graft.operators.Pca.oracleSql("embeddings", "embedding", 64),
     "t16_unigram_logprob" ->
       ("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -91,4 +91,32 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.sampleDeterministic(ids, "id", 0).count() === 0L)
     assert(Sampling.sampleDeterministic(ids, "id", 1000).count() === 2000L)
   }
+
+  test("capPerGroupByScore: two-phase salted cap ≡ single-window top-n") {
+    // one hot group (1500 rows) + small ones; score with deliberate ties
+    // so the tie column carries the order
+    val d = (1L to 2000L).map { i =>
+      val grp = if (i <= 1500) "hot" else s"g${i % 5}"
+      (i, grp, (i % 17).toDouble)
+    }.toDF("id", "grp", "score")
+    val got = Sampling.capPerGroupByScore(d.repartition(13), "grp",
+        "score", "id", n = 10, slices = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    // reference: plain single window per group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val want = d.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    assert(got === want)
+    // caps bind: hot group contributes exactly n, ranks are 1..n
+    assert(got.count(_._1 == "hot") === 10)
+    assert(got.filter(_._1 == "hot").map(_._3) === (1L to 10L).toSet)
+    // stable under a different partitioning (slicing must not change
+    // the selected set, only the shuffle shape)
+    val again = Sampling.capPerGroupByScore(d.repartition(3), "grp",
+        "score", "id", n = 10, slices = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    assert(again === got)
+  }
 }
