@@ -27,19 +27,27 @@ import org.apache.spark.sql.functions._
   *     total variance — the "how collapsed is this space" gauge.
   *
   * Scale posture: three full scans of the vectors (mean pass + one per
-  * iteration), each a single map-side-combinable aggregation whose
-  * partial state is `2·dim` decimals; the 1-row stats frames ride back
-  * in as broadcast joins. No shuffle ever carries vectors — only the
-  * dim-wide sum rows move. The per-component arithmetic is textually
-  * unrolled (dim literal terms, left-associated — the PQ-tier ADC
-  * pattern), which keeps it inside whole-stage codegen and makes the
-  * DuckDB oracle bit-identical; for dim beyond a few hundred you would
-  * switch to the array-aggregate form and a rows-only check.
+  * iteration). Each scan is ONE map-side-combinable aggregation — a
+  * native [[graft.functions.DecVecSumAgg]] sums all `dim` decimal
+  * lanes in a single buffer, so each stage's exchange carries one
+  * `dim`-wide partial per partition and the only per-row work is a
+  * `zip_with`/`aggregate` fold over the array column (dot products)
+  * plus the lane additions. The 1-row stats frames ride back in as
+  * broadcast joins (both downstream stages join the same canonical
+  * `broadcast(mstats)`, so ReuseExchange computes stage 1 once). The
+  * expression tree is O(1) in `dim`: the round-5 form unrolled ~6·dim
+  * DECIMAL expressions textually, which cost ~9 s of analysis/codegen
+  * at dim=64 and was unusable at dim=768 — this form runs both dims
+  * with the same three-job plan.
   *
-  * All stage expressions are generated once by [[planText]] and shared
-  * verbatim between the Spark side (via `expr`) and the DuckDB oracle
-  * (via [[oracleSql]]) — only the element accessor differs
-  * (`element_at(v, i)` vs `v[i]`, both 1-based).
+  * Bit-parity with the oracle is preserved because the ARITHMETIC is
+  * unchanged: every per-row term is rounded to 6dp then summed as
+  * DECIMAL(38,6) (exact, order-free), and every double fold
+  * (`aggregate(..., 0d, _+_)`) associates left in component order —
+  * the same association the unrolled oracle text spells out. The
+  * unrolled stage texts ([[planText]]) survive solely as the DuckDB
+  * oracle ([[oracleSql]]), practical there because DuckDB plans the
+  * dim≤64 oracle query once.
   */
 object Pca {
 
@@ -88,35 +96,96 @@ object Pca {
       norm2 = "SQRT(" + is.map(i => s"s2_$i * s2_$i").mkString(" + ") + ")")
   }
 
+  private val dec638 = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  /** `CAST(SUM(CAST(ROUND(term, 6) AS DECIMAL(38,6))) AS DOUBLE)` — the
+    * column twin of [[decSum]]'s text. */
+  private def decSumC(term: Column): Column =
+    sum(round(term, 6).cast(dec638)).cast("double")
+
+  /** Left fold `0.0 + a(0) + a(1) + …` — the association the unrolled
+    * oracle text uses (IEEE-identical to seeding with the first term,
+    * up to the sign of a zero, which the downstream 6dp decimal
+    * quantization erases). */
+  private def foldSum(a: Column): Column =
+    aggregate(a, lit(0.0d), (acc, x) => acc + x)
+
+  /** Per-term ROUND(·,6) → DECIMAL(38,6) over an array column — the
+    * element-wise twin of [[decSum]]'s inner cast, feeding
+    * [[graft.functions.DecVecSumAgg]]. */
+  private def decTerms(a: Column): Column =
+    transform(a, t => round(t, 6).cast(dec638))
+
+  private def toDoubles(a: Column): Column =
+    transform(a, d => d.cast("double"))
+
   /** (component, loading, lambda_hat, var_share) — `dim` rows, loadings
     * of the unit top component (sign is the deterministic one the
     * iteration converges to from v0), λ̂ and its share of total variance
-    * constant across rows. */
+    * constant across rows. Null vectors are rejected up front (the
+    * exploded aggregation would silently drop them from `n`). */
   def topComponent(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, "dim must be >= 1")
-    df.select(size(col(vecCol)).as("d")).head(1).foreach { r =>
-      require(r.getInt(0) == dim, s"vector dim ${r.getInt(0)} != $dim")
-    }
-    val t = planText(dim, i => s"element_at($vecCol, $i)")
-    def agg1(d: DataFrame, aggs: Seq[String]): DataFrame =
-      d.agg(expr(aggs.head), aggs.tail.map(expr): _*)
-    val mstats = agg1(df, t.statsAggs).select(t.meanSelects.map(expr): _*)
-    val v1 = agg1(
-        df.crossJoin(broadcast(mstats)).withColumn("dot0", expr(t.dot0)),
-        t.it1Aggs)
-      .withColumn("norm1", expr(t.norm1))
-      .select(t.v1Selects.map(expr): _*)
-    val fin = agg1(
-        df.crossJoin(broadcast(mstats)).crossJoin(broadcast(v1))
-          .withColumn("dot1", expr(t.dot1)),
-        t.it2Aggs)
-      .crossJoin(broadcast(mstats))
-      .withColumn("norm2", expr(t.norm2))
-    val loadings = (1 to dim).map(i => expr(s"ROUND(s2_$i / norm2, 6)"))
-    fin.select(
-        expr("ROUND(r2 / n, 6)").as("lambda_hat"),
-        expr("ROUND((r2 / n) / vtot, 6)").as("var_share"),
-        posexplode(array(loadings: _*)))
+    // Dim guard rides inside the scans instead of a separate probe job:
+    // assert_true returns null on pass (filter keeps every row) and
+    // throws on the first null/ragged vector. Null vectors MUST fail
+    // fast — the exploded aggregation would silently drop them from n.
+    val checked = df.filter(assert_true(
+      coalesce(size(col(vecCol)), lit(-1)) === dim,
+      lit(s"$vecCol: null or non-$dim-dim vector")).isNull)
+    // xq: every component quantized to 6dp, once, as an array column
+    val xq = transform(col(vecCol), x => round(x.cast("double"), 6))
+    val v0 = expr(s"1.0 / SQRT(CAST($dim AS DOUBLE))")
+
+    import graft.functions.DecVecSumAgg.decVecSum
+
+    // stage 1 — per-component Σxq, Σxq² and n, one aggregate buffer each
+    val stats = checked.agg(
+        decVecSum(decTerms(xq), dim).as("sxD"),
+        decVecSum(decTerms(zip_with(xq, xq, (a, b) => a * b)), dim).as("sxxD"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("n"), toDoubles(col("sxD")).as("sx"),
+        toDoubles(col("sxxD")).as("sxx"))
+    val mstats = stats.select(col("n"),
+      transform(col("sx"), s => s / col("n")).as("mA"),
+      foldSum(zip_with(col("sxx"), col("sx"),
+        (sxx, sx) => sxx / col("n") - (sx / col("n")) * (sx / col("n"))))
+        .as("vtot"))
+
+    // dx = xq − m (per row); dot products are left folds in component
+    // order. Both stages join the SAME broadcast(mstats) — canonically
+    // identical exchanges, so ReuseExchange computes stage 1 once.
+    def withDx(d: DataFrame): DataFrame =
+      d.crossJoin(broadcast(mstats))
+        .withColumn("dx", zip_with(xq, col("mA"), (x, m) => x - m))
+
+    // stage 2 — s1 = Σ_rows (x_i − m_i)·⟨xq − m, v0⟩, then v1 = s1/‖s1‖
+    val d0 = withDx(checked).withColumn("dot0", foldSum(col("dx")) * v0)
+    val v1 = d0.agg(decVecSum(
+          decTerms(transform(col("dx"), d => d * col("dot0"))), dim).as("s1D"))
+      .select(toDoubles(col("s1D")).as("s1"))
+      .withColumn("norm1", sqrt(foldSum(transform(col("s1"), s => s * s))))
+      .select(transform(col("s1"), s => s / col("norm1")).as("v1A"))
+
+    // stage 3 — s2 = Σ (x_i − m_i)·⟨xq − m, v1⟩ and r2 = Σ⟨xq−m,v1⟩²,
+    // in the same single-buffer pass; n and vtot are row-constants from
+    // the mstats broadcast, carried via max() so the tail needs no
+    // third stats join.
+    val d1 = withDx(checked).crossJoin(broadcast(v1))
+      .withColumn("dot1",
+        foldSum(zip_with(col("dx"), col("v1A"), (d, v) => d * v)))
+    val it2 = d1.agg(decVecSum(
+          decTerms(transform(col("dx"), d => d * col("dot1"))), dim).as("s2D"),
+        decSumC(col("dot1") * col("dot1")).as("r2"),
+        max(col("n")).as("n"), max(col("vtot")).as("vtot"))
+      .select(toDoubles(col("s2D")).as("s2"), col("r2"),
+        col("n"), col("vtot"))
+
+    it2
+      .withColumn("norm2", sqrt(foldSum(transform(col("s2"), s => s * s))))
+      .select(round(col("r2") / col("n"), 6).as("lambda_hat"),
+        round((col("r2") / col("n")) / col("vtot"), 6).as("var_share"),
+        posexplode(transform(col("s2"), s => round(s / col("norm2"), 6))))
       .select((col("pos") + 1).cast("long").as("component"),
         col("col").as("loading"), col("lambda_hat"), col("var_share"))
       .orderBy("component")
