@@ -208,10 +208,14 @@ object DqChecks {
   }
 
   /** The equal-width bin of `v` against a [lo, hi] yardstick: out-of-
-    * range values clamp into the edge bins, a degenerate (lo = hi)
-    * yardstick puts everything in bin 0, nulls stay null (unscored).
-    * Shared by [[psiDrift]] and the streaming monitor
-    * ([[graft.streaming.StreamDrift]]) so both sides bin identically. */
+    * range values clamp into the edge bins, nulls stay null (unscored).
+    * A degenerate (lo = hi) yardstick — a baseline that was CONSTANT —
+    * splits inside/outside instead: v = lo stays in bin 0, anything
+    * else lands in the last bin, so a group that starts moving after a
+    * constant baseline carries PSI mass rather than silently reading
+    * as "no drift" (all-bin-0 would). Shared by [[psiDrift]] and the
+    * streaming monitor ([[graft.streaming.StreamDrift]]) so both sides
+    * bin identically. */
   private[graft] def psiBin(v: Column, lo: Column, hi: Column,
       nBins: Int): Column = {
     val w = (hi - lo) / nBins
@@ -224,7 +228,8 @@ object DqChecks {
     when(v.isNotNull && w > 0,
       least(lit(nBins - 1).cast("long"), greatest(lit(0L),
         floor((v - lo) / w))).cast("int"))
-      .when(v.isNotNull, lit(0))
+      .when(v.isNotNull && v === lo, lit(0))
+      .when(v.isNotNull, lit(nBins - 1))
   }
 
   /** PSI from complete per-(group, bin) slot counts — (groupCol, __bin,

@@ -805,11 +805,19 @@ object Dedup {
     * candidates, same recall trade as documented on withBucketStats;
     * honest corpora never hit the cap and stay exactly all-pairs. */
   def simhashPortablePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashPairsFromChunks(withSimhashChunks(docs, idCol, textCol),
+      maxHamming, maxBucket)
+
+  /** The pair algebra of [[simhashPortablePairs]] over a precomputed
+    * (id, c0..c3) fingerprint frame — split out so chunk-level
+    * contracts (e.g. the hot-bucket/dedup interaction) are testable
+    * with fabricated fingerprints. */
+  def simhashPairsFromChunks(withFp: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
     require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
-    val withFp = withSimhashChunks(docs, idCol, textCol)
     Caches.scoped(withFp) {
       val sized = withBucketStats(
         withFp.select(
@@ -820,33 +828,33 @@ object Dedup {
       val small = sized.filter(col("__bsz") <= maxBucket)
       val hamming = (0 until 4).map(j =>
         bit_count(col(s"a.c$j").bitwiseXOR(col(s"b.c$j")))).reduce(_ + _)
-      // first-shared-chunk rule: a pair sharing several chunks would match
-      // in several buckets, so each match also requires every EARLIER
-      // chunk to differ — exactly one emission per pair, no distinct()
-      // shuffle over the (large) candidate stream
-      val firstMatch = (0 until 3).map(j =>
-        when(col("a.band") > j, col(s"a.c$j") =!= col(s"b.c$j"))
-          .otherwise(lit(true))).reduce(_ && _)
+      // A pair sharing several chunks matches in several buckets, so the
+      // union below is deduped with distinct() — same as the MinHash
+      // path (cappedCliqueAndStar). An earlier "first-shared-chunk"
+      // inequality avoided that shuffle but interacted badly with the
+      // hot-bucket cap: a pair whose FIRST shared chunk sat in a hot
+      // bucket (neither endpoint the rep) was suppressed at every later
+      // honest bucket too, silently losing pairs the cap's documented
+      // trade never covered. The distinct input is bounded: ≤ 4
+      // emissions per surviving pair, and bucket caps bound the pairs.
       val clique = small.as("a").join(small.as("b"),
           col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
-            firstMatch && hamming <= maxHamming)
+            hamming <= maxHamming)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           hamming.cast("long").as("hamming"))
       // hot buckets: representative star, verified against the rep's
-      // chunks; the same first-match rule dedupes a (rep, member) pair
-      // that shares several hot chunk buckets
+      // chunks riding the window struct; a (rep, member) pair that also
+      // shares an honest bucket is emitted by both paths and deduped by
+      // the same distinct (hamming is pair-determined, so rows collide)
       val repHamming = (0 until 4).map(j =>
         bit_count(col(s"c$j").bitwiseXOR(col(s"__rep.c$j")))).reduce(_ + _)
-      val repFirstMatch = (0 until 3).map(j =>
-        when(col("band") > j, col(s"c$j") =!= col(s"__rep.c$j"))
-          .otherwise(lit(true))).reduce(_ && _)
       val star = sized
         .filter(col("__bsz") > maxBucket && col("id") =!= col("__rep.id") &&
-          repFirstMatch && repHamming <= maxHamming)
+          repHamming <= maxHamming)
         .select(col("__rep.id").as("id_a"), col("id").as("id_b"),
           repHamming.cast("long").as("hamming"))
-      clique.unionByName(star)
+      clique.unionByName(star).distinct()
     }
   }
 

@@ -283,7 +283,7 @@ object Similarity {
     // once (query-set sized)
     val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
       .localCheckpoint()
-    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val cids = probes.select("cid").distinct().collect().map(_.get(0))
     val assigned = spark.read.parquet(s"$indexDir/assigned")
       .filter(col("cid").isin(cids.toSeq: _*))
       .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
@@ -440,13 +440,20 @@ object Similarity {
 
   /** Driver-side dim probe: the PQ slicers silently mangle vectors
     * whose length != m·dsub (short tail subvectors, null-padded dots),
-    * so fail fast on the first row instead. Bounded: head(1). */
+    * so fail fast on ANY offending row — a first-row-only probe would
+    * pass a heterogeneous corpus and mangle the rest. Bounded: one
+    * min/max aggregate, a single small job. */
   private def requirePqDim(df: DataFrame, vecCol: String, m: Int,
       dsub: Int): Unit = {
     require(m >= 1 && dsub >= 1, s"m ($m) and dsub ($dsub) must be >= 1")
-    df.select(size(col(vecCol)).as("d")).head(1).foreach { r =>
-      require(r.getInt(0) == m * dsub,
-        s"embedding dim ${r.getInt(0)} != m*dsub = ${m * dsub}")
+    val probe = df.agg(count(lit(1)), sum(col(vecCol).isNull.cast("long")),
+      min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    if (probe.getLong(0) > 0L) {
+      require(probe.getLong(1) == 0L,
+        s"$vecCol has ${probe.getLong(1)} null vectors")
+      require(probe.getInt(2) == m * dsub && probe.getInt(3) == m * dsub,
+        s"embedding dims [${probe.getInt(2)}, ${probe.getInt(3)}]" +
+          s" != m*dsub = ${m * dsub}")
     }
   }
 
@@ -708,7 +715,7 @@ object Similarity {
     val (m, dsub, nCodes) = pqMeta(codebook)
     val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
       .localCheckpoint()
-    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val cids = probes.select("cid").distinct().collect().map(_.get(0))
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cid").isin(cids.toSeq: _*))
       .select(col("id"), col("codes"), col("cid"))

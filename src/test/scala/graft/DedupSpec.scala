@@ -407,10 +407,29 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.simhashPortablePairs(d, "doc_id", "text",
         maxHamming = 3, maxBucket = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // star around min id, each pair emitted once (first-match rule),
+    // star around min id, each pair emitted once (distinct union),
     // hamming 0 throughout; the singleton never pairs
     assert(pairs.length === (n - 1).toInt)
     assert(pairs.forall { case (a, _, h) => a == 1L && h == 0L })
+  }
+
+  test("simhash cap never drops a pair whose FIRST shared chunk is hot") {
+    // fabricated fingerprints: ids 1-6 share c0=10 (so band-0 bucket 10
+    // has 8 members > maxBucket=4 once the pair below joins it) but are
+    // far from everything; the pair (7,8) shares that HOT band-0 bucket
+    // AND a cold band-2 bucket (c2=77, 2 members), with hamming 2.
+    // The old first-shared-chunk inequality suppressed (7,8) at band 2
+    // because c0 was equal, and the star path couldn't save it (both
+    // are > hamming 3 from the bucket rep, id 1) — the pair was lost.
+    val fps = ((1L to 6L).map(i =>
+      (i, 10L, 1L << (i + 20), 1L << (i + 30), 1L << (i + 40))) ++
+      Seq((7L, 10L, 99L, 77L, 55L), (8L, 10L, 98L, 77L, 54L)))
+      .toDF("id", "c0", "c1", "c2", "c3")
+    val got = Dedup.simhashPairsFromChunks(fps, maxHamming = 3, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.distinct.length, "duplicate pair emissions")
+    assert(got.toSet === Set((7L, 8L, 2L)),
+      "the cold-band-2 pair must survive the hot band-0 bucket")
   }
 
   test("collapsedDupClusters: null-text docs stay singletons, like the uncollapsed form") {

@@ -159,4 +159,22 @@ class DqChecksSpec extends SparkSuite {
       .select("k").as[String].collect().toSet
     assert(groups === Set("g"))
   }
+
+  test("psiDrift: a constant baseline still flags drift away from it") {
+    val mk = (side: Int, vs: Seq[Double]) => vs.map(v => (side, "g", v))
+    // degenerate yardstick (lo = hi): values moving off the constant
+    // must land outside bin 0 and carry PSI mass — all-bin-0 binning
+    // would report 0 exactly where the screen should fire
+    val drifted = (mk(1, Seq.fill(50)(5.0)) ++
+      mk(0, (1 to 50).map(_.toDouble))).toDF("base", "k", "v")
+    val out = DqChecks.psiDrift(drifted, "k", "v", col("base") === 1).head
+    assert(out.getAs[Double]("psi") > 1.0,
+      s"constant-baseline drift scored psi=${out.getAs[Double]("psi")}")
+    // a still-constant current stays ≈ 0 (both sides in bin 0)
+    val still = (mk(1, Seq.fill(50)(5.0)) ++ mk(0, Seq.fill(50)(5.0)))
+      .toDF("base", "k", "v")
+    val psiStill = DqChecks.psiDrift(still, "k", "v", col("base") === 1)
+      .head.getAs[Double]("psi")
+    assert(psiStill < 0.01, s"constant/constant scored psi=$psiStill")
+  }
 }
