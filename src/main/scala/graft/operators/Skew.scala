@@ -41,4 +41,28 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(s, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** The attach-join discipline for a fact-side frame against a
+    * lookup-side frame whose size depends on corpus scale (a vocabulary,
+    * a df table): broadcast it while the optimizer's size estimate says
+    * it fits the broadcast threshold, otherwise fall through to
+    * [[saltedJoin]] — NEVER a plain shuffled join on the raw key, whose
+    * hot entries ("the", a template shingle) would funnel into one
+    * reducer at 100 TB. Same stats-guard pattern as
+    * [[Caches.spreadByKey]]: the sentinel estimate of stats-less
+    * sources reads as unknown and takes the salted (safe) branch, and
+    * aggregate estimates without CBO overestimate, which also errs
+    * toward salting. Inner-join semantics, exact either way. */
+  def broadcastOrSalted(large: DataFrame, small: DataFrame,
+      keyCols: Seq[String], salts: Int = 16): DataFrame = {
+    val conf = small.sparkSession.sessionState.conf
+    val threshold = scala.util.Try(conf.autoBroadcastJoinThreshold)
+      .getOrElse(10L * 1024 * 1024)
+    val sentinel = scala.util.Try(conf.defaultSizeInBytes)
+      .getOrElse(Long.MaxValue)
+    val est = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && est < BigInt(sentinel) && est <= BigInt(threshold))
+      large.join(broadcast(small), keyCols)
+    else saltedJoin(large, small, keyCols, salts)
+  }
 }

@@ -228,12 +228,13 @@ object PipelineQueries {
     // df from the tf frame: (doc, token) rows are already distinct, so a
     // plain count with map-side combine replaces a countDistinct expand —
     // and hot tokens pre-reduce to one row per partition before the
-    // shuffle. (The tf⋈df attach join itself would take Skew.saltedJoin
-    // at corpus scale.)
+    // shuffle. The tf⋈df attach join is broadcast while the vocabulary's
+    // size estimate fits, salted past that (never a plain shuffled join
+    // on raw tokens — SkewSpec pins the invariant).
     val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(desc("tf"), col("df"), col("token"))
-    tf.join(dfTab, "token")
+    graft.operators.Skew.broadcastOrSalted(tf, dfTab, Seq("token"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "token", "tf", "df")

@@ -33,11 +33,28 @@ class PlanRegressionSpec extends SparkSuite {
       .map { l => val Array(n, c) = l.split("\t"); n -> c.toInt }.toMap
   }
 
-  test("no declared query plans a CartesianProduct; shuffles within budget") {
+  test("no declared query plans a CartesianProduct; shuffles within budget; planning stays cheap") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    // analysis+optimization+physical-planning time budget per query: the
+    // round-5 PCA regression was an unrolled-expression tree that cost
+    // seconds to PLAN before a single row moved, and it poisoned the
+    // whole driver bench (JIT compile storm). Catch the next one here.
+    // First plan in the JVM pays class-loading warmup, so one query is
+    // planned untimed up front; 1.5s is ~15x the typical heavy plan.
+    val planBudgetMs = 1500L
+    SparkEntry.queries("q01_count_global")(spark, sfDir).queryExecution.executedPlan
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       val plan = PlanSnapshots.normalize(
         PlanSnapshots.planString(fn(spark, sfDir)))
+      val planMs = (System.nanoTime() - t0) / 1000000L
+      // eager operators (Caches.scoped) EXECUTE at sf0.001 during
+      // construction — their elapsed time is data work, not planning,
+      // and their plan is the checkpoint scan; the bench owns their
+      // cost. Recognizable by the ExistingRDD scan in the plan.
+      val eager = plan.contains("Scan ExistingRDD")
+      if (!eager && planMs > planBudgetMs)
+        offenders += s"$name: planning took ${planMs}ms > ${planBudgetMs}ms"
       if (PlanSnapshots.hasCartesian(plan))
         offenders += s"$name: CartesianProduct in plan"
       val shuffles = PlanSnapshots.shuffleCount(plan)
