@@ -228,7 +228,10 @@ object DqChecks {
     when(v.isNotNull && w > 0,
       least(lit(nBins - 1).cast("long"), greatest(lit(0L),
         floor((v - lo) / w))).cast("int"))
-      .when(v.isNotNull && v === lo, lit(0))
+      // 9dp quantization so sub-ULP jitter around the constant (a
+      // different reduction order recomputing the same metric) stays
+      // "inside" instead of firing a maximal-PSI alarm
+      .when(v.isNotNull && round(v, 9) === round(lo, 9), lit(0))
       .when(v.isNotNull, lit(nBins - 1))
   }
 

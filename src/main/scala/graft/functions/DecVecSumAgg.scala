@@ -5,7 +5,7 @@ import java.math.BigInteger
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,9 +35,15 @@ import org.apache.spark.sql.types._
 case class DecVecSumAgg(child: Expression, dim: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[BigInteger]]
-  with UnaryLike[Expression] {
+  with ExpectsInputTypes with UnaryLike[Expression] {
 
   require(dim >= 1, "dim must be >= 1")
+
+  // analysis-time type gate: update() reinterprets element bytes as
+  // unscaled decimals, so a mistyped child (e.g. a raw array<double>)
+  // must fail resolution, not corrupt sums at runtime
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DecimalType(38, 6)))
 
   // null slot = "no non-null input yet" (SUM's seed), so the buffer
   // itself distinguishes 0 from absent

@@ -128,11 +128,14 @@ object Pca {
     require(dim >= 1, "dim must be >= 1")
     // Dim guard rides inside the scans instead of a separate probe job:
     // assert_true returns null on pass (filter keeps every row) and
-    // throws on the first null/ragged vector. Null vectors MUST fail
-    // fast — the exploded aggregation would silently drop them from n.
+    // throws on the first null, ragged, or null-element vector. These
+    // MUST fail fast — a null vector would silently drop from n, and a
+    // null ELEMENT would skip its lane's sum while still counting in n,
+    // biasing every mean/loading with no error.
     val checked = df.filter(assert_true(
-      coalesce(size(col(vecCol)), lit(-1)) === dim,
-      lit(s"$vecCol: null or non-$dim-dim vector")).isNull)
+      coalesce(size(col(vecCol)), lit(-1)) === dim &&
+        forall(col(vecCol), x => x.isNotNull),
+      lit(s"$vecCol: null, ragged, or non-$dim-dim vector")).isNull)
     // xq: every component quantized to 6dp, once, as an array column
     val xq = transform(col(vecCol), x => round(x.cast("double"), 6))
     val v0 = expr(s"1.0 / SQRT(CAST($dim AS DOUBLE))")

@@ -421,8 +421,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
-    requirePqDim(corpus, vecCol, m, dsub)
-    val c = pqPrepare(corpus, idCol, vecCol)
+    val c = pqPrepare(requirePqDim(corpus, vecCol, m, dsub), idCol, vecCol)
     val codebook = pqCodebook(c, m, dsub, nCodes)
     // the lut stride is the DENSE codebook size — smaller than the
     // requested nCodes when the corpus has fewer rows; striding by the
@@ -438,23 +437,20 @@ object Similarity {
     Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
 
-  /** Driver-side dim probe: the PQ slicers silently mangle vectors
-    * whose length != m·dsub (short tail subvectors, null-padded dots),
-    * so fail fast on ANY offending row — a first-row-only probe would
-    * pass a heterogeneous corpus and mangle the rest. Bounded: one
-    * min/max aggregate, a single small job. */
+  /** Row-level dim guard: the PQ slicers silently mangle vectors whose
+    * length != m·dsub (short tail subvectors, null-padded dots), so ANY
+    * offending row — null, ragged, or null-element — throws from inside
+    * the first real scan. Riding the scan as an assert_true filter
+    * costs no extra pass (an eager min/max probe would re-read the
+    * widest column of the whole corpus before the work even starts);
+    * same pattern as [[Pca.topComponent]]'s guard. */
   private def requirePqDim(df: DataFrame, vecCol: String, m: Int,
-      dsub: Int): Unit = {
+      dsub: Int): DataFrame = {
     require(m >= 1 && dsub >= 1, s"m ($m) and dsub ($dsub) must be >= 1")
-    val probe = df.agg(count(lit(1)), sum(col(vecCol).isNull.cast("long")),
-      min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    if (probe.getLong(0) > 0L) {
-      require(probe.getLong(1) == 0L,
-        s"$vecCol has ${probe.getLong(1)} null vectors")
-      require(probe.getInt(2) == m * dsub && probe.getInt(3) == m * dsub,
-        s"embedding dims [${probe.getInt(2)}, ${probe.getInt(3)}]" +
-          s" != m*dsub = ${m * dsub}")
-    }
+    df.filter(assert_true(
+      coalesce(size(col(vecCol)), lit(-1)) === m * dsub &&
+        forall(col(vecCol), x => x.isNotNull),
+      lit(s"$vecCol: null, ragged, or non-${m * dsub}-dim vector")).isNull)
   }
 
   /** Per-query ADC lookup table: exact L2² of each query subvector
@@ -549,8 +545,7 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, m: Int = 8, dsub: Int = 8,
       nCodes: Int = 16): Unit = {
-    requirePqDim(corpus, vecCol, m, dsub)
-    val c = pqPrepare(corpus, idCol, vecCol)
+    val c = pqPrepare(requirePqDim(corpus, vecCol, m, dsub), idCol, vecCol)
     val codebook = pqCodebook(c, m, dsub, nCodes)
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
     pqEncodeAgainst(c, codebook, m, dsub)
@@ -569,8 +564,8 @@ object Similarity {
       vecCol: String): Unit = {
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val (m, dsub, _) = pqMeta(codebook)
-    requirePqDim(newVecs, vecCol, m, dsub)
-    pqEncodeAgainst(pqPrepare(newVecs, idCol, vecCol), codebook, m, dsub)
+    pqEncodeAgainst(pqPrepare(requirePqDim(newVecs, vecCol, m, dsub),
+        idCol, vecCol), codebook, m, dsub)
       .write.mode("append").parquet(s"$indexDir/codes")
   }
 
@@ -612,9 +607,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
-    requirePqDim(corpus, vecCol, m, dsub)
     val (centroids, codebook, codes) =
-      ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, dsub, nCodes)
+      ivfPqBuild(requirePqDim(corpus, vecCol, m, dsub),
+        idCol, vecCol, nCentroids, m, dsub, nCodes)
     val (_, _, nActual) = pqMeta(codebook) // dense stride, see pqTopK
     ivfPqSearch(codes,
       ivfProbes(centroids, queries, idCol, vecCol, nProbe),
@@ -666,9 +661,9 @@ object Similarity {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, nCentroids: Int = 16,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): Unit = {
-    requirePqDim(corpus, vecCol, m, dsub)
     val (centroids, codebook, codes) =
-      ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, dsub, nCodes)
+      ivfPqBuild(requirePqDim(corpus, vecCol, m, dsub),
+        idCol, vecCol, nCentroids, m, dsub, nCodes)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
     codes.repartition(col("cid"))
@@ -689,8 +684,8 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val (m, dsub, _) = pqMeta(codebook)
-    requirePqDim(newVecs, vecCol, m, dsub)
-    val c = Caches.spreadByKey(newVecs, col(idCol))
+    val c = Caches.spreadByKey(
+      requirePqDim(newVecs, vecCol, m, dsub), col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))
     pqEncodeAgainst(c.select(col("id"), col("v")), codebook, m, dsub)

@@ -286,7 +286,7 @@ object GovernanceQueries {
         |  SELECT e.event_type,
         |    CASE WHEN e.value IS NOT NULL AND (b.hi - b.lo)/10 > 0
         |         THEN CAST(LEAST(9, GREATEST(0, FLOOR((e.value - b.lo) / ((b.hi - b.lo)/10)))) AS INT)
-        |         WHEN e.value IS NOT NULL AND e.value = b.lo THEN 0
+        |         WHEN e.value IS NOT NULL AND ROUND(e.value, 9) = ROUND(b.lo, 9) THEN 0
         |         WHEN e.value IS NOT NULL THEN 9 END AS bin,
         |    CAST(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1
         |             WHEN NOT (e.ts < TIMESTAMP '2024-01-08 00:00:00') THEN 0 END) AS BIGINT) AS nb,

@@ -33,6 +33,15 @@ class PcaSpec extends SparkSuite {
     assert(native(2).isEmpty, "all-null lane must eval to null like SUM")
   }
 
+  test("DecVecSumAgg rejects a non-decimal child at analysis time") {
+    val e = intercept[Exception] {
+      Seq(Seq(1.0, 2.0)).toDF("v")
+        .agg(DecVecSumAgg.decVecSum(col("v"), 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"),
+      s"expected a type error, got: ${e.getMessage}")
+  }
+
   /** Pure-Scala twin of the documented arithmetic: ROUND(·,6) per term,
     * exact DECIMAL(38,6) sums, left-associated double folds. */
   private def r6(x: Double): Double =
@@ -95,6 +104,6 @@ class PcaSpec extends SparkSuite {
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
-    assert(messages(e).exists(m => m != null && m.contains("null or non-2-dim")))
+    assert(messages(e).exists(m => m != null && m.contains("non-2-dim")))
   }
 }

@@ -53,8 +53,17 @@ class PlanRegressionSpec extends SparkSuite {
       // and their plan is the checkpoint scan; the bench owns their
       // cost. Recognizable by the ExistingRDD scan in the plan.
       val eager = plan.contains("Scan ExistingRDD")
-      if (!eager && planMs > planBudgetMs)
-        offenders += s"$name: planning took ${planMs}ms > ${planBudgetMs}ms"
+      if (!eager && planMs > planBudgetMs) {
+        // re-plan once before flagging: a GC pause or noisy neighbor
+        // can breach the budget on a loaded host — only a REPEATABLE
+        // breach is a plan-weight regression
+        val t1 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.executedPlan
+        val retryMs = (System.nanoTime() - t1) / 1000000L
+        if (retryMs > planBudgetMs)
+          offenders += s"$name: planning took ${planMs}ms then ${retryMs}ms" +
+            s" > ${planBudgetMs}ms"
+      }
       if (PlanSnapshots.hasCartesian(plan))
         offenders += s"$name: CartesianProduct in plan"
       val shuffles = PlanSnapshots.shuffleCount(plan)

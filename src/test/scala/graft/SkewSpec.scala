@@ -49,7 +49,7 @@ class SkewSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString()
     val badJoin = plan.linesIterator.filter(l =>
       l.contains("Join") && l.contains(s"$key#") &&
-        !l.contains("Broadcast") && !l.contains("__salt"))
+        !l.contains("Broadcast") && !l.contains("__salt")).toSeq
     assert(badJoin.isEmpty,
       s"plain shuffled join on raw $key:\n${badJoin.mkString("\n")}")
   }
