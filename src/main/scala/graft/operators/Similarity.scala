@@ -109,25 +109,105 @@ object Similarity {
     * planes → bigger buckets → higher recall, more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val c = Caches.spreadByKey(corpus, col(idCol))
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame =
+    lshSearch(lshBucketed(corpus, idCol, vecCol, numPlanes, dim, seed),
+      lshProbes(queries, idCol, vecCol, numPlanes, dim, seed), k)
+
+  /** The bucketed-corpus side of the LSH tier: (neighbor_id, v, vn,
+    * bucket) — what [[buildLshIndex]] persists and [[lshTopK]] computes
+    * inline. */
+  private def lshBucketed(corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, seed: Long): DataFrame =
+    Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"),
         lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+
+  /** The multi-probe query side: each query fans out to its own bucket
+    * plus every 1-bit-flip — (query_id, qv, qn, bucket), |Q|·(planes+1)
+    * rows. */
+  private def lshProbes(queries: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, seed: Long): DataFrame = {
     val probeOffsets = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
-    val q = queries.select(col(idCol).as("query_id"),
+    queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"),
         lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
       .withColumn("bucket",
         explode(array_distinct(transform(array(probeOffsets: _*),
           m => col("bucket0").bitwiseXOR(m)))))
       .drop("bucket0")
-    val scored = c.join(q, "bucket")
+  }
+
+  /** Candidate join + exact-cosine re-rank shared by the inline and
+    * served LSH paths — one definition so serve ≡ inline can't fork. */
+  private def lshSearch(bucketed: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    val scored = bucketed.join(probes, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", dot(col("qv"), col("v")) /
         nullif(col("qn") * col("vn"), lit(0.0)))
     cosineRank(scored, k)
+  }
+
+  /** Materialize the LSH index: a 1-row meta table freezing
+    * (num_planes, dim, seed) — serve and append must replay the
+    * IDENTICAL hyperplanes — plus the bucketed corpus PARTITIONED BY
+    * bucket, so serving scans only the probed bucket= directories.
+    * Partition count is ≤ 2^numPlanes; keep numPlanes modest (≤ ~12)
+    * or the directory fan-out outgrows the filesystem's comfort. Unlike
+    * IVF/PQ there is no data-dependent yardstick: the hyperplanes are
+    * seed-determined, so [[appendToLshIndex]] is ALWAYS exactly
+    * equivalent to a one-shot build (LshIndexSpec asserts it). */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((numPlanes, dim, seed)).toDF("num_planes", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // one writer task per bucket — same small-file discipline as the
+    // IVF inverted file
+    lshBucketed(corpus, idCol, vecCol, numPlanes, dim, seed)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/bucketed")
+  }
+
+  /** Append NEW vectors to a materialized LSH index: bucket them with
+    * the frozen hyperplanes and land them in their bucket= partitions.
+    * No drift caveat — the index state equals a one-shot build over the
+    * union, always. */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    lshBucketed(newVecs, idCol, vecCol,
+        m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/bucketed")
+  }
+
+  /** Serve ANN queries from a [[buildLshIndex]]-materialized index —
+    * identical results to the inline [[lshTopK]] over the same corpus
+    * (LshIndexSpec asserts it). The probed buckets are collected
+    * (bounded by |Q|·(numPlanes+1)) into a LITERAL partition filter, so
+    * the scan statically prunes to the probed bucket= directories. */
+  def lshServeTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    val probes = lshProbes(queries, idCol, vecCol,
+        m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
+      .localCheckpoint()
+    val buckets = probes.select("bucket").distinct().collect().map(_.get(0))
+    val bucketed = spark.read.parquet(s"$indexDir/bucketed")
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      // partition-column inference may narrow the written long; restore
+      // the join key's type
+      .withColumn("bucket", col("bucket").cast("long"))
+    lshSearch(bucketed, probes, k)
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path beside LSH.

@@ -66,7 +66,9 @@ object StreamDrift {
   /** The gauge: PSI per group from the yardstick and a snapshot of the
     * streaming counts — same smoothing, same ordered-fold sum, same
     * output shape as the batch screen. Cheap (groups × nBins rows);
-    * run it per trigger, per dashboard refresh, or per alert check. */
+    * run it per trigger, per dashboard refresh, or per alert check.
+    * Slot-shape-agnostic: works over the numeric yardstick's int bins
+    * AND the categorical yardstick's category strings. */
   def psi(yard: DataFrame, currentCounts: DataFrame, groupCol: String,
       nBins: Int = 10): DataFrame = {
     val slots = yard.select(col(groupCol), col("__bin"), col("__nb"))
@@ -74,5 +76,48 @@ object StreamDrift {
       .select(col(groupCol), col("__bin"), col("__nb"),
         coalesce(col("__nc"), lit(0L)).as("__nc"))
     DqChecks.psiFromSlots(slots, groupCol)
+  }
+
+  // ---- categorical twin (batch screen: DqChecks.psiDriftCategorical,
+  //      declared query g17) ----
+
+  /** The frozen categorical baseline: per-(group, category) counts plus
+    * the `__OTHER__` slot that absorbs categories the baseline never
+    * saw — (group, __bin, __nb), the exact slot dictionary the batch
+    * screen builds. Nulls normalize to `__NULL__`. Groups × categories
+    * rows: broadcast-scale forever after. */
+  def catYardstick(baseline: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val cat = coalesce(col(catCol).cast("string"), lit("__NULL__"))
+    val base = baseline.groupBy(col(groupCol), cat.as("__bin"))
+      .agg(count(lit(1)).as("__nb"))
+    base.unionByName(base.select(col(groupCol)).distinct()
+      .withColumn("__bin", lit("__OTHER__"))
+      .withColumn("__nb", lit(0L)))
+  }
+
+  /** The streaming aggregation for the class-mix monitor: live rows
+    * slot into their baseline category (or `__OTHER__` when the
+    * baseline never saw it — that appearance IS drift and must carry
+    * mass), then count per (group, slot). State is groups × categories
+    * running longs, constant in stream length; rows whose group has no
+    * yardstick are dropped like the numeric monitor. Write with
+    * outputMode("complete") (or "update" into an upserting sink). */
+  def catBinnedCounts(stream: DataFrame, yard: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val known = yard.filter(col("__bin") =!= lit("__OTHER__"))
+      .select(col(groupCol), col("__bin").as("__cat"), lit(1).as("__known"))
+    stream
+      .select(col(groupCol),
+        coalesce(col(catCol).cast("string"), lit("__NULL__")).as("__cat"))
+      // yardstick-less groups are dropped HERE (not at gauge time) so
+      // the running state never grows with unscored groups
+      .join(broadcast(yard.select(col(groupCol)).distinct()),
+        Seq(groupCol), "inner")
+      .join(broadcast(known), Seq(groupCol, "__cat"), "left")
+      .withColumn("__bin",
+        when(col("__known").isNotNull, col("__cat"))
+          .otherwise(lit("__OTHER__")))
+      .groupBy(groupCol, "__bin").agg(count(lit(1)).as("__nc"))
   }
 }

@@ -58,4 +58,50 @@ class StreamDriftSpec extends SparkSuite {
       assert(psiG > 0.1, s"drifted stream scored psi=$psiG")
     } finally q.stop()
   }
+
+  test("streamed categorical PSI == batch psiDriftCategorical after every micro-batch") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseRows = Seq.fill(60)(Cat("mix", "a")) ++ Seq.fill(30)(Cat("mix", "b")) ++
+      Seq.fill(10)(Cat("mix", null))
+    val yard = StreamDrift.catYardstick(baseRows.toDF("k", "c"), "k", "c").cache()
+
+    val in = MemoryStream[Cat]
+    val counts = StreamDrift.catBinnedCounts(in.toDF(), yard, "k", "c")
+    val q = counts.writeStream.format("memory")
+      .queryName("cat_drift_counts").outputMode("complete").start()
+
+    def gauge = StreamDrift.psi(yard, spark.table("cat_drift_counts"), "k")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    def batchTwin(cur: Seq[Cat]) = DqChecks.psiDriftCategorical(
+        (baseRows.map(o => (true, o.k, o.c)) ++ cur.map(o => (false, o.k, o.c)))
+          .toDF("base", "k", "c"),
+        "k", "c", col("base"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    // batch 1: same mix as baseline; batch 2: a NOVEL class floods in
+    // (lands in __OTHER__ and must carry mass) plus an unscored group
+    val batch1 = Seq.fill(30)(Cat("mix", "a")) ++ Seq.fill(15)(Cat("mix", "b")) ++
+      Seq.fill(5)(Cat("mix", null))
+    val batch2 = Seq.fill(40)(Cat("mix", "NOVEL")) ++ Seq(Cat("no_yard", "a"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val g1 = gauge
+      assert(g1 === batchTwin(batch1))
+      assert(g1.head._4 < 0.01, s"same mix scored psi=${g1.head._4}")
+
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val g2 = gauge
+      assert(g2 === batchTwin(batch1 ++ batch2))
+      assert(g2.map(_._1) === Seq("mix")) // unscored group dropped
+      assert(g2.head._4 > 0.3, s"novel-class flood scored psi=${g2.head._4}")
+    } finally q.stop()
+  }
 }
+
+case class Cat(k: String, c: String)
