@@ -44,6 +44,63 @@ class GeneratorSpec extends SparkSuite {
     raw.unpersist(); enriched.unpersist()
   }
 
+  test("golden: seeded 100k run reproduces BASELINE.md's aggregate shapes exactly") {
+    // The reference's de-facto expected outputs are the assignment5
+    // screenshot aggregates over a 100,000-row load (BASELINE.md "Golden
+    // analytics values"). Exact equality is asserted against OUR seeded
+    // run (seed=42); the reference values anchor the SHAPES: ~10.2%
+    // UNKNOWN, avg days ≈ 4.0, avg HP in the few-hundreds, near-uniform
+    // state spread, unique customers a large fraction of total.
+    val enriched = OrderGenerator.enrich(
+      OrderGenerator.rawOrders(spark, 100000, seed = 42L),
+      CarCatalog.df(spark)).cache()
+    try {
+      assert(enriched.count() === 100000L) // reference: Total orders 100,000
+      val (hp, days) = enriched
+        .agg(round(avg("horsepower"), 4), round(avg("days"), 4))
+        .as[(Double, Double)].collect()(0)
+      assert(hp === 214.9757, s"avg hp=$hp") // reference shape: 227.7
+      assert(days === 3.9943, s"avg days=$days") // reference shape: 4.0
+      // unique customers (distinct EMAIL) — reference shape: 46,082/100k
+      assert(enriched.filter($"email".isNotNull).select("email")
+        .distinct().count() === 68238L)
+      // UNKNOWN brand — reference shape: 10,249 ≈ 10.2%
+      assert(enriched.filter($"brand" === "UNKNOWN").count() === 10347L)
+      // orders by brand with per-brand avg HP (reference: analytics1/
+      // monitoring2 table; UNKNOWN rows average exactly 0)
+      val brands = enriched.groupBy("brand")
+        .agg(count(lit(1)).as("n"), round(avg("horsepower"), 4).as("ahp"))
+        .orderBy(desc("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(brands === Seq(
+        ("Boreal", 10546L, 233.2036), ("Ember", 10417L, 197.2526),
+        ("Harrier", 10411L, 274.0121), ("Cinder", 10360L, 254.7177),
+        ("UNKNOWN", 10347L, 0.0), ("Glacier", 10330L, 247.3717),
+        ("Dray", 10293L, 281.4238), ("Aster", 10238L, 206.2165),
+        ("Flux", 10211L, 224.1005), ("Ion", 6847L, 239.5545)))
+      // orders by engine (reference: analytics4 — Electric dominant,
+      // UNKNOWN mirrors the missing-catalog rows)
+      val engines = enriched.groupBy("engine").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(engines === Seq(("Electric", 37713L), ("Hybrid", 20876L),
+        ("Petrol", 20771L), ("UNKNOWN", 10347L), ("Diesel", 10293L)))
+      // top models (reference: monitoring2 top-5 ≈ 3.5k each)
+      val models = enriched.groupBy("car_model").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("car_model")).limit(3).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(models === Seq(("Harrier M8", 3625L), ("Boreal M11", 3602L),
+        ("Nimbus N1", 3532L)))
+      // regional spread: all 50 states, near-uniform (reference:
+      // analytics2 — ~850-906/state; ours ~1.4k/state at 70% non-null)
+      val (nStates, mn, mx) = enriched.filter($"address".isNotNull)
+        .groupBy($"address.state").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), min("n"), max("n"))
+        .as[(Long, Long, Long)].collect()(0)
+      assert((nStates, mn, mx) === ((50L, 1329L, 1484L)))
+    } finally enriched.unpersist()
+  }
+
   test("carDetails variant prices buy_price inside the U(0.80,0.95) band") {
     val raw = OrderGenerator.rawOrders(spark, 2000, seed = 42)
     val cat = CarCatalog.df(spark)
