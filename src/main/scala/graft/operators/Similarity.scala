@@ -415,6 +415,87 @@ object Similarity {
           array((0 until dim).map(i => col(s"__m$i")): _*)).as("centroid"))
   }
 
+  /** Full k-means (Lloyd) fit — the training loop [[kmeansStep]] is one
+    * slot of, run to `iters` iterations entirely inside the engine.
+    *
+    * Init: the [[ivfTopK]] md5-sample contract (smallest md5(id), tie by
+    * id) — any engine with md5 replays the exact starting centroids.
+    * Each iteration costs ONE shuffle: the k centroids are packed into a
+    * single array-of-structs row and broadcast-cross-joined onto the
+    * corpus (no row blow-up — contrast a corpus×k join), the nearest
+    * centroid is an `aggregate` fold over that packed array (argmax by
+    * raw cosine, ties to the smallest cid — codegen'd, zero extra
+    * exchanges), and the new means are ONE map-side-combined grouped
+    * aggregate whose shuffle carries k × dim decimal lanes per
+    * partition, never vectors. Means are decimal-exact
+    * ([[graft.functions.DecVecSumAgg]]: round-to-6dp terms, integer
+    * sums), so the fit is order-free and engine-portable — the v19
+    * DuckDB oracle replays every iteration bit-for-bit. Empty centroids
+    * keep their previous position (they can re-capture later) rather
+    * than vanishing. The k-row centroid table is localCheckpoint'd per
+    * iteration — lineage stays O(1) in `iters`, the 100 TB shape for an
+    * iterative fit (at that scale you would also persist the projected
+    * (id, v, norm) input; the loop itself adds no other state).
+    *
+    * Report: per final centroid, its population and mean member cosine
+    * (4dp) — the cluster-quality signal an IVF build or SemDeDup pass
+    * reads. Ids must be numeric (they ride a bigint lane); zero-norm
+    * vectors (cosine undefined against every centroid) are excluded
+    * from the report rather than polluting a real cluster. */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3, dim: Int = 64): DataFrame = {
+    val c = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+
+    // (cid, cv, cn) — assignment against a packed broadcast of these
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(sort_array(collect_list(
+        struct(col("cid"), col("cv"), col("cn")))).as("cents"))
+      val best = aggregate(col("cents"),
+        struct(lit(-2.0).as("s"), lit(-1L).as("cid")),
+        (acc, ct) => {
+          val s = coalesce(dot(col("v"), ct.getField("cv")) /
+            nullif(col("vn") * ct.getField("cn"), lit(0.0)), lit(-2.0))
+          when(s > acc.getField("s"),
+            struct(s.as("s"), ct.getField("cid").as("cid"))).otherwise(acc)
+        })
+      c.crossJoin(broadcast(packed))
+        .select(col("id"), col("v"), best.getField("cid").as("cid"),
+          round(best.getField("s"), 6).as("sim6"))
+    }
+
+    // new centroid = 6dp-rounded decimal-exact mean of members; an
+    // empty centroid keeps its position
+    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
+      import graft.functions.DecVecSumAgg.decVecSum
+      val sums = assigned.groupBy("cid").agg(count(lit(1)).as("n"),
+        decVecSum(transform(col("v"),
+          t => round(t, 6).cast("decimal(38,6)")), dim).as("sv"))
+      cents.select(col("cid"), col("cv"))
+        .join(sums, Seq("cid"), "left")
+        .select(col("cid"),
+          when(col("n").isNotNull, transform(col("sv"),
+            s => round(s.cast("double") / col("n"), 6)))
+            .otherwise(col("cv")).as("cv"))
+        .withColumn("cn", l2Norm(col("cv")))
+        .localCheckpoint()
+    }
+
+    var cents = md5Sample(c, "id", k)
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) cents = update(cents, assign(cents))
+
+    val stats = assign(cents).filter(col("cid") =!= lit(-1L))
+      .groupBy("cid").agg(count(lit(1)).as("n"),
+        sum(col("sim6").cast("decimal(38,6)")).as("__ss"))
+    cents.select(col("cid")).join(stats, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+        round(col("__ss").cast("double") / col("n"), 4).as("mean_sim"))
+      .orderBy("cid")
+  }
+
   /** Product-quantization (PQ) codebook: the md5-sampled corpus rows'
     * subvectors, one `nCodes`-entry codebook per `m` subspace (Jégou et
     * al., "Product quantization for nearest neighbor search", TPAMI

@@ -303,6 +303,16 @@ object PipelineQueries {
   def v18PcaPower(s: SparkSession, dir: String): DataFrame =
     graft.operators.Pca.topComponent(emb(s, dir), "embedding", 64)
 
+  /** Full k-means fit (2 Lloyd iterations, k=8) over the embedding
+    * corpus — the centroid-training loop the IVF build and SemDeDup
+    * tiers consume. Every iteration is decimal-exact and md5-seeded, so
+    * the DuckDB oracle replays the whole fit iteration by iteration:
+    * one green hash certifies assignments, means, empty-centroid
+    * survival, AND the final cluster-quality report. */
+  def v19KmeansFit(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFit(emb(s, dir), "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+
   /** Unigram-logprob quality signal — the perplexity-filter proxy: a
     * document's mean negative log-probability under the corpus's own
     * unigram distribution. Gibberish and boilerplate sit far from the
@@ -859,6 +869,7 @@ object PipelineQueries {
     "t18_stratified" -> t18Stratified,
     "t28_domain_cap" -> t28DomainCap,
     "v18_pca_power" -> v18PcaPower,
+    "v19_kmeans_fit" -> v19KmeansFit,
     "t19_corpus_manifest" -> t19CorpusManifest,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
@@ -1239,6 +1250,51 @@ object PipelineQueries {
        |means AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, $avgs FROM assigned GROUP BY cid)
        |SELECT m.cid, m.n, ROUND(sqrt($shift), 4) AS shift
        |FROM means m JOIN cent USING (cid) ORDER BY m.cid""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.kmeansFit]] at (k=8, iters=2, dim=64):
+    * the same md5-seeded centroids, then every Lloyd iteration replayed
+    * — raw-cosine argmax assignment (ties to the smallest cid),
+    * 6dp-rounded decimal-exact means, empty centroids keeping their
+    * position — and the same final population / mean-cosine report.
+    * (Zero-norm vectors would diverge — Spark excludes them, SQL
+    * row_number can't — but the corpus has none and the operator
+    * documents the exclusion.) */
+  private lazy val v19OracleSql: String = {
+    val dim = 64; val k = 8; val iters = 2
+    def assignCte(a: String, cent: String) = {
+      val sim = s"COALESCE(list_dot_product(cn.v, ct.cv) / NULLIF(cn.vn * ct.ccn, 0.0), -2.0)"
+      s"""$a AS (
+         |  SELECT id, v, cid, sim FROM (
+         |    SELECT cn.id, cn.v, ct.cid, ROUND($sim, 6) AS sim,
+         |      row_number() OVER (PARTITION BY cn.id ORDER BY $sim DESC, ct.cid) AS rn
+         |    FROM cn, $cent ct) WHERE rn = 1)""".stripMargin
+    }
+    def updateCtes(i: Int) = {
+      val means = (1 to dim).map(j =>
+        s"ROUND(CAST(SUM(CAST(ROUND(v[$j], 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m_$j")
+      s"""m$i AS (SELECT cid, ${means.mkString(", ")} FROM a$i GROUP BY cid),
+         |cent$i AS (
+         |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS ccn FROM (
+         |    SELECT p.cid,
+         |      CASE WHEN m.cid IS NULL THEN p.cv
+         |           ELSE [${(1 to dim).map(j => s"m_$j").mkString(", ")}] END AS cv
+         |    FROM cent${i - 1} p LEFT JOIN m$i m USING (cid)))""".stripMargin
+    }
+    val iterCtes = (1 to iters)
+      .map(i => assignCte(s"a$i", s"cent${i - 1}") + ",\n" + updateCtes(i))
+      .mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+       |cent0 AS (SELECT id AS cid, v AS cv, vn AS ccn FROM cn
+       |          ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k),
+       |$iterCtes,
+       |${assignCte("af", s"cent$iters")},
+       |r AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(CAST(SUM(CAST(sim AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS mean_sim
+       |  FROM af GROUP BY cid)
+       |SELECT ct.cid, CAST(COALESCE(r.n, 0) AS BIGINT) AS n, r.mean_sim
+       |FROM cent$iters ct LEFT JOIN r USING (cid) ORDER BY cid""".stripMargin
   }
 
   private lazy val t12OracleSql: String =
@@ -1695,6 +1751,7 @@ object PipelineQueries {
          |WHERE src_rank <= 10 ORDER BY source, doc_id""".stripMargin),
     "v18_pca_power" ->
       graft.operators.Pca.oracleSql("embeddings", "embedding", 64),
+    "v19_kmeans_fit" -> v19OracleSql,
     "t16_unigram_logprob" ->
       ("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -280,4 +280,126 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq === Seq((10L, 1L, 1.0)))
   }
+
+  // ---- kmeansFit ----
+
+  private def fitRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+
+  test("kmeansFit separates two obvious direction clusters") {
+    val d = vecs(
+      1L -> Seq(1.0f, 0.02f, 0.0f, 0.0f), 2L -> Seq(1.0f, -0.02f, 0.0f, 0.0f),
+      3L -> Seq(0.99f, 0.01f, 0.01f, 0.0f), 4L -> Seq(1.0f, 0.0f, 0.02f, 0.0f),
+      5L -> Seq(0.0f, 0.01f, 0.0f, 1.0f), 6L -> Seq(0.0f, -0.01f, 0.0f, 0.99f),
+      7L -> Seq(0.01f, 0.0f, 0.01f, 1.0f), 8L -> Seq(0.0f, 0.02f, 0.0f, 1.0f))
+    val out = fitRows(Similarity.kmeansFit(d, "vec_id", "embedding",
+      k = 2, iters = 3, dim = 4))
+    assert(out.map(_._2).sum === 8L) // every vector in exactly one cluster
+    assert(out.length === 2)
+    // tight direction clusters → members nearly colinear with their mean
+    out.foreach { case (cid, n, ms) =>
+      assert(n > 0 && ms.asInstanceOf[Double] > 0.99, s"($cid, $n, $ms)")
+    }
+  }
+
+  test("kmeansFit == exact driver-side Lloyd reference, iteration for iteration") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val data: Seq[(Long, Seq[Float])] = (0L until 10L).map { i =>
+      // deterministic, irregular, strictly positive-norm dim-4 vectors
+      i -> Seq((0.1f * i + 0.3f), (1.7f - 0.2f * i),
+        (i % 3) * 0.5f - 0.4f, 0.25f * ((i * 7) % 5))
+    }
+    val k = 3; val iters = 2; val dim = 4
+
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotd(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    def decMean(ts: Seq[Double], n: Long): Double = {
+      val sum = ts.map(t => new JBD(java.lang.Double.toString(r(t, 6)))
+        .setScale(6, RoundingMode.HALF_UP)).reduce(_.add(_))
+      r(sum.doubleValue() / n, 6)
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    val vs: Map[Long, Seq[Double]] =
+      data.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val norms: Map[Long, Double] = vs.map { case (id, v) => id -> math.sqrt(dotd(v, v)) }
+    // init: md5-smallest ids (tie by id), exactly md5Sample's contract
+    var cents: Seq[(Long, Seq[Double])] = data.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(k).sorted
+      .map(id => id -> vs(id))
+    def assignAll(cs: Seq[(Long, Seq[Double])]): Map[Long, (Long, Double)] =
+      vs.map { case (id, v) =>
+        val cn = cs.map { case (cid, cv) => cid -> math.sqrt(dotd(cv, cv)) }.toMap
+        var best = (-2.0, -1L)
+        cs.sortBy(_._1).foreach { case (cid, cv) =>
+          val den = norms(id) * cn(cid)
+          val s = if (den == 0.0) -2.0 else dotd(v, cv) / den
+          if (s > best._1) best = (s, cid)
+        }
+        id -> (best._2, r(best._1, 6))
+      }
+    for (_ <- 1 to iters) {
+      val asg = assignAll(cents)
+      cents = cents.map { case (cid, cv) =>
+        val members = asg.collect { case (id, (c, _)) if c == cid => id }.toSeq
+        if (members.isEmpty) cid -> cv
+        else cid -> (0 until dim).map(j =>
+          decMean(members.map(id => vs(id)(j)), members.size))
+      }
+    }
+    val fin = assignAll(cents)
+    val expected = cents.map(_._1).sorted.map { cid =>
+      val sims = fin.values.collect { case (c, s6) if c == cid => s6 }.toSeq
+      if (sims.isEmpty) (cid, 0L, null)
+      else {
+        val sum = sims.map(s => new JBD(java.lang.Double.toString(s))
+          .setScale(6, RoundingMode.HALF_UP)).reduce(_.add(_))
+        (cid, sims.size.toLong, r(sum.doubleValue() / sims.size, 4))
+      }
+    }
+
+    val out = fitRows(Similarity.kmeansFit(vecs(data: _*), "vec_id",
+      "embedding", k = k, iters = iters, dim = dim))
+    assert(out === expected)
+  }
+
+  test("kmeansFit: empty centroid survives with n=0 and null mean_sim") {
+    // all vectors IDENTICAL: both seed centroids coincide, every
+    // assignment is a tie, the smaller cid wins every tie and its mean
+    // never moves — so the other seed's cluster stays EMPTY through
+    // every iteration, and must still be reported, not silently vanish
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (0L until 6L).toSeq
+    val seeds = ids.sortBy(id => (md5hex(id.toString), id)).take(2)
+    val data = ids.map(id => id -> Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    val out = fitRows(Similarity.kmeansFit(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, iters = 2, dim = 4))
+    assert(out.map(_._1) === seeds.sorted)
+    val (winner, loser) = (seeds.min, seeds.max)
+    assert(out === Seq((winner, 6L, 1.0), (loser, 0L, null)))
+  }
+
+  test("kmeansFit report plan: broadcast centroids, no extra exchanges") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plan = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 1, dim = 64).queryExecution.executedPlan.toString()
+    // packed 1-row centroid table rides a broadcast nested-loop (no row
+    // blow-up); the report's six exchanges are all the cheap kind: the
+    // cid grouped-agg shuffle (the ONE real data shuffle), spreadByKey's
+    // stats-guarded scan repartition, two broadcasts, the k-row
+    // SinglePartition pack, and the final sort — never a shuffle of
+    // corpus×k scored rows
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 6, s"$exchanges exchanges in report plan")
+    // the only hash shuffles are on vec_id (parallelism) and cid (agg)
+    val hashParts = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashParts.subsetOf(Set("vec_id", "cid")), hashParts.toString)
+  }
 }
