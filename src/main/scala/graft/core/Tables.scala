@@ -17,20 +17,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects. Read nanos as long, then truncate to microseconds —
-    // the same ns→µs truncation DuckDB applies when it loads the file.
+    // Driver testdata has shipped timestamps two ways across rounds:
+    // TIMESTAMP(NANOS) (rejected by the vectorized reader — read nanos as
+    // long, then truncate to microseconds, the same ns→µs truncation DuckDB
+    // applies) and timestamp[us] without timezone (read as TIMESTAMP_NTZ).
+    // Normalize both to TIMESTAMP (LTZ): the session timezone is pinned to
+    // UTC everywhere, so NTZ→LTZ is value-preserving and downstream code
+    // (`unix_micros`, interval arithmetic) sees one timestamp type
+    // regardless of which generator wrote the file.
     // Set once per session: a conf write invalidates cached session
     // state, so doing it on every call taxes every reader.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
+    val nanosFixed = df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) if name == "events" =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
+    val ntz = nanosFixed.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    ntz.foldLeft(nanosFixed)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType)))
   }
 
   /** Register every table as a temp view so `spark.sql` resolves bare names,
