@@ -133,6 +133,40 @@ object TextFns {
       }) / nullif(size(toks).cast("double"), lit(0.0)), 4)
   }
 
+  // ---- Gopher-style rule signals (Rae et al. 2021, Appendix A1.1) ----
+  // Each rule is a per-row codegen'd expression (narrow map, no shuffle):
+  // filtering 100 TB with these costs exactly one corpus scan.
+
+  /** Mean token length in characters (4 dp). */
+  def meanWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+      nullif(size(toks), lit(0)), 4)
+  }
+
+  /** Symbol-to-word ratio: '#' and '...' occurrences per token — the
+    * Gopher markup/ellipsis screen. Substring counts via length deltas
+    * (portable to any engine with replace). */
+  def symbolRatio(c: Column): Column = {
+    val hashes = length(c) - length(regexp_replace(c, "#", ""))
+    val ellipses = (length(c) -
+      length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3)
+    round((hashes + ellipses).cast("double") /
+      nullif(size(tokens(c)), lit(0)), 4)
+  }
+
+  /** Fraction of tokens containing at least one a-z letter (4 dp). */
+  def alphaWordFrac(c: Column): Column = {
+    val toks = tokens(c)
+    round(size(filter(toks, w => w.rlike("[a-z]"))).cast("double") /
+      nullif(size(toks), lit(0)), 4)
+  }
+
+  /** Count of stopword tokens (non-distinct) — the Gopher "contains at
+    * least 2 stop words" rule reads this. */
+  def stopwordHits(c: Column): Column =
+    size(filter(tokens(c), w => w.isInCollection(enStopwords))).cast("long")
+
   // ---- DuckDB oracle twins (same constants, by construction) ----
 
   def tokenCountSql(col: String): String =
@@ -164,6 +198,23 @@ object TextFns {
 
   def fingerprintSql(col: String): String =
     s"sha256(regexp_replace(lower(trim($col)), '\\s+', ' ', 'g'))"
+
+  private def toksSql(col: String): String =
+    s"string_split_regex(trim(lower($col)), '\\s+')"
+
+  def meanWordLenSql(col: String): String =
+    s"ROUND(CAST(list_sum(list_transform(${toksSql(col)}, t -> length(t))) AS DOUBLE) / NULLIF(len(${toksSql(col)}), 0), 4)"
+
+  def symbolRatioSql(col: String): String =
+    s"ROUND(CAST((length($col) - length(replace($col, '#', ''))) + (length($col) - length(replace($col, '...', ''))) // 3 AS DOUBLE) / NULLIF(len(${toksSql(col)}), 0), 4)"
+
+  def alphaWordFracSql(col: String): String =
+    s"ROUND(CAST(len(list_filter(${toksSql(col)}, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / NULLIF(len(${toksSql(col)}), 0), 4)"
+
+  def stopwordHitsSql(col: String): String = {
+    val inList = enStopwords.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(${toksSql(col)}, w -> w IN ($inList))) AS BIGINT)"
+  }
 
   /** Twin of [[classifierScore]]: md5 hex digits → bucket via the same
     * strpos arithmetic as the sampling oracles, identical weight

@@ -294,6 +294,71 @@ object PipelineQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Gopher-style composite quality rules (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, Appendix A1.1): word count
+    * bounds, mean-word-length band, symbol-to-word ratio, alphabetic-
+    * word fraction, and minimum stopword hits, each surfaced as its own
+    * signal column plus the conjunction `pass`. One narrow codegen'd
+    * projection — the rule screen costs exactly one scan at 100 TB. */
+  def t29GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_words"),
+      TextFns.meanWordLen(col("text")).as("mean_word_len"),
+      TextFns.symbolRatio(col("text")).as("symbol_ratio"),
+      TextFns.alphaWordFrac(col("text")).as("alpha_word_frac"),
+      TextFns.stopwordHits(col("text")).as("stop_hits"))
+    d.withColumn("pass",
+      (col("n_words").between(20, 50000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("alpha_word_frac") >= 0.6 &&
+        col("stop_hits") >= 2).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): hashed n-gram
+    * (unigram + bigram, md5 → 256 buckets) bag-of-words models of the
+    * target slice (`lang = 'en'`) and the raw corpus, add-1 smoothed;
+    * a document's weight is the mean log-likelihood ratio of its grams.
+    * Scale shape: the gram explode is map-side combined into 256 bucket
+    * rows (two conditional counts in ONE aggregate), the per-gram prob
+    * attach is a broadcast of those 256 rows (no shuffle), and the only
+    * wide exchange is the per-doc mean — the same 100 TB posture as the
+    * t16/t25 LM filters. */
+  def t30Dsir(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 256
+    val toks = TextFns.tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(toks, bgArr)).as("gram"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long"),
+        lit(nBuckets)))
+    val counts = grams.groupBy("bucket").agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("lang") === "en", lit(1))).as("c_tgt"))
+    // totals via a global window over the 256-row bucket table (trivially
+    // single-partition at ANY corpus size) — a separate totals aggregate
+    // would re-derive `counts` and recompute the gram explode a third time
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val probs = counts.select(col("bucket"),
+      ((col("c_tgt") + 1).cast("double") /
+        (sum("c_tgt").over(w) + nBuckets)).as("p_tgt"),
+      ((col("c_raw") + 1).cast("double") /
+        (sum("c_raw").over(w) + nBuckets)).as("p_raw"))
+    grams.join(broadcast(probs), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(log(col("p_tgt") / col("p_raw"))), 4).as("log_ratio"))
+      .withColumn("selected", (col("log_ratio") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Top principal component of the embedding corpus by two unrolled
     * power-iteration steps ([[graft.operators.Pca.topComponent]]) — the
     * embedding-health screen: `var_share` near 1 means a collapsed
@@ -312,6 +377,14 @@ object PipelineQueries {
   def v19KmeansFit(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansFit(emb(s, dir), "vec_id", "embedding",
       k = 8, iters = 2, dim = 64)
+
+  /** Trainable quality classifier: 3 full-batch GD iterations of
+    * logistic regression ([[graft.operators.LogReg.logregFit]]) on
+    * text-derived features, predicting the `lang = 'en'` slice —
+    * fit AND scored distributed, oracled iteration-exactly. */
+  def v20LogregFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LogReg.logregFit(docs(s, dir), "text",
+      col("lang") === "en", iters = 3, lr = 1.0)
 
   /** Unigram-logprob quality signal — the perplexity-filter proxy: a
     * document's mean negative log-probability under the corpus's own
@@ -868,8 +941,11 @@ object PipelineQueries {
     "t17_bm25" -> t17Bm25,
     "t18_stratified" -> t18Stratified,
     "t28_domain_cap" -> t28DomainCap,
+    "t29_gopher_rules" -> t29GopherRules,
+    "t30_dsir" -> t30Dsir,
     "v18_pca_power" -> v18PcaPower,
     "v19_kmeans_fit" -> v19KmeansFit,
+    "v20_logreg_fit" -> v20LogregFit,
     "t19_corpus_manifest" -> t19CorpusManifest,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
@@ -1260,6 +1336,31 @@ object PipelineQueries {
     * (Zero-norm vectors would diverge — Spark excludes them, SQL
     * row_number can't — but the corpus has none and the operator
     * documents the exclusion.) */
+  /** Twin of [[t30Dsir]]: same md5-bucket arithmetic as
+    * [[TextFns.classifierScoreSql]], same uni+bigram gram set as the d02
+    * shingle oracle, add-1 smoothing replayed literally. */
+  private lazy val t30OracleSql: String = {
+    val v = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString("(", " + ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |g AS (SELECT doc_id, lang, unnest(list_concat(tk,
+       |    CASE WHEN len(tk) >= 2
+       |      THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+       |      ELSE [] END)) AS gram FROM toks),
+       |b AS (SELECT doc_id, lang, ($v % 256) AS bucket FROM g),
+       |c AS (SELECT bucket, count(*) AS c_raw,
+       |    count(CASE WHEN lang = 'en' THEN 1 END) AS c_tgt FROM b GROUP BY bucket),
+       |t AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM c),
+       |p AS (SELECT bucket, CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + 256) AS p_tgt,
+       |    CAST(c_raw + 1 AS DOUBLE) / (n_raw + 256) AS p_raw FROM c CROSS JOIN t)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  ROUND(AVG(ln(p_tgt / p_raw)), 4) AS log_ratio,
+       |  CASE WHEN ROUND(AVG(ln(p_tgt / p_raw)), 4) > 0 THEN 1 ELSE 0 END AS selected
+       |FROM b JOIN p USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val v19OracleSql: String = {
     val dim = 64; val k = 8; val iters = 2
     def assignCte(a: String, cent: String) = {
@@ -1749,9 +1850,27 @@ object PipelineQueries {
          |    ORDER BY quality DESC, doc_id) AS BIGINT) AS src_rank FROM q)
          |SELECT doc_id, source, quality, src_rank FROM r
          |WHERE src_rank <= 10 ORDER BY source, doc_id""".stripMargin),
+    "t29_gopher_rules" ->
+      (s"""WITH sig AS (SELECT doc_id,
+         |  CAST(${TextFns.tokenCountSql("text")} AS BIGINT) AS n_words,
+         |  ${TextFns.meanWordLenSql("text")} AS mean_word_len,
+         |  ${TextFns.symbolRatioSql("text")} AS symbol_ratio,
+         |  ${TextFns.alphaWordFracSql("text")} AS alpha_word_frac,
+         |  ${TextFns.stopwordHitsSql("text")} AS stop_hits FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  alpha_word_frac, stop_hits,
+         |  CASE WHEN n_words BETWEEN 20 AND 50000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.6
+         |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS pass
+         |FROM sig ORDER BY doc_id""".stripMargin),
+    "t30_dsir" -> t30OracleSql,
     "v18_pca_power" ->
       graft.operators.Pca.oracleSql("embeddings", "embedding", 64),
     "v19_kmeans_fit" -> v19OracleSql,
+    "v20_logreg_fit" -> graft.operators.LogReg.oracleSql(
+      "documents", "text", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+      iters = 3, lr = 1.0),
     "t16_unigram_logprob" ->
       ("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
