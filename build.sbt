@@ -36,4 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiling and later queries run interpreted at ~10x. Measured: the
   // full sf0.1 bench drops from 150 s to ~100 s with headroom here.
   "-XX:ReservedCodeCacheSize=1g",
+  // Bench calls System.gc() between queries to retire each query's
+  // garbage (isolation: a long concurrent-GC window otherwise taxes the
+  // NEXT query, measured up to 10x). As a stop-the-world full collection
+  // that isolation itself cost ~0.35 s/query (measured round 6: 162-query
+  // sf0.1 bench 175.8 s with STW explicit GC, 119.7 s with none). A
+  // CONCURRENT explicit cycle keeps the isolation and drops the pause:
+  // same bench 132.2 s. JIT tiering is NOT the issue (C1-only: 178.9 s).
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

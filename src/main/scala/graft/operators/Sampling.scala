@@ -111,6 +111,29 @@ object Sampling {
       .filter(col(rankAs) <= n)
   }
 
+  /** Weighted sampling without replacement, Efraimidis–Spirakis A-ES
+    * ("Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws u ∈ (0, 1] and keeps key u^(1/w); the global top-n keys ARE
+    * an exact weighted sample without replacement. Here u derives from
+    * md5(id) digits — deterministic, partition-independent, replayable
+    * by any engine with md5 — so the "random" sample is stable across
+    * runs and reshards. Scale shape: one codegen'd projection + a
+    * TakeOrdered top-n (per-partition heaps, no global sort, no
+    * shuffle wider than n rows) — the quality-weighted subcorpus draw
+    * at 100 TB costs one scan. Weights are floored at 1e-4 so w = 0
+    * rows get key ≈ 0 (never sampled) instead of NaN. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, keyAs: String = "es_key"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (hashBucket(col(idCol), 6) + 1).cast("double") / math.pow(16, 6)
+    val key = pow(u, lit(1.0) / greatest(col(weightCol), lit(1e-4)))
+    df.withColumn("__esk", key)
+      .orderBy(col("__esk").desc, col(idCol))
+      .limit(n)
+      .withColumn(keyAs, round(col("__esk"), 6))
+      .drop("__esk")
+  }
+
   /** Stratified deterministic sampling — per-stratum keep rates (the
     * corpus-mixture rebalance: upsample rare languages/sources, downweigh
     * the dominant one). Same md5-digit cut as [[sampleDeterministic]],

@@ -58,6 +58,42 @@ object Similarity {
     cosineRank(scored, k)
   }
 
+  /** Scalar-quantization (SQ8) ANN — the fourth classic compression
+    * path beside LSH/IVF/PQ: every vector element is quantized to one
+    * of `levels`+1 codes on a single GLOBAL [lo, hi] range (one min/max
+    * aggregate over all elements — map-side combined to two doubles,
+    * broadcast back), and similarity is exact cosine in the DEQUANTIZED
+    * domain. At corpus scale the int codes are what's materialized
+    * (1 byte/dim = 4× less scan IO than float32; the same
+    * build-once/serve-many shape as [[buildPqIndex]]) and (lo, hi) ride
+    * in index metadata; this inline form quantizes on the fly so the
+    * oracle can replay every arithmetic step. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, levels: Int = 255): DataFrame = {
+    val range = corpus
+      .select(explode(asDouble(col(vecCol))).as("x"))
+      .agg(min("x").as("lo"), max("x").as("hi"))
+    def sq(v: Column): Column = transform(v, x =>
+      col("lo") + round((x - col("lo")) /
+        nullif(col("hi") - col("lo"), lit(0.0)) * levels) *
+        (col("hi") - col("lo")) / levels)
+    val cq = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(range))
+      .select(col("neighbor_id"), sq(col("v")).as("dv"))
+      .withColumn("dvn", l2Norm(col("dv")))
+    val qq = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(range))
+      .select(col("query_id"), sq(col("qv")).as("dqv"))
+      .withColumn("dqn", l2Norm(col("dqv")))
+    val scored = cq.crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("dqv"), col("dv")) /
+        nullif(col("dqn") * col("dvn"), lit(0.0)))
+    cosineRank(scored, k)
+  }
+
   /** THE exact-cosine output contract shared by every similarity
     * ranker (brute force, LSH, IVF, PQ re-rank): per-query row_number
     * over (sim desc, neighbor_id), top k, 4dp sim, long rank. One

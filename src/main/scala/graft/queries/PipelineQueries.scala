@@ -378,6 +378,26 @@ object PipelineQueries {
     Similarity.kmeansFit(emb(s, dir), "vec_id", "embedding",
       k = 8, iters = 2, dim = 64)
 
+  /** Scalar-quantized (SQ8) ANN top-3 for queries 0-4 — same ranking
+    * contract as v01, scored in the dequantized int8 domain
+    * ([[Similarity.sqTopK]]). */
+  def v21SqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.sqTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Quality-weighted sample without replacement (Efraimidis–Spirakis
+    * keys over md5-derived uniforms, weight = t02 quality score) —
+    * the "draw a better-than-random subcorpus" primitive
+    * ([[Sampling.weightedSample]]). */
+  def t31WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      docs(s, dir).select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("w")),
+      "doc_id", "w", n = 20)
+
   /** Trainable quality classifier: 3 full-batch GD iterations of
     * logistic regression ([[graft.operators.LogReg.logregFit]]) on
     * text-derived features, predicting the `lang = 'en'` slice —
@@ -946,6 +966,8 @@ object PipelineQueries {
     "v18_pca_power" -> v18PcaPower,
     "v19_kmeans_fit" -> v19KmeansFit,
     "v20_logreg_fit" -> v20LogregFit,
+    "v21_sq_topk" -> v21SqTopK,
+    "t31_weighted_sample" -> t31WeightedSample,
     "t19_corpus_manifest" -> t19CorpusManifest,
     "v06_quant_error" -> v06QuantError,
     "v01_ann_brute" -> v01AnnBrute,
@@ -1871,6 +1893,31 @@ object PipelineQueries {
     "v20_logreg_fit" -> graft.operators.LogReg.oracleSql(
       "documents", "text", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
       iters = 3, lr = 1.0),
+    "v21_sq_topk" ->
+      ("""WITH r AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM
+        |  (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)),
+        |c AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> lo + round((x - lo) / NULLIF(hi - lo, 0.0) * 255) * (hi - lo) / 255) AS dv
+        |  FROM embeddings CROSS JOIN r),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.dv, c.dv) /
+        |      NULLIF(sqrt(list_dot_product(q.dv, q.dv)) * sqrt(list_dot_product(c.dv, c.dv)), 0.0) AS sim
+        |  FROM (SELECT * FROM c WHERE vec_id < 5) q
+        |  JOIN c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "t31_weighted_sample" -> {
+      val digits = (1 to 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"""WITH s AS (SELECT doc_id, ${TextFns.qualityScoreSql("text")} AS w,
+         |  ($digits + 1) / 16777216.0 AS u FROM documents),
+         |k AS (SELECT doc_id, w, pow(u, 1.0 / GREATEST(w, 0.0001)) AS raw FROM s)
+         |SELECT doc_id, w, ROUND(raw, 6) AS es_key
+         |FROM k ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin
+    },
     "t16_unigram_logprob" ->
       ("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -119,4 +119,27 @@ class SamplingSpec extends SparkSuite {
       .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
     assert(again === got)
   }
+
+  test("weightedSample: partition-independent, n-bounded, weight-responsive") {
+    val d = (1L to 1000L)
+      .map(i => (i, if (i <= 100) 1.0 else 0.02))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(d.repartition(11), "id", "w", n = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length === 50)
+    // deterministic under a different partitioning, same row ORDER
+    val again = Sampling.weightedSample(d.repartition(3), "id", "w", n = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.toSeq === got.toSeq)
+    // keys are sorted descending (top-n by key, ties by id)
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // A-ES responds to weight: the 10% heavy-weight rows (w 50x) must
+    // dominate the sample far beyond their population share
+    val heavy = got.count(_._1 <= 100)
+    assert(heavy > 25, s"only $heavy/50 sampled rows from the heavy decile")
+    // w = 0 never outranks a positive weight (floor gives key ~ u^10000)
+    val z = (1L to 200L).map(i => (i, if (i % 2 == 0) 0.0 else 0.5)).toDF("id", "w")
+    val zs = Sampling.weightedSample(z, "id", "w", n = 20).collect()
+    assert(zs.forall(_.getLong(0) % 2 == 1))
+  }
 }

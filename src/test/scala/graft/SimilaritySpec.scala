@@ -402,4 +402,33 @@ class SimilaritySpec extends SparkSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(hashParts.subsetOf(Set("vec_id", "cid")), hashParts.toString)
   }
+
+  test("sqTopK is exact when vectors already sit on the quantization grid") {
+    import spark.implicits._
+    // integer elements with lo = 0 and hi = 255 pinned by row 0: the SQ
+    // grid lo + k·(hi-lo)/255 is exactly the integers, so
+    // dequantize(quantize(x)) == x and SQ cosine == exact cosine
+    val rnd = new scala.util.Random(11)
+    val data = (0L, Seq.tabulate(8)(j => if (j % 2 == 0) 0f else 255f)) +:
+      (1L until 60L).map(i => (i, Seq.fill(8)(rnd.nextInt(256).toFloat)))
+    val e = data.toDF("vec_id", "embedding")
+    val sq = Similarity.sqTopK(e, e.filter($"vec_id" < 3), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val brute = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 3), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(sq === brute)
+  }
+
+  test("sqTopK recall@3 vs brute force is high on the real corpus") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val sq = Similarity.sqTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
+  }
 }
