@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Bpe, Dedup, Multimodal, Projection, Sampling, Similarity, Tfidf}
 
 /** Training-data pipeline operators exposed as declared queries over the
   * driver's `documents` / `embeddings` tables: deduplication (exact,
@@ -107,6 +107,23 @@ object PipelineQueries {
         (col("doc_id") === col("rep_id")).cast("int").as("kept"))
       .orderBy("doc_id")
   }
+
+  /** First 8 BPE merges learned from the corpus word-frequency table
+    * ([[Bpe.merges]]) — tokenizer training as a declared, oracled query.
+    * Each iteration is an O(|vocab|) combinable aggregate; the oracle
+    * replays all 8 merge rounds including the argmax tiebreaks. */
+  def t32BpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.merges(docs(s, dir), "text", iters = 8)
+
+  /** Exact tf-idf cosine near-dup pairs over the 3-gram inverted index
+    * ([[Tfidf.cosinePairs]]) — the sparse-lexical twin of v03's dense
+    * cosine and the exact counterpart of d02/d04's sketched estimates.
+    * df-capped postings bound the join fanout (the 100 TB contract);
+    * the cosine is exact in the capped gram space and fully oracled. */
+  def d11TfidfPairs(s: SparkSession, dir: String): DataFrame =
+    Tfidf.cosinePairs(docs(s, dir), "doc_id", "text",
+        nGram = 3, dfCap = 64, threshold = 0.35)
+      .orderBy("id_a", "id_b")
 
   /** Triangle count over the near-dup pair graph — the graph-density
     * probe of a dedup report (triangle-rich components are template
@@ -678,6 +695,15 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** 64→16-dim Rademacher random projection of the embedding corpus
+    * ([[Projection.randProject]]) — JL dimensionality reduction as a
+    * declared query: row-local, shuffle-free, the sign matrix re-derived
+    * from md5 by engine and oracle alike. */
+  def v22RandProj(s: SparkSession, dir: String): DataFrame =
+    Projection.randProject(emb(s, dir), "vec_id", "embedding",
+        dimIn = 64, dimOut = 16)
+      .orderBy("id", "component")
+
   /** Per-label embedding centroid norms — the first pass of
     * centroid-based dataset cleaning (a vector far from its label's
     * centroid is a labeling-error candidate). One grouped aggregate,
@@ -936,6 +962,9 @@ object PipelineQueries {
     "d08_bloom_decontam" -> d08BloomDecontam,
     "d09_incremental_minhash" -> d09IncrementalMinhash,
     "d10_quality_reps" -> d10QualityReps,
+    "d11_tfidf_pairs" -> d11TfidfPairs,
+    "t32_bpe_merges" -> t32BpeMerges,
+    "v22_rand_proj" -> v22RandProj,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
     "t22_winnow" -> t22Winnow,
@@ -1792,6 +1821,9 @@ object PipelineQueries {
     // label propagation must agree with
     "d05_dup_clusters" -> d05OracleSql,
     "d10_quality_reps" -> d10OracleSql,
+    "d11_tfidf_pairs" -> Tfidf.cosinePairsOracleSql(3, 64, 0.35),
+    "t32_bpe_merges" -> Bpe.mergesOracleSql(8),
+    "v22_rand_proj" -> Projection.randProjectOracleSql(64, 16),
     "d06_dup_triangles" -> d06OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit
     "t05_split" -> t05OracleSql,

@@ -118,6 +118,24 @@ class ShuffleWidthSpec extends SparkSuite {
         .mkString(", ")).mkString("\n"))
   }
 
+  test("d11 tfidf inverted index shuffles md5-prefix keys, never gram strings") {
+    val (text, fixed) = probeExchanges {
+      graft.operators.Tfidf.cosinePairs(docsDf, "doc_id", "text",
+        nGram = 3, dfCap = 64, threshold = 0.35).count()
+    }
+    // permissible strings on an exchange: the raw-doc spread's `text`,
+    // and the FIXED-16-char `gram_key` — an unbounded gram/text column
+    // anywhere else is the regression this ratchet exists to catch
+    text.foreach { e =>
+      val strs = e.output.filter(a => isTextType(a.dataType)).map(_.name)
+      assert(strs.forall(n => n == "text" || n == "gram_key"),
+        s"unexpected text-width shuffle columns: $strs")
+    }
+    assert(text.exists(_.output.exists(_.name == "gram_key")))
+    assert(text.count(_.output.exists(_.name == "text")) <= 1)
+    assert(fixed.nonEmpty || text.nonEmpty)
+  }
+
   test("t15 contamination (hashed form) shuffles 8-byte grams only") {
     assertOnlySpreadIsText(probeExchanges {
       Dedup.contaminatedDocs(docsDf, "doc_id", "text",
