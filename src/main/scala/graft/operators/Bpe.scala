@@ -42,18 +42,17 @@ object Bpe {
   private def wrapChars(word: org.apache.spark.sql.Column) =
     regexp_replace(word, "(.)", "<$1>")
 
-  /** `(iter, lhs, rhs, merged, pair_count)` — the first `iters` BPE
-    * merges learned from `textCol`'s whitespace tokens, one row per
-    * iteration (fewer if the pair table drains first). */
-  def merges(df: DataFrame, textCol: String, iters: Int): DataFrame = {
+  /** Learned state after `iters` merge rounds: the final vocab frame
+    * `(word, cnt, rep)` plus the merge log. The vocab is
+    * localCheckpoint'ed per round, so lineage stays O(1) and the merge
+    * loop's cost is `iters` combinable aggregates over |vocab| rows. */
+  private def learn(df: DataFrame, textCol: String,
+      iters: Int): (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
-    val spark = df.sparkSession
-    import spark.implicits._
-
     var vocab = df
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), wrapChars(col("word")).as("rep"))
+      .select(col("word"), col("cnt"), wrapChars(col("word")).as("rep"))
       .localCheckpoint()
 
     val learned = collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -75,14 +74,50 @@ object Bpe {
       else {
         val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((i.toLong, a, b, a + b, pc))
-        vocab = vocab.select(col("cnt"),
+        vocab = vocab.select(col("word"), col("cnt"),
             call_function("replace", col("rep"),
               lit(s"<$a><$b>"), lit(s"<$a$b>")).as("rep"))
           .localCheckpoint()
       }
     }
-    learned.toSeq.toDF("iter", "lhs", "rhs", "merged", "pair_count")
+    (vocab, learned.toSeq)
+  }
+
+  /** `(iter, lhs, rhs, merged, pair_count)` — the first `iters` BPE
+    * merges learned from `textCol`'s whitespace tokens, one row per
+    * iteration (fewer if the pair table drains first). */
+  def merges(df: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    learn(df, textCol, iters)._2
+      .toDF("iter", "lhs", "rhs", "merged", "pair_count")
       .orderBy("iter")
+  }
+
+  /** Segment every document with the vocab learned by `iters` merge
+    * rounds: `(id, n_tokens, n_subwords, ratio)` where `n_subwords` is
+    * the post-merge symbol count summed over the doc's words and
+    * `ratio` = 4dp `n_subwords / n_tokens` — the tokenizer-efficiency
+    * accounting (tokens-per-word) that drives packing and cost
+    * estimates. The encode itself is ONE join from the exploded corpus
+    * to the |vocab|-row segmentation table (AQE broadcasts it while it
+    * fits; at web scale it's a plain key join on `word`) plus a
+    * map-side-combinable per-doc sum — the corpus is never re-scanned
+    * per merge round. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      iters: Int): DataFrame = {
+    val vocab = learn(df, textCol, iters)._1
+      .select(col("word"),
+        size(split(regexp_replace(col("rep"), "^<|>$", ""), "><"))
+          .cast("long").as("n_syms"))
+    df.select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .join(vocab, "word")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_syms").as("n_subwords"))
+      .select(col("id"), col("n_tokens"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_tokens"), 4)
+          .as("ratio"))
   }
 
   /** DuckDB twin of [[merges]] over `documents(text)`: `iters` chained
@@ -90,13 +125,25 @@ object Bpe {
     * via scalar subqueries, and rewriting the vocab — no value learned
     * by the Spark side is embedded. */
   def mergesOracleSql(iters: Int): String = {
-    def stage(i: Int): String = {
-      val prev = s"w${i - 1}"
-      // MATERIALIZED is load-bearing: every stage references its
-      // predecessor several times (pair scan + three scalar subqueries),
-      // so DuckDB's default CTE inlining would expand the chain
-      // exponentially in `iters`
-      s"""p$i AS MATERIALIZED (
+    val finalRows = (1 to iters).map(i =>
+      s"SELECT $i AS iter, lhs, rhs, lhs || rhs AS merged, pc FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${chainCtes(iters)}
+       |SELECT CAST(iter AS BIGINT) AS iter, lhs, rhs, merged,
+       |  CAST(pc AS BIGINT) AS pair_count
+       |FROM ($finalRows)
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** One merge round as SQL: pair counts (`p_i`), argmax (`b_i`), vocab
+    * rewrite (`w_i`). */
+  private def stage(i: Int): String = {
+    val prev = s"w${i - 1}"
+    // MATERIALIZED is load-bearing: every stage references its
+    // predecessor several times (pair scan + three scalar subqueries),
+    // so DuckDB's default CTE inlining would expand the chain
+    // exponentially in `iters`
+    s"""p$i AS MATERIALIZED (
          |  SELECT (u).lhs AS lhs, (u).rhs AS rhs, SUM(cnt) AS pc FROM (
          |    SELECT cnt, unnest([{'lhs': s[j], 'rhs': s[j + 1]}
          |                        for j in range(1, len(s))]) AS u
@@ -108,24 +155,34 @@ object Bpe {
          |b$i AS MATERIALIZED (SELECT lhs, rhs, CAST(pc AS BIGINT) AS pc FROM p$i
          |        ORDER BY pc DESC, lhs, rhs LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT cnt, replace(rep,
+         |  SELECT word, cnt, replace(rep,
          |      '<' || (SELECT lhs FROM b$i) || '><' || (SELECT rhs FROM b$i) || '>',
          |      '<' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || '>') AS rep
          |  FROM $prev)""".stripMargin
-    }
-    val finalRows = (1 to iters).map(i =>
-      s"SELECT $i AS iter, lhs, rhs, lhs || rhs AS merged, pc FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+  }
+
+  /** The shared `w0 … w_iters` merge-round CTE chain. */
+  private def chainCtes(iters: Int): String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    regexp_replace(word, '(.)', '<\\1>', 'g') AS rep
        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
        |        FROM documents)
        |  GROUP BY word),
-       |${(1 to iters).map(stage).mkString(",\n")}
-       |SELECT CAST(iter AS BIGINT) AS iter, lhs, rhs, merged,
-       |  CAST(pc AS BIGINT) AS pair_count
-       |FROM ($finalRows)
-       |ORDER BY iter""".stripMargin
-  }
+       |${(1 to iters).map(stage).mkString(",\n")}""".stripMargin
+
+  /** DuckDB twin of [[encode]]: the same merge-round chain, then the
+    * final vocab's symbol counts joined back onto the exploded corpus. */
+  def encodeOracleSql(iters: Int): String =
+    s"""WITH ${chainCtes(iters)},
+       |v AS (SELECT word,
+       |        CAST(len(string_split(trim(rep, '<>'), '><')) AS BIGINT) AS n_syms
+       |      FROM w$iters),
+       |d AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |      FROM documents)
+       |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_subwords,
+       |  ROUND(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 4) AS ratio
+       |FROM d JOIN v USING (word)
+       |GROUP BY doc_id ORDER BY id""".stripMargin
 }

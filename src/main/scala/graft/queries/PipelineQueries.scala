@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Bpe, Dedup, Multimodal, Projection, Sampling, Similarity, Tfidf}
+import graft.operators.{Bpe, Dedup, Multimodal, Projection, Quantiles, Sampling, Similarity, Tfidf}
 
 /** Training-data pipeline operators exposed as declared queries over the
   * driver's `documents` / `embeddings` tables: deduplication (exact,
@@ -114,6 +114,30 @@ object PipelineQueries {
     * replays all 8 merge rounds including the argmax tiebreaks. */
   def t32BpeMerges(s: SparkSession, dir: String): DataFrame =
     Bpe.merges(docs(s, dir), "text", iters = 8)
+
+  /** CCNet head/middle/tail perplexity tiers (Wenzek '20): every doc
+    * bucketed by its t16 unigram-LM score at 1/3-share cuts —
+    * [[Quantiles.cumShareBuckets]]'s two-phase distinct-score window,
+    * never a corpus-wide ntile. Low NLL (fluent) = head. */
+  def t34PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    // the scores frame is probed three times (distinct-score table,
+    // total, attach join) — persist it once instead of re-running the
+    // t16 corpus pipeline per probe
+    val sc = t16UnigramLogprob(s, dir)
+    graft.operators.Caches.scoped(sc) {
+      Quantiles.cumShareBuckets(sc, "avg_nll",
+          Seq(("head", 1, 3), ("middle", 2, 3)), "tail")
+        .select("doc_id", "avg_nll", "bucket")
+    }.orderBy("doc_id")
+  }
+
+  /** Subword segmentation of the corpus with the t32-learned vocab
+    * ([[Bpe.encode]]) — the BPE APPLY step: per-doc subword counts and
+    * tokens-per-word ratio, one corpus join against the |vocab|-row
+    * segmentation table (never a per-merge-round corpus rescan). */
+  def t33BpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.encode(docs(s, dir), "doc_id", "text", iters = 8)
+      .orderBy("id")
 
   /** Exact tf-idf cosine near-dup pairs over the 3-gram inverted index
     * ([[Tfidf.cosinePairs]]) — the sparse-lexical twin of v03's dense
@@ -964,6 +988,8 @@ object PipelineQueries {
     "d10_quality_reps" -> d10QualityReps,
     "d11_tfidf_pairs" -> d11TfidfPairs,
     "t32_bpe_merges" -> t32BpeMerges,
+    "t33_bpe_encode" -> t33BpeEncode,
+    "t34_ppl_buckets" -> t34PplBuckets,
     "v22_rand_proj" -> v22RandProj,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
@@ -1823,6 +1849,22 @@ object PipelineQueries {
     "d10_quality_reps" -> d10OracleSql,
     "d11_tfidf_pairs" -> Tfidf.cosinePairsOracleSql(3, 64, 0.35),
     "t32_bpe_merges" -> Bpe.mergesOracleSql(8),
+    "t33_bpe_encode" -> Bpe.encodeOracleSql(8),
+    "t34_ppl_buckets" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM freq),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_nll
+        |  FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |${Quantiles.cumShareBucketsSql("avg_nll",
+             Seq(("head", 1, 3), ("middle", 2, 3)), "tail")}
+        |SELECT doc_id, sc.avg_nll, bucket
+        |FROM sc JOIN bk USING (avg_nll) ORDER BY doc_id""".stripMargin),
     "v22_rand_proj" -> Projection.randProjectOracleSql(64, 16),
     "d06_dup_triangles" -> d06OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit

@@ -35,6 +35,32 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.merges(df, "text", iters = 4).count() === 0)
   }
 
+  test("encode counts post-merge symbols per document") {
+    // after 2 merges on {"low" x5, "lower" x2}: "low" -> 1 symbol <low>,
+    // "lower" -> 3 symbols <low><e><r>
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = Bpe.encode(corpus, "doc_id", "text", iters = 2)
+      .orderBy("id").collect()
+    assert(out.length === 7)
+    out.take(5).foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === ((1L, 1L, 1.0)))
+    }
+    out.drop(5).foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === ((1L, 3L, 3.0)))
+    }
+  }
+
+  test("encode with zero effective merges counts characters") {
+    val corpus = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    // only 1 distinct doc; merges reduce symbols but n_tokens stays 2
+    val r = Bpe.encode(corpus, "doc_id", "text", iters = 1)
+      .collect().head
+    assert(r.getLong(1) === 2L)
+    // one merge applied somewhere: 5 chars total -> 4 symbols
+    assert(r.getLong(2) === 4L)
+  }
+
   test("corpus run yields the requested number of merges") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = Bpe.merges(d, "text", iters = 4).collect()
