@@ -27,9 +27,12 @@ import graft.functions.TextFns
   *    oracle, which keys by the same md5 prefix.
   *  - tf is a map-side-combinable `groupBy(id, gram_key)` count — and
   *    because the spread already hash-partitions by id, the grouping is
-  *    exchange-free. df is a second combinable aggregate over the tf
-  *    table (one row per (doc, gram_key)), shuffling only
-  *    (key, partial count).
+  *    exchange-free. The postings then take EXACTLY ONE gram_key
+  *    exchange (the inverted-index shuffle): df rides a window count
+  *    over that same partitioning instead of a separate aggregate +
+  *    attach join, and the pair self-join runs co-partitioned on the
+  *    persisted postings — no further key exchange anywhere in the
+  *    operator.
   *  - `dfCap` bounds the per-gram posting list: a gram seen in more than
   *    `dfCap` documents is dropped from BOTH the norms and the pair
   *    products (classic stop-gram pruning — at corpus scale "the" pairs
@@ -82,12 +85,15 @@ object Tfidf {
       .groupBy("id", "gram_key")
       .agg(count(lit(1)).cast("double").as("tf"))
 
-    val dfTbl = tf.groupBy("gram_key")
-      .agg(count(lit(1)).cast("double").as("df"))
-      .filter(col("df") <= dfCap)
     val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
 
-    val w = tf.join(dfTbl, "gram_key")
+    // the one inverted-index exchange; df as a window count over it
+    val keyed = tf.repartition(col("gram_key"))
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("gram_key"))
+        .cast("double"))
+      .filter(col("df") <= dfCap)
+    val w = keyed
       .crossJoin(broadcast(stats))
       .select(col("id"), col("df"), col("gram_key"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("w"))
