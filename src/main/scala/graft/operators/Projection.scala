@@ -57,6 +57,26 @@ object Projection {
     * `vecCol`, one row per output component, `val` = 4dp-rounded
     * `(Σ_i ±x_i) / √dimOut`.
     *
+    * Runs as the native codegen'd
+    * [[graft.functions.RandProjectExpr]] (scaled-long folds inside
+    * whole-stage codegen); [[hofProjection]] is the Column-algebra twin
+    * the expression is bit-equality-tested against. */
+  def randProject(df: DataFrame, idCol: String, vecCol: String,
+      dimIn: Int, dimOut: Int, tag: String = "rp"): DataFrame = {
+    require(dimIn >= 1 && dimOut >= 1, "dims must be >= 1")
+    val inv = exactInvRoot(dimOut).getOrElse(throw new IllegalArgumentException(
+      s"dimOut=$dimOut has no exact decimal 1/sqrt; pick 4, 16, 25, 64, 100, 256…"))
+    val signs = Array.tabulate(dimOut, dimIn)((j, i) => sign(tag, i + 1, j + 1))
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.RandProjectExpr(col(vecCol), signs, inv)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("component"),
+        col("col").as("val"))
+  }
+
+  /** The Column-algebra formulation of the projection (interpreted
+    * higher-order fold in DECIMAL): the semantic ground truth
+    * [[graft.functions.RandProjectExpr]] must match bit-for-bit.
+    *
     * The fold runs in DECIMAL(38,6) (exact, order-free); the sum is
     * then narrowed to DECIMAL(20,6) — far above any real vector's
     * magnitude, but below the precision ceiling, so the ×(1/√dimOut)
@@ -64,24 +84,18 @@ object Projection {
     * Spark's precision-loss re-round at scale 6 (a double-rounding
     * that would diverge from the oracle's single round on …4950-tail
     * values). One ROUND(·, 4) on the exact decimal, then DOUBLE. */
-  def randProject(df: DataFrame, idCol: String, vecCol: String,
-      dimIn: Int, dimOut: Int, tag: String = "rp"): DataFrame = {
-    require(dimIn >= 1 && dimOut >= 1, "dims must be >= 1")
-    val inv = exactInvRoot(dimOut).getOrElse(throw new IllegalArgumentException(
-      s"dimOut=$dimOut has no exact decimal 1/sqrt; pick 4, 16, 25, 64, 100, 256…"))
+  private[graft] def hofProjection(vecCol: Column, dimIn: Int, dimOut: Int,
+      tag: String): Column = {
+    val inv = exactInvRoot(dimOut).get
     val signM: Column = typedLit(
       (1 to dimOut).map(j => (1 to dimIn).map(i => sign(tag, i, j))))
-    val xd = transform(col(vecCol),
+    val xd = transform(vecCol,
       x => round(x.cast("double"), 6).cast(dec386))
     val praw = transform(signM, row =>
       aggregate(zip_with(xd, row, (x, s) => when(s === 1, x).otherwise(-x)),
         lit(0).cast(dec386), (acc, t) => acc + t)
         .cast(DecimalType(20, 6)))
-    df.select(col(idCol).as("id"),
-        posexplode(transform(praw,
-          p => round(p * lit(inv), 4).cast("double"))))
-      .select(col("id"), (col("pos") + 1).cast("long").as("component"),
-        col("col").as("val"))
+    transform(praw, p => round(p * lit(inv), 4).cast("double"))
   }
 
   /** DuckDB twin of [[randProject]] over

@@ -47,6 +47,51 @@ class ProjectionSpec extends SparkSuite {
     assert(mean > 0.75 && mean < 1.25, s"mean ratio $mean")
   }
 
+  test("native expression ≡ Column-algebra twin, bit for bit") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val inv = Projection.exactInvRoot(16).get
+    val signs = Array.tabulate(16, 64)((j, i) =>
+      Projection.sign("rp", i + 1, j + 1))
+    val both = e.select(
+      graft.functions.RandProjectExpr(col("embedding"), signs, inv).as("nat"),
+      Projection.hofProjection(col("embedding"), 64, 16, "rp").as("hof"))
+    assert(both.filter(not(col("nat") <=> col("hof"))).count() === 0)
+  }
+
+  test("native expression stays inside whole-stage codegen") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val inv = Projection.exactInvRoot(16).get
+    val signs = Array.tabulate(16, 64)((j, i) =>
+      Projection.sign("rp", i + 1, j + 1))
+    val plan = e.select(
+        graft.functions.RandProjectExpr(col("embedding"), signs, inv).as("p"))
+      .queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.collectFirst {
+      case p: org.apache.spark.sql.execution.ProjectExec
+        if p.projectList.exists(_.exists(_.isInstanceOf[graft.functions.RandProjectExpr])) => p
+    }.nonEmpty), s"projection fell out of codegen:\n$plan")
+  }
+
+  test("null and short vectors poison all lanes to null") {
+    val inv = Projection.exactInvRoot(4).get
+    val signs = Array.tabulate(4, 8)((j, i) =>
+      Projection.sign("rp", i + 1, j + 1))
+    val df = Seq(
+      (1L, Array.tabulate(8)(_.toFloat)),          // well-formed
+      (2L, Array.tabulate(5)(_.toFloat))           // short
+    ).toDF("id", "v")
+      .union(Seq((3L, null.asInstanceOf[Array[Float]])).toDF("id", "v"))
+    val rows = df.select(col("id"),
+        graft.functions.RandProjectExpr(col("v"), signs, inv).as("p"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Any](1).forall(_ != null))
+    assert(rows(1).getSeq[Any](1).forall(_ == null))
+    assert(rows(2).isNullAt(1))
+  }
+
   test("sign matrix is deterministic and tag-sensitive") {
     val a = (1 to 8).map(i => Projection.sign("rp", i, 1))
     assert(a === (1 to 8).map(i => Projection.sign("rp", i, 1)))
