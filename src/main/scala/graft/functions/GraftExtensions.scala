@@ -15,7 +15,9 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *
   * Surface: `minhash_sig(hash_col, k)` — the single-buffer MinHash
   * signature aggregate ([[MinHashSigAgg]]); `shingle_hashes(text, k)` —
-  * the native k-gram shingle hasher ([[ShingleHashes]]). */
+  * the native k-gram shingle hasher ([[ShingleHashes]]);
+  * `rand_project(vec, dim_in, dim_out[, tag])` — the codegen'd
+  * Rademacher JL projection ([[RandProjectExpr]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -38,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqSketchAgg].getCanonicalName, null,
         "freq_sketch", GraftFunctions.freqSketchUsage, ""),
       GraftFunctions.freqSketchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("rand_project"),
+      new ExpressionInfo(classOf[RandProjectExpr].getCanonicalName, null,
+        "rand_project", GraftFunctions.randProjectUsage, ""),
+      GraftFunctions.randProjectBuilder))
   }
 }
 
@@ -80,6 +87,30 @@ object GraftFunctions {
       s"freq_sketch expects (item_col, int literal capacity), got ${args.size} args")
   }
 
+  private[functions] val randProjectUsage =
+    "rand_project(vec, dim_in, dim_out[, tag]) - 4dp-rounded Rademacher JL projection (array<double>); sign matrix = md5('tag-i-j') parity"
+
+  private[functions] val randProjectBuilder: Seq[Expression] => Expression = {
+    def build(child: Expression, dimIn: Int, dimOut: Int, tag: String) = {
+      val inv = graft.operators.Projection.exactInvRoot(dimOut)
+        .getOrElse(throw new IllegalArgumentException(
+          s"rand_project: dim_out=$dimOut has no exact decimal 1/sqrt " +
+            "(use 4, 16, 25, 64, 100, 256, ...)"))
+      RandProjectExpr(child, Array.tabulate(dimOut, dimIn)((j, i) =>
+        graft.operators.Projection.sign(tag, i + 1, j + 1)), inv)
+    }
+    {
+      case Seq(child, Literal(dimIn: Int, _), Literal(dimOut: Int, _)) =>
+        build(child, dimIn, dimOut, "rp")
+      case Seq(child, Literal(dimIn: Int, _), Literal(dimOut: Int, _),
+          Literal(tag: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        build(child, dimIn, dimOut, tag.toString)
+      case args => throw new IllegalArgumentException(
+        "rand_project expects (vec, int literal dim_in, int literal dim_out" +
+          s"[, string literal tag]), got ${args.size} args")
+    }
+  }
+
   /** Register on a live session: `spark.sql("... minhash_sig(h, 64) ...")`. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "minhash_sig", minhashSigUsage,
@@ -90,5 +121,7 @@ object GraftFunctions {
       zValueBuilder)
     ColumnBridge.registerFunction(spark, "freq_sketch", freqSketchUsage,
       freqSketchBuilder)
+    ColumnBridge.registerFunction(spark, "rand_project", randProjectUsage,
+      randProjectBuilder)
   }
 }

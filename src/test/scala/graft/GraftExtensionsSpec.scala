@@ -53,6 +53,26 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(m === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("rand_project is callable from spark.sql and matches the API path") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("rp_emb")
+    val sql = spark.sql(
+      "SELECT vec_id, rand_project(embedding, 64, 16) AS p FROM rp_emb ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val api = graft.operators.Projection.randProject(
+        spark.read.parquet(s"$sf0001/embeddings.parquet"),
+        "vec_id", "embedding", 64, 16)
+      .groupBy("id").agg(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct("component", "val")).as("cv"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getLong(0)).map(_.getDouble(1)))).toSeq
+    assert(sql === api)
+  }
+
   test("extensions class injects without a session (config-based deploys)") {
     // instantiable + applies cleanly to a fresh extensions container —
     // what spark.sql.extensions=graft.functions.GraftExtensions does
