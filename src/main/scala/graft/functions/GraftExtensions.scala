@@ -92,6 +92,10 @@ object GraftFunctions {
 
   private[functions] val randProjectBuilder: Seq[Expression] => Expression = {
     def build(child: Expression, dimIn: Int, dimOut: Int, tag: String) = {
+      // same gate as the API path — a dim_in of 0 would otherwise build
+      // empty sign rows and fold every lane to a meaningless 0.0
+      if (dimIn < 1 || dimOut < 1) throw new IllegalArgumentException(
+        s"rand_project: dims must be >= 1, got dim_in=$dimIn dim_out=$dimOut")
       val inv = graft.operators.Projection.exactInvRoot(dimOut)
         .getOrElse(throw new IllegalArgumentException(
           s"rand_project: dim_out=$dimOut has no exact decimal 1/sqrt " +

@@ -65,6 +65,17 @@ case class RandProjectExpr(child: Expression, signs: Array[Array[Int]],
       s"graft.functions.RandProjectOps.compute($c, $signsRef, $invRef, $elemIsFloat)")
   }
 
+  // the default TreeNode rendering prints the raw int[][] as a JVM
+  // identity hash ([[I@6d33cf), which changes every run and would
+  // re-dirty the committed plan snapshot on each regeneration — render
+  // the matrix by shape + content hash instead (stable, and still
+  // distinguishes different matrices)
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    s"signs[${signs.length}x${signs.head.length}:" +
+      java.lang.Integer.toHexString(
+        java.util.Arrays.deepHashCode(signs.asInstanceOf[Array[AnyRef]])) + "]",
+    invRoot)
+
   override protected def withNewChildInternal(newChild: Expression): RandProjectExpr =
     copy(child = newChild)
 }
@@ -79,46 +90,89 @@ object RandProjectExpr {
 /** Static helper the generated code calls into. */
 object RandProjectOps {
 
-  /** `round(x, 6)` exactly as Spark's Round(double, 6) computes it,
-    * returned as the scale-6 unscaled long (= the DECIMAL(38,6) the
-    * Column form feeds its fold). */
-  private def scaled6(x: Double): Long =
-    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
-      .movePointRight(6).longValueExact()
+  /** Overflow bound for the exact-decimal lane sum: the Column form
+    * narrows to DECIMAL(20,6), whose capacity is |v| < 10^14 — a larger
+    * sum nulls the lane there, so it nulls here too. */
+  private val MaxLaneAbs = new JBigDecimal("100000000000000") // 1e14
 
   def compute(vec: ArrayData, signs: Array[Array[Int]],
       invRoot: JBigDecimal, elemIsFloat: Boolean): ArrayData = {
     val dimOut = signs.length
     val dimIn = signs.head.length
     val n = vec.numElements()
-    // quantize once per input element; MIN_VALUE-free null tracking via
-    // a parallel flag array (a null / absent element nulls every lane)
+    // quantize once per input element: round(x, 6) exactly as Spark's
+    // Round(double, 6), held as the scale-6 unscaled long. A null,
+    // absent, or non-finite element nulls every lane (Round passes
+    // NaN/Inf through and the twin's DECIMAL cast turns them to null,
+    // poisoning its fold the same way). Elements too large for the long
+    // fast path (|x| such that dimIn summands could overflow) divert the
+    // row to an exact BigDecimal slow path with the twin's
+    // DECIMAL(20,6)-overflow null semantics.
     val xs = new Array[Long](dimIn)
+    val longCap = Long.MaxValue / math.max(dimIn, 1)
     var anyNull = n < dimIn
+    var slow = false
     var i = 0
     while (i < dimIn && !anyNull) {
       if (vec.isNullAt(i)) anyNull = true
       else {
         val d = if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-        xs(i) = scaled6(d)
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) {
+          anyNull = true
+        } else {
+          val dec = JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+            .movePointRight(6)
+          if (dec.abs.compareTo(JBigDecimal.valueOf(longCap)) > 0) slow = true
+          else xs(i) = dec.longValueExact()
+        }
       }
       i += 1
     }
     val out = new Array[Any](dimOut)
-    if (!anyNull) {
-      var j = 0
-      while (j < dimOut) {
-        val row = signs(j)
-        var acc = 0L
-        var k = 0
-        while (k < dimIn) {
-          acc = if (row(k) == 1) acc + xs(k) else acc - xs(k)
-          k += 1
-        }
-        out(j) = JBigDecimal.valueOf(acc, 6).multiply(invRoot)
-          .setScale(4, RoundingMode.HALF_UP).doubleValue()
-        j += 1
+    if (anyNull) return new GenericArrayData(out)
+    if (slow) return computeSlow(vec, signs, invRoot, elemIsFloat)
+    var j = 0
+    while (j < dimOut) {
+      val row = signs(j)
+      var acc = 0L
+      var k = 0
+      while (k < dimIn) {
+        acc = if (row(k) == 1) acc + xs(k) else acc - xs(k)
+        k += 1
       }
+      out(j) = JBigDecimal.valueOf(acc, 6).multiply(invRoot)
+        .setScale(4, RoundingMode.HALF_UP).doubleValue()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact-decimal fallback for rows with huge (but finite) elements. */
+  private def computeSlow(vec: ArrayData, signs: Array[Array[Int]],
+      invRoot: JBigDecimal, elemIsFloat: Boolean): ArrayData = {
+    val dimOut = signs.length
+    val dimIn = signs.head.length
+    val xs = new Array[JBigDecimal](dimIn)
+    var i = 0
+    while (i < dimIn) {
+      val d = if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      xs(i) = JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+      i += 1
+    }
+    val out = new Array[Any](dimOut)
+    var j = 0
+    while (j < dimOut) {
+      val row = signs(j)
+      var acc = JBigDecimal.ZERO
+      var k = 0
+      while (k < dimIn) {
+        acc = if (row(k) == 1) acc.add(xs(k)) else acc.subtract(xs(k))
+        k += 1
+      }
+      out(j) =
+        if (acc.abs.compareTo(MaxLaneAbs) >= 0) null // DECIMAL(20,6) overflow
+        else acc.multiply(invRoot).setScale(4, RoundingMode.HALF_UP).doubleValue()
+      j += 1
     }
     new GenericArrayData(out)
   }

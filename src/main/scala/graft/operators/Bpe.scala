@@ -43,9 +43,21 @@ object Bpe {
     regexp_replace(word, "(.)", "<$1>")
 
   /** Learned state after `iters` merge rounds: the final vocab frame
-    * `(word, cnt, rep)` plus the merge log. The vocab is
-    * localCheckpoint'ed per round, so lineage stays O(1) and the merge
-    * loop's cost is `iters` combinable aggregates over |vocab| rows. */
+    * `(word, cnt, rep)` plus the merge log.
+    *
+    * ONE localCheckpoint — the corpus-scan vocab aggregate — feeds the
+    * whole loop; each round's vocab is just `i` chained literal
+    * `replace` projections over it (narrow, re-executed per aggregate),
+    * so there is no per-round checkpoint to leak and lineage stays
+    * O(iters) projections deep. Cost per round: one combinable
+    * aggregate over |vocab| rows.
+    *
+    * Contract: tokens must not contain the `<`/`>` wrapper characters —
+    * a `<` inside a symbol would break the boundary-safety argument
+    * (and the engines' wrapper-stripping disagrees on such words). The
+    * vocab probe fails fast instead of learning corrupt merges;
+    * production byte-level BPE maps bytes into a private alphabet
+    * first, which is out of scope here. */
   private def learn(df: DataFrame, textCol: String,
       iters: Int): (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
@@ -54,6 +66,10 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), wrapChars(col("word")).as("rep"))
       .localCheckpoint()
+    val bracketed = vocab.filter(col("word").contains("<") ||
+      col("word").contains(">")).limit(1).collect()
+    if (bracketed.nonEmpty) throw new IllegalArgumentException(
+      s"BPE tokens must not contain '<' or '>' (found: ${bracketed.head.getString(0)})")
 
     val learned = collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var drained = false
@@ -75,9 +91,8 @@ object Bpe {
         val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((i.toLong, a, b, a + b, pc))
         vocab = vocab.select(col("word"), col("cnt"),
-            call_function("replace", col("rep"),
-              lit(s"<$a><$b>"), lit(s"<$a$b>")).as("rep"))
-          .localCheckpoint()
+          call_function("replace", col("rep"),
+            lit(s"<$a><$b>"), lit(s"<$a$b>")).as("rep"))
       }
     }
     (vocab, learned.toSeq)
@@ -155,9 +170,12 @@ object Bpe {
          |b$i AS MATERIALIZED (SELECT lhs, rhs, CAST(pc AS BIGINT) AS pc FROM p$i
          |        ORDER BY pc DESC, lhs, rhs LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT word, cnt, replace(rep,
-         |      '<' || (SELECT lhs FROM b$i) || '><' || (SELECT rhs FROM b$i) || '>',
-         |      '<' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || '>') AS rep
+         |  SELECT word, cnt,
+         |    CASE WHEN (SELECT COUNT(*) FROM b$i) = 0 THEN rep
+         |         ELSE replace(rep,
+         |           '<' || (SELECT lhs FROM b$i) || '><' || (SELECT rhs FROM b$i) || '>',
+         |           '<' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || '>')
+         |    END AS rep
          |  FROM $prev)""".stripMargin
   }
 

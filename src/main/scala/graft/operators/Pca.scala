@@ -96,12 +96,10 @@ object Pca {
       norm2 = "SQRT(" + is.map(i => s"s2_$i * s2_$i").mkString(" + ") + ")")
   }
 
-  private val dec638 = org.apache.spark.sql.types.DecimalType(38, 6)
-
-  /** `CAST(SUM(CAST(ROUND(term, 6) AS DECIMAL(38,6))) AS DOUBLE)` — the
-    * column twin of [[decSum]]'s text. */
+  // the shared determinism recipe — the column twin of [[decSum]]'s text
+  private val dec638 = graft.functions.DecSum.dec386
   private def decSumC(term: Column): Column =
-    sum(round(term, 6).cast(dec638)).cast("double")
+    graft.functions.DecSum.decSum6(term)
 
   /** Left fold `0.0 + a(0) + a(1) + …` — the association the unrolled
     * oracle text uses (IEEE-identical to seeding with the first term,

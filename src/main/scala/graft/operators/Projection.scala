@@ -89,7 +89,11 @@ object Projection {
     val inv = exactInvRoot(dimOut).get
     val signM: Column = typedLit(
       (1 to dimOut).map(j => (1 to dimIn).map(i => sign(tag, i, j))))
-    val xd = transform(vecCol,
+    // slice to dimIn: without it zip_with null-pads the SIGN side for a
+    // longer vector and `otherwise(-x)` would treat the null sign as -1,
+    // silently adding tail elements the native expression and the oracle
+    // (which index v[1..dimIn]) both ignore
+    val xd = transform(slice(vecCol, 1, dimIn),
       x => round(x.cast("double"), 6).cast(dec386))
     val praw = transform(signM, row =>
       aggregate(zip_with(xd, row, (x, s) => when(s === 1, x).otherwise(-x)),

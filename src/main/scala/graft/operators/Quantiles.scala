@@ -34,7 +34,12 @@ object Quantiles {
   def cumShareBuckets(scores: DataFrame, scoreCol: String,
       cuts: Seq[(String, Int, Int)], lastLabel: String): DataFrame = {
     require(cuts.nonEmpty, "need at least one cut")
-    val dist = scores.groupBy(scoreCol).agg(count(lit(1)).as("__n"))
+    // null scores are excluded from the distribution AND the output
+    // (the attach join is inner): Spark's window orders NULLS FIRST
+    // where DuckDB defaults NULLS LAST, so a null group in `dist` would
+    // shift every cut differently per engine
+    val dist = scores.filter(col(scoreCol).isNotNull)
+      .groupBy(scoreCol).agg(count(lit(1)).as("__n"))
     val cum = dist
       .withColumn("__cum",
         sum(col("__n")).over(Window.orderBy(scoreCol)
@@ -56,7 +61,8 @@ object Quantiles {
     val cases = cuts.map { case (label, num, den) =>
       s"WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= $num * 1.0 / $den THEN '$label'"
     }.mkString(" ")
-    s"""dist AS (SELECT $scoreCol, COUNT(*) AS n FROM sc GROUP BY $scoreCol),
+    s"""dist AS (SELECT $scoreCol, COUNT(*) AS n FROM sc
+       |        WHERE $scoreCol IS NOT NULL GROUP BY $scoreCol),
        |c AS (SELECT $scoreCol,
        |        SUM(n) OVER (ORDER BY $scoreCol ROWS UNBOUNDED PRECEDING) AS cum
        |      FROM dist),

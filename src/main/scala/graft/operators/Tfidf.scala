@@ -2,9 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.TextFns
+import graft.functions.{DecSum, TextFns}
 
 /** Sparse lexical similarity: exact tf-idf cosine over an n-gram
   * inverted index, with a document-frequency cap as the scale contract.
@@ -53,12 +52,7 @@ import graft.functions.TextFns
   */
 object Tfidf {
 
-  private val dec386 = DecimalType(38, 6)
-
-  /** Partition-order-independent sum: 6dp-rounded term, exact decimal
-    * addition, double result. */
-  private def decSum(term: Column): Column =
-    sum(round(term, 6).cast(dec386)).cast("double")
+  import DecSum.decSum6
 
   /** All k-gram shingles WITH multiplicity (tf needs counts;
     * [[Dedup.shingles]] is the distinct variant). Documents shorter
@@ -100,14 +94,14 @@ object Tfidf {
 
     Caches.scoped(w) {
       val norms = w.groupBy("id")
-        .agg(sqrt(decSum(col("w") * col("w"))).as("nrm"))
+        .agg(sqrt(decSum6(col("w") * col("w"))).as("nrm"))
       val postings = w.filter(col("df") >= 2).select("gram_key", "id", "w")
       val dots = postings.as("a")
         .join(postings.as("b"),
           col("a.gram_key") === col("b.gram_key") &&
             col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(decSum(col("a.w") * col("b.w")).as("dot"))
+        .agg(decSum6(col("a.w") * col("b.w")).as("dot"))
       dots
         .join(norms.withColumnRenamed("id", "id_a")
           .withColumnRenamed("nrm", "nrm_a"), "id_a")

@@ -61,6 +61,14 @@ class BpeSpec extends SparkSuite {
     assert(r.getLong(2) === 4L)
   }
 
+  test("tokens containing wrapper brackets fail fast") {
+    val df = Seq((1L, "ok <br> ok")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.merges(df, "text", iters = 2).collect()
+    }
+    assert(e.getMessage.contains("<"))
+  }
+
   test("corpus run yields the requested number of merges") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = Bpe.merges(d, "text", iters = 4).collect()

@@ -75,6 +75,38 @@ class ProjectionSpec extends SparkSuite {
     }.nonEmpty), s"projection fell out of codegen:\n$plan")
   }
 
+  test("NaN and infinite elements poison all lanes like the decimal twin") {
+    val inv = Projection.exactInvRoot(4).get
+    val signs = Array.tabulate(4, 8)((j, i) =>
+      Projection.sign("rp", i + 1, j + 1))
+    val df = Seq(
+      (1L, Array.tabulate(8)(i => if (i == 3) Float.NaN else 1f)),
+      (2L, Array.tabulate(8)(i => if (i == 5) Float.PositiveInfinity else 1f)))
+      .toDF("id", "v")
+    val rows = df.select(col("id"),
+        graft.functions.RandProjectExpr(col("v"), signs, inv).as("p"))
+      .orderBy("id").collect()
+    rows.foreach(r => assert(r.getSeq[Any](1).forall(_ == null)))
+  }
+
+  test("elements past dimIn are ignored by native, twin, and therefore equally") {
+    val inv = Projection.exactInvRoot(4).get
+    val signs = Array.tabulate(4, 8)((j, i) =>
+      Projection.sign("rp", i + 1, j + 1))
+    val long = Seq((1L, Array.tabulate(12)(i => (i + 1).toFloat)))
+      .toDF("id", "v")
+    val both = long.select(
+      graft.functions.RandProjectExpr(col("v"), signs, inv).as("nat"),
+      Projection.hofProjection(col("v"), 8, 4, "rp").as("hof"))
+    val r = both.collect().head
+    assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    // and equals the projection of the truncated vector
+    val trunc = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat))).toDF("id", "v")
+      .select(graft.functions.RandProjectExpr(col("v"), signs, inv).as("p"))
+      .collect().head.getSeq[Double](0)
+    assert(r.getSeq[Double](0) === trunc)
+  }
+
   test("null and short vectors poison all lanes to null") {
     val inv = Projection.exactInvRoot(4).get
     val signs = Array.tabulate(4, 8)((j, i) =>

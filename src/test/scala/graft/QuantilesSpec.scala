@@ -27,6 +27,18 @@ class QuantilesSpec extends SparkSuite {
     assert(out.drop(6).toSet === Set("tail"))
   }
 
+  test("null scores neither shift the cuts nor appear in the output") {
+    val withNulls = (1 to 9).map(i => (i.toLong, Some(i.toDouble)))
+      .toDF("id", "s")
+      .union(Seq((100L, None: Option[Double]), (101L, None: Option[Double]))
+        .toDF("id", "s"))
+    val out = Quantiles.cumShareBuckets(withNulls, "s", cuts, "tail")
+      .orderBy("id").collect()
+    assert(out.length === 9) // null rows dropped
+    assert(out.map(_.getAs[String]("bucket")).toSeq ===
+      Seq.fill(3)("head") ++ Seq.fill(3)("middle") ++ Seq.fill(3)("tail"))
+  }
+
   test("bucketing is partition-independent") {
     val base = (1 to 100).map(i => (i.toLong, (i % 17).toDouble)).toDF("id", "s")
     val a = Quantiles.cumShareBuckets(base, "s", cuts, "tail")
