@@ -113,11 +113,77 @@ object Tfidf {
     }
   }
 
+  /** Daily-increment twin of [[cosinePairs]]: pairs with at least one
+    * NEW endpoint (per `newPred`), exactly equal to
+    * `cosinePairs(all).filter(id_a new ∨ id_b new)` — df, idf, and
+    * norms stay CORPUS-wide, so the increment sees the same weights a
+    * full recompute would.
+    *
+    * The scale contract is the [[Dedup.incrementalMinhashPairs]] shape:
+    * the pair join probes with the increment's postings only, so its
+    * cost is ∝ increment × df, never corpus². Orientation dedup is done
+    * in the join condition — `a.id < b.id ∨ ¬b.is_new` keeps exactly
+    * one orientation per pair (both-new pairs arrive in both orders
+    * from the new-side probe; new×old pairs arrive once) — because the
+    * dot is an AGGREGATE over shared grams and a distinct() after the
+    * fact would be too late to stop double-counted terms. */
+  def incrementalCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      newPred: Column, nGram: Int = 3, dfCap: Int = 64,
+      threshold: Double = 0.35): DataFrame = {
+    require(nGram >= 1 && dfCap >= 2, "nGram >= 1, dfCap >= 2")
+    val spread = Caches.spreadByKey(df, col(idCol))
+    val tf = spread
+      .select(col(idCol).as("id"),
+        explode(rawShingles(col(textCol), nGram)).as("gram"))
+      .select(col("id"), substring(md5(col("gram")), 1, 16).as("gram_key"))
+      .groupBy("id", "gram_key")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val flags = df.select(col(idCol).as("id"), newPred.as("is_new"))
+
+    val keyed = tf.repartition(col("gram_key"))
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("gram_key"))
+        .cast("double"))
+      .filter(col("df") <= dfCap)
+    val w = keyed
+      .crossJoin(broadcast(stats))
+      .join(flags, "id") // doc-count-sized side; AQE broadcasts
+      .select(col("id"), col("is_new"), col("df"), col("gram_key"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("w"))
+
+    Caches.scoped(w) {
+      val norms = w.groupBy("id")
+        .agg(sqrt(decSum6(col("w") * col("w"))).as("nrm"))
+      val postings = w.filter(col("df") >= 2)
+        .select("gram_key", "id", "is_new", "w")
+      val dots = postings.filter(col("is_new")).as("a")
+        .join(postings.as("b"),
+          col("a.gram_key") === col("b.gram_key") &&
+            col("a.id") =!= col("b.id") &&
+            (col("a.id") < col("b.id") || !col("b.is_new")))
+        .groupBy(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .agg(decSum6(col("a.w") * col("b.w")).as("dot"))
+      dots
+        .join(norms.withColumnRenamed("id", "id_a")
+          .withColumnRenamed("nrm", "nrm_a"), "id_a")
+        .join(norms.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("nrm", "nrm_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("dot") / (col("nrm_a") * col("nrm_b")), 4).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+  }
+
   /** DuckDB twin of [[cosinePairs]] over `documents(doc_id, text)` —
     * identical gram extraction, weighting, capping, and decimal-sum
-    * arithmetic. */
+    * arithmetic. `extraWhere` (over `id_a`/`id_b`) restricts the pair
+    * set — the [[incrementalCosinePairs]] oracle is the FULL recompute
+    * filtered to new-endpoint pairs, which is exactly that operator's
+    * equality contract. */
   def cosinePairsOracleSql(nGram: Int, dfCap: Int,
-      threshold: Double): String =
+      threshold: Double, extraWhere: String = ""): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM documents),
@@ -151,5 +217,5 @@ object Tfidf {
        |FROM dots JOIN nrm na ON dots.id_a = na.doc_id
        |          JOIN nrm nb ON dots.id_b = nb.doc_id
        |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |${if (extraWhere.isEmpty) "" else s"  AND ($extraWhere)\n"}ORDER BY id_a, id_b""".stripMargin
 }

@@ -149,6 +149,18 @@ object PipelineQueries {
         nGram = 3, dfCap = 64, threshold = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** Incremental tf-idf near-dup pairs — d11 restricted to pairs
+    * touching the daily increment (every 10th doc), probed from the
+    * increment's postings only so cost is ∝ increment
+    * ([[Tfidf.incrementalCosinePairs]]); df/idf/norms stay corpus-wide,
+    * and the oracle is the full recompute filtered to new endpoints —
+    * the operator's exact equality contract. */
+  def d12IncrementalTfidf(s: SparkSession, dir: String): DataFrame =
+    Tfidf.incrementalCosinePairs(docs(s, dir), "doc_id", "text",
+        newPred = col("doc_id") % 10 === 3,
+        nGram = 3, dfCap = 64, threshold = 0.35)
+      .orderBy("id_a", "id_b")
+
   /** Triangle count over the near-dup pair graph — the graph-density
     * probe of a dedup report (triangle-rich components are template
     * families; triangle-free ones are chains worth eyeballing). Ordered
@@ -987,6 +999,7 @@ object PipelineQueries {
     "d09_incremental_minhash" -> d09IncrementalMinhash,
     "d10_quality_reps" -> d10QualityReps,
     "d11_tfidf_pairs" -> d11TfidfPairs,
+    "d12_incremental_tfidf" -> d12IncrementalTfidf,
     "t32_bpe_merges" -> t32BpeMerges,
     "t33_bpe_encode" -> t33BpeEncode,
     "t34_ppl_buckets" -> t34PplBuckets,
@@ -1848,6 +1861,8 @@ object PipelineQueries {
     "d05_dup_clusters" -> d05OracleSql,
     "d10_quality_reps" -> d10OracleSql,
     "d11_tfidf_pairs" -> Tfidf.cosinePairsOracleSql(3, 64, 0.35),
+    "d12_incremental_tfidf" -> Tfidf.cosinePairsOracleSql(3, 64, 0.35,
+      extraWhere = "id_a % 10 = 3 OR id_b % 10 = 3"),
     "t32_bpe_merges" -> Bpe.mergesOracleSql(8),
     "t33_bpe_encode" -> Bpe.encodeOracleSql(8),
     "t34_ppl_buckets" ->

@@ -49,6 +49,32 @@ class TfidfSpec extends SparkSuite {
     assert(out.head.getDouble(2) === 1.0)
   }
 
+  test("incremental ≡ full recompute filtered to new endpoints") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pred = col("doc_id") % 10 === 3
+    val inc = graft.operators.Tfidf.incrementalCosinePairs(
+        d, "doc_id", "text", pred)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val full = graft.operators.Tfidf.cosinePairs(d, "doc_id", "text")
+      .filter(col("id_a") % 10 === 3 || col("id_b") % 10 === 3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty, "vacuous increment — pick a different predicate")
+  }
+
+  test("both-new pairs are not double-counted by the increment probe") {
+    // identical docs 2 and 7 BOTH new: the pair arrives from both probe
+    // orientations; a double-counted dot would give cos 2.0, not 1.0
+    val dup = Seq((7L, "p q r s t"), (2L, "p q r s t"), (9L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Tfidf.incrementalCosinePairs(
+        dup, "doc_id", "text", newPred = lit(true),
+        nGram = 3, dfCap = 64, threshold = 0.5)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 1.0)
+  }
+
   test("corpus near-dups surface at sf0.001 with bounded pair count") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val n = Tfidf.cosinePairs(d, "doc_id", "text").count()
