@@ -1078,6 +1078,25 @@ object Similarity {
       .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
         count(lit(1)), 4).as("recall"))
 
+  /** Mutual-kNN edges from ANY per-query top-k table (query_id,
+    * neighbor_id, ...): the edge (a, b) survives iff a sits in b's
+    * top-k AND b in a's — the standard symmetrization that turns a
+    * directed kNN list into the graph whose connected components are
+    * embedding clusters (no k to choose, unlike k-means; hubs don't
+    * absorb everything, unlike single-threshold near-dup). Input-
+    * agnostic on purpose: at oracle scale feed [[bruteForceTopK]], at
+    * corpus scale the index-served lists ([[ivfServeTopK]] /
+    * [[lshServeTopK]] / [[pqServeTopK]]) — the mutuality join is one
+    * shuffle on the (query, neighbor) pair, never touching vectors. */
+  def mutualKnnEdges(topk: DataFrame): DataFrame = {
+    val t = topk.select(col("query_id"), col("neighbor_id"))
+    t.join(t.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+  }
+
   /** Embedding near-dup pairs via one LSH bucket self-join, with the
     * same hot-bucket guard as the text dedups ([[Dedup.withBucketStats]]
     * rationale): a bucket holding more than `maxBucket` vectors (a

@@ -131,6 +131,29 @@ object PipelineQueries {
     }.orderBy("doc_id")
   }
 
+  /** Shannon token-entropy quality signal — per document, the entropy
+    * of its own token distribution, H = ln(n) − Σ c·ln(c)/n, plus the
+    * type-normalized form H/ln(types) in [0,1]. Low entropy flags
+    * keyword-stuffed/looped spam that survives a TTR gate (t26) when
+    * the repetition is spread over a few alternating types; the
+    * normalized form is length-comparable, which is what a corpus-wide
+    * threshold needs. Two map-side-combinable aggregations — per
+    * (doc, token) counts then per-doc moments — no joins, no windows:
+    * the cheapest corpus pass in the quality tier, safe at any scale. */
+  def t35TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+    val h = log(col("n").cast("double")) - col("slc") / col("n")
+    tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), round(h, 4).as("token_entropy"),
+        round(when(col("types") > 1, h / log(col("types").cast("double")))
+          .otherwise(lit(0.0)), 4).as("entropy_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Subword segmentation of the corpus with the t32-learned vocab
     * ([[Bpe.encode]]) — the BPE APPLY step: per-doc subword counts and
     * tokens-per-word ratio, one corpus join against the |vocab|-row
@@ -160,6 +183,25 @@ object PipelineQueries {
         newPred = col("doc_id") % 10 === 3,
         nGram = 3, dfCap = 64, threshold = 0.35)
       .orderBy("id_a", "id_b")
+
+  /** Corpus snapshot diff ([[graft.operators.CorpusDiff]]) — v2 is a
+    * deterministic rebuild of the corpus with every 97th doc dropped,
+    * every doc_id % 89 == 5 revised, and every doc_id % 101 == 7
+    * re-ingested under a fresh id: the three fates an iterative corpus
+    * rebuild produces. The report is the per-source change ledger a
+    * rebuild gate reads before promoting v2. One fixed-width full-outer
+    * join on the id — document bodies never shuffle. */
+  def d13CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(s, dir)
+    val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text", when(col("doc_id") % 89 === 5,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 101 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.operators.CorpusDiff.diffReport(v1, v2, "doc_id", "text",
+        Seq("source"))
+      .orderBy("source", "change")
+  }
 
   /** Triangle count over the near-dup pair graph — the graph-density
     * probe of a dedup report (triangle-rich components are template
@@ -740,6 +782,29 @@ object PipelineQueries {
         dimIn = 64, dimOut = 16)
       .orderBy("id", "component")
 
+  /** Mutual-kNN graph clustering — symmetrize the brute-force top-2
+    * lists ([[Similarity.mutualKnnEdges]]) and label the connected
+    * components with the O(log n) star contraction
+    * ([[Dedup.dupClustersLogStar]]): embedding cluster structure with
+    * no k to pick and no similarity threshold to tune, the grouping
+    * SemDeDup-style curation slices a corpus by. Brute top-k here so
+    * DuckDB can replay every arithmetic step; at corpus scale the SAME
+    * edge builder takes the index-served lists (IVF/LSH/PQ) — the
+    * mutuality join and the component rounds only ever shuffle id
+    * pairs, never vectors. k = 2: on this corpus the mutual-4NN graph
+    * percolates into one 477-node blob — structure-free — where
+    * mutual-2NN yields ~100 components of size 2-14; the standard
+    * sparsify-until-it-shatters dial, and the dial is the point. */
+  def v23KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val edges = Similarity.mutualKnnEdges(
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 2))
+    val comp = Dedup.dupClustersLogStar(e.select("vec_id"), "vec_id", edges)
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "cluster_id")
+      .select("vec_id", "cluster_id", "comp_size").orderBy("vec_id")
+  }
+
   /** Per-label embedding centroid norms — the first pass of
     * centroid-based dataset cleaning (a vector far from its label's
     * centroid is a labeling-error candidate). One grouped aggregate,
@@ -1000,10 +1065,13 @@ object PipelineQueries {
     "d10_quality_reps" -> d10QualityReps,
     "d11_tfidf_pairs" -> d11TfidfPairs,
     "d12_incremental_tfidf" -> d12IncrementalTfidf,
+    "d13_corpus_diff" -> d13CorpusDiff,
     "t32_bpe_merges" -> t32BpeMerges,
     "t33_bpe_encode" -> t33BpeEncode,
     "t34_ppl_buckets" -> t34PplBuckets,
+    "t35_token_entropy" -> t35TokenEntropy,
     "v22_rand_proj" -> v22RandProj,
+    "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
     "t22_winnow" -> t22Winnow,
@@ -1593,6 +1661,38 @@ object PipelineQueries {
       |QUALIFY rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** v23 replays the whole chain — all-pairs cosine, per-query top-2
+    * with the same (sim desc, id) tie-break, the mutuality join, and
+    * the component closure as a recursive CTE (d05's pattern). */
+  private lazy val v23OracleSql: String =
+    """WITH RECURSIVE scored AS (
+      |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |topk AS (
+      |  SELECT qa, qb FROM (
+      |    SELECT qa, qb,
+      |      row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rn
+      |    FROM scored) WHERE rn <= 2),
+      |mutual AS (
+      |  SELECT t1.qa AS id_a, t1.qb AS id_b
+      |  FROM topk t1 JOIN topk t2 ON t1.qa = t2.qb AND t1.qb = t2.qa
+      |  WHERE t1.qa < t1.qb),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM mutual
+      |  UNION SELECT id_b, id_a FROM mutual),
+      |reach AS (
+      |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY src)
+      |SELECT vec_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS comp_size
+      |FROM comp ORDER BY vec_id""".stripMargin
+
   /** v08 replays BOTH sides — the v01 truth and the v02 LSH probe — as
     * CTEs and recomputes the same left-join recall. */
   private lazy val v08OracleSql: String =
@@ -1880,6 +1980,40 @@ object PipelineQueries {
              Seq(("head", 1, 3), ("middle", 2, 3)), "tail")}
         |SELECT doc_id, sc.avg_nll, bucket
         |FROM sc JOIN bk USING (avg_nll) ORDER BY doc_id""".stripMargin),
+    "d13_corpus_diff" ->
+      ("""WITH v1 AS (SELECT doc_id, md5(text) AS h, source FROM documents),
+        |v2raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 5 THEN text || ' rev2' ELSE text END AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 101 = 7),
+        |v2 AS (SELECT doc_id, md5(text) AS h, source FROM v2raw),
+        |j AS (
+        |  SELECT COALESCE(v2.source, v1.source) AS source,
+        |    CASE WHEN v1.h IS NULL THEN 'added'
+        |         WHEN v2.h IS NULL THEN 'removed'
+        |         WHEN v1.h <> v2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, change, COUNT(*) AS n_docs
+        |FROM j GROUP BY source, change ORDER BY source, change""".stripMargin),
+    "t35_token_entropy" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS types,
+        |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  ROUND(ln(CAST(n AS DOUBLE)) - slc / n, 4) AS token_entropy,
+        |  ROUND(CASE WHEN types > 1
+        |    THEN (ln(CAST(n AS DOUBLE)) - slc / n) / ln(CAST(types AS DOUBLE))
+        |    ELSE 0.0 END, 4) AS entropy_norm
+        |FROM agg ORDER BY doc_id""".stripMargin),
     "v22_rand_proj" -> Projection.randProjectOracleSql(64, 16),
     "d06_dup_triangles" -> d06OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit
@@ -1910,6 +2044,7 @@ object PipelineQueries {
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
     "v01_ann_brute" -> v01OracleSql,
+    "v23_knn_graph" -> v23OracleSql,
     "v08_ann_recall" -> v08OracleSql,
     "v13_ivf_recall" -> v13OracleSql,
     "v14_pq_topk" -> v14OracleSql,

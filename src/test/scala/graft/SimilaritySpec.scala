@@ -431,4 +431,31 @@ class SimilaritySpec extends SparkSuite {
     val recall = (sq & brute).size.toDouble / brute.size
     assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
   }
+
+  test("mutualKnnEdges keeps exactly the symmetric pairs, ordered a<b") {
+    // hand-built DIRECTED top-k lists: 1↔2 mutual, 3→1 one-way,
+    // 2↔3 mutual (listed b-side first to exercise the ordering)
+    val topk = Seq(
+      (1L, 2L), (2L, 1L), // mutual
+      (3L, 1L),           // 1 never lists 3 back
+      (3L, 2L), (2L, 3L)  // mutual, emitted as (2,3)
+    ).toDF("query_id", "neighbor_id")
+    val edges = Similarity.mutualKnnEdges(topk)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("mutualKnnEdges on brute self-kNN: every edge is in both lists") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 2)
+    val lists = topk.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = Similarity.mutualKnnEdges(topk)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "mutual-2NN graph is empty on the corpus")
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.forall { case (a, b) =>
+      lists.contains((a, b)) && lists.contains((b, a)) })
+    assert(edges.distinct.length === edges.length)
+  }
 }

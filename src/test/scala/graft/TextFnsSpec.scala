@@ -127,4 +127,26 @@ class TextFnsSpec extends SparkSuite {
       assert(math.abs(s - ref(text)) < 1e-9, s"doc $id")
     }
   }
+
+  test("t35 token entropy: hand-computed H and normalized form") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t35").toString
+    Seq(
+      (1L, "a a b b"),  // H = ln 2, 2 types → norm 1
+      (2L, "a a a a"),  // zero entropy
+      (3L, "a b c d"),  // H = ln 4, uniform → norm 1
+      (4L, "a"),        // single token: H = 0, types = 1 → norm 0 (guard)
+      (5L, "a a a b")   // H = ln4 − (3 ln 3)/4; norm = H / ln 2
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.PipelineQueries.t35TokenEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val h5 = math.log(4) - 3 * math.log(3) / 4
+    assert(out(1L) === ((r4(math.log(2)), 1.0)))
+    assert(out(2L) === ((0.0, 0.0)))
+    assert(out(3L) === ((r4(math.log(4)), 1.0)))
+    assert(out(4L) === ((0.0, 0.0)))
+    assert(out(5L) === ((r4(h5), r4(h5 / math.log(2)))))
+  }
 }
