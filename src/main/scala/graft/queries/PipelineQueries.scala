@@ -782,23 +782,29 @@ object PipelineQueries {
         dimIn = 64, dimOut = 16)
       .orderBy("id", "component")
 
-  /** Mutual-kNN graph clustering — symmetrize the brute-force top-2
-    * lists ([[Similarity.mutualKnnEdges]]) and label the connected
+  /** Mutual-kNN graph clustering — symmetrize the LSH top-2 lists
+    * ([[Similarity.mutualKnnEdges]]) and label the connected
     * components with the O(log n) star contraction
     * ([[Dedup.dupClustersLogStar]]): embedding cluster structure with
     * no k to pick and no similarity threshold to tune, the grouping
-    * SemDeDup-style curation slices a corpus by. Brute top-k here so
-    * DuckDB can replay every arithmetic step; at corpus scale the SAME
-    * edge builder takes the index-served lists (IVF/LSH/PQ) — the
-    * mutuality join and the component rounds only ever shuffle id
-    * pairs, never vectors. k = 2: on this corpus the mutual-4NN graph
-    * percolates into one 477-node blob — structure-free — where
-    * mutual-2NN yields ~100 components of size 2-14; the standard
-    * sparsify-until-it-shatters dial, and the dial is the point. */
+    * SemDeDup-style curation slices a corpus by. The top-k source is
+    * the multi-probe LSH tier (v02's exact parameters, so the oracle
+    * replays it arithmetic-step-for-arithmetic-step), NOT brute force:
+    * self-kNN for EVERY vector is the one ANN call where the O(n²)
+    * baseline actually bites (measured 10.7 s vs ~3 s at sf0.1;
+    * unusable at corpus scale) — bucket-bounded candidates are the
+    * 100 TB shape, and [[Similarity.mutualKnnEdges]] is agnostic to
+    * which index serves the lists. The mutuality join and the
+    * component rounds only ever shuffle id pairs, never vectors.
+    * k = 2: on this corpus a mutual-4NN graph percolates into one
+    * 477-node blob — structure-free — where mutual-2NN yields ~100
+    * components of size 2-14; the standard sparsify-until-it-shatters
+    * dial, and the dial is the point. */
   def v23KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val edges = Similarity.mutualKnnEdges(
-      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 2))
+      Similarity.lshTopK(e, e, "vec_id", "embedding", k = 2,
+        numPlanes = 6, dim = 64))
     val comp = Dedup.dupClustersLogStar(e.select("vec_id"), "vec_id", edges)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("comp_size"))
     comp.join(sizes, "cluster_id")
@@ -1661,15 +1667,25 @@ object PipelineQueries {
       |QUALIFY rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
-  /** v23 replays the whole chain — all-pairs cosine, per-query top-2
-    * with the same (sim desc, id) tie-break, the mutuality join, and
-    * the component closure as a recursive CTE (d05's pattern). */
-  private lazy val v23OracleSql: String =
-    """WITH RECURSIVE scored AS (
-      |  SELECT a.vec_id AS qa, b.vec_id AS qb,
-      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                           CAST(b.embedding AS DOUBLE[])) AS sim
-      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+  /** v23 replays the whole chain — the v02 multi-probe LSH top-k (same
+    * planes, same probes, rank ≤ 2, every vector a query), the
+    * mutuality join, and the component closure as a recursive CTE
+    * (d05's pattern). */
+  private lazy val v23OracleSql: String = {
+    val probes = (Seq(0L) ++ (0 until 6).map(i => 1L << i)).mkString(", ")
+    s"""WITH RECURSIVE c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn,
+      |       ${bucketSql("v", annPlanes)} AS bucket FROM c),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
+      |qb AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn,
+      |       ${bucketSql("qv", annPlanes)} AS bucket0 FROM q),
+      |qp AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket
+      |       FROM qb, (SELECT unnest([$probes]) AS m)),
+      |cand AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn
+      |         FROM qp JOIN cb USING (bucket) WHERE query_id <> neighbor_id),
+      |scored AS (SELECT query_id AS qa, neighbor_id AS qb,
+      |    list_dot_product(qv, v) / NULLIF(qn * vn, 0.0) AS sim FROM cand),
       |topk AS (
       |  SELECT qa, qb FROM (
       |    SELECT qa, qb,
@@ -1692,6 +1708,7 @@ object PipelineQueries {
       |SELECT vec_id, cluster_id,
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS comp_size
       |FROM comp ORDER BY vec_id""".stripMargin
+  }
 
   /** v08 replays BOTH sides — the v01 truth and the v02 LSH probe — as
     * CTEs and recomputes the same left-join recall. */
