@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Quantiles, Tfidf}
+import graft.operators.{Bpe, CorpusDiff, Quantiles, Similarity, Tfidf}
 
 /** Seeded randomized invariants for the round-6 operators — the
   * property net UNDER the oracle gate: these hold for ANY corpus, not
@@ -53,6 +53,51 @@ class PipelinePropertySpec extends SparkSuite {
       val counts = merges.map(_.getLong(4)).toSeq
       assert(counts === counts.sorted.reverse,
         s"trial $trial: merge counts increased: $counts")
+    }
+  }
+
+  test("corpusDiff: classes partition v1 ∪ v2 and invert under swap") {
+    (1 to 3).foreach { trial =>
+      val v1 = randomCorpus(40, 6).toDF("doc_id", "text")
+      // v2: random subset dropped, random subset revised, some new ids
+      val v2 = v1.filter(abs(hash(col("doc_id") + trial)) % 5 =!= 0)
+        .withColumn("text", when(abs(hash(col("doc_id") * 7 + trial)) % 4 === 0,
+          concat(col("text"), lit(" rev"))).otherwise(col("text")))
+        .unionByName(v1.filter(abs(hash(col("doc_id") - trial)) % 6 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000L))
+      val fwd = CorpusDiff.diff(v1, v2, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // exactly one verdict per id in the union, and counts reconcile
+      val ids1 = v1.select("doc_id").collect().map(_.getLong(0)).toSet
+      val ids2 = v2.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fwd.keySet === (ids1 ++ ids2), s"trial $trial: ids not partitioned")
+      assert(fwd.count(_._2 == "added") === (ids2 -- ids1).size)
+      assert(fwd.count(_._2 == "removed") === (ids1 -- ids2).size)
+      // diff is an involution up to added <-> removed
+      val bwd = CorpusDiff.diff(v2, v1, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      fwd.foreach { case (id, c) =>
+        val expect = c match {
+          case "added" => "removed"; case "removed" => "added"; case x => x
+        }
+        assert(bwd(id) === expect, s"trial $trial: id $id $c vs ${bwd(id)}")
+      }
+    }
+  }
+
+  test("mutualKnnEdges ⊆ both directed lists and is swap-invariant") {
+    (1 to 3).foreach { trial =>
+      // random directed top-k lists (not from any metric — the edge
+      // builder must not care)
+      val lists = (0 until 200).map { _ =>
+        (rng.nextInt(30).toLong, rng.nextInt(30).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val topk = lists.toDF("query_id", "neighbor_id")
+      val edges = Similarity.mutualKnnEdges(topk)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val l = lists.toSet
+      val expected = l.filter { case (a, b) => a < b && l.contains((b, a)) }
+      assert(edges === expected, s"trial $trial")
     }
   }
 
