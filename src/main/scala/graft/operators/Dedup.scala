@@ -981,4 +981,142 @@ object Dedup {
         .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
     }
   }
+
+  // ---- materialized MinHash dedup index (build once / probe many) ----
+
+  /** Materialize the MinHash text-dedup index — the dedup tier's
+    * build-once/serve-many counterpart of [[Similarity.buildLshIndex]]:
+    * a `postings` table (band, bucket, id) PARTITIONED BY
+    * `bucket_p = pmod(bucket, parts)` (the probe's partition-pruning
+    * key), a `shingles` table (id, hs) for exact-Jaccard verification,
+    * and a 1-row `meta` table freezing (k, num_hashes, bands, parts) —
+    * probe and append must replay the IDENTICAL signature arithmetic.
+    * [[incrementalMinhashPairs]] makes the nightly increment cheap but
+    * still re-signs the settled corpus every run; this persists that
+    * work, so "is this document a near-dup of anything we have EVER
+    * ingested" costs one signature pass over the probe batch plus a
+    * partition-pruned postings scan.
+    *
+    * Postings rows are a PURE per-document function of the frozen
+    * parameters — no bucket statistics are stored — so
+    * [[appendToMinhashIndex]] is ALWAYS exactly equivalent to a
+    * one-shot rebuild (DedupIndexSpec asserts it); hot-bucket capping
+    * happens at probe time over the probed buckets only. */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, parts: Int = 64): Unit = {
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    require(parts >= 1, s"parts ($parts) must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((k, numHashes, bands, parts))
+      .toDF("k", "num_hashes", "bands", "parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    writeMinhashIndexRows(corpus, idCol, textCol,
+      k, numHashes, bands, parts, indexDir, "overwrite")
+  }
+
+  /** Append new documents to a materialized MinHash index without
+    * touching the settled postings — maintenance cost ∝ increment (the
+    * [[incrementalMinhashPairs]] economics, persisted). Unlike the
+    * IVF/PQ indices there is no data-dependent yardstick to drift:
+    * append ≡ rebuild, always. */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newDocs: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    writeMinhashIndexRows(newDocs, idCol, textCol,
+      m.getAs[Int]("k"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Int]("parts"), indexDir, "append")
+  }
+
+  private def writeMinhashIndexRows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, bands: Int, parts: Int,
+      indexDir: String, mode: String): Unit = {
+    val hs = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
+    hs.persist()
+    try {
+      hs.write.mode(mode).parquet(s"$indexDir/shingles")
+      signaturesFromHashes(hs, numHashes)
+        .select(col("id"),
+          posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+            .as(Seq("band", "bucket")))
+        .withColumn("bucket_p", pmod(col("bucket"), lit(parts.toLong)))
+        // one writer task per touched partition — not tasks × parts
+        // sliver files (the pathology Tables.compact exists to fix)
+        .repartition(col("bucket_p"))
+        .write.mode(mode).partitionBy("bucket_p")
+        .parquet(s"$indexDir/postings")
+    } finally hs.unpersist()
+  }
+
+  /** Probe a materialized MinHash index: near-dup pairs between the
+    * probe batch and EVERYTHING ever indexed, as
+    * (probe_id, index_id, jaccard) — exact-Jaccard verified at
+    * `threshold`, like every dedup in this file. Per-document pure
+    * against a frozen index, so chunking the probe stream any way
+    * (micro-batches included — the foreachBatch serving path) yields
+    * exactly the one-shot result; DedupIndexSpec asserts both that and
+    * equality with [[incrementalMinhashPairs]]'s new×old pairs.
+    *
+    * Scale shape: the probe batch pays one signature pass; its distinct
+    * `bucket_p` values become a LITERAL partition filter on the
+    * postings scan (for serving-sized probes that is a handful of
+    * `bucket_p=` directories, never the corpus — the collect is bounded
+    * by `parts`); the band join is bucket-keyed; and buckets whose
+    * INDEX population exceeds `maxBucket` degrade to the bucket's
+    * min-id representative star (the [[withBucketStats]] discipline,
+    * computed at probe time over the probed buckets only, so append
+    * never has to restate stored statistics). */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, probeDocs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    val (k, numHashes, bands, parts) = (m.getAs[Int]("k"),
+      m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
+      m.getAs[Int]("parts"))
+    val phs = Caches.spreadByKey(probeDocs, col(idCol))
+      .select(col(idCol).as("probe_id"),
+        hashedShingles(col(textCol), k).as("phs"))
+    Caches.scoped(phs) {
+      // feeds the bucket_p collect AND the candidate join — one compute
+      val probeBands = signaturesFromHashes(
+          phs.select(col("probe_id").as("id"), col("phs").as("hs")),
+          numHashes)
+        .select(col("id").as("probe_id"),
+          posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+            .as(Seq("band", "bucket")))
+        .withColumn("bucket_p", pmod(col("bucket"), lit(parts.toLong)))
+        .localCheckpoint()
+      val ps = probeBands.select("bucket_p").distinct().collect()
+        .map(_.get(0)) // bounded by `parts`
+      // bucket → bucket_p is functional, so the pruned scan still holds
+      // EVERY index row of each probed bucket: the per-bucket population
+      // below is exact, not clipped by the pruning
+      val postings = spark.read.parquet(s"$indexDir/postings")
+        .filter(col("bucket_p").isin(ps.toSeq: _*))
+      val w = Window.partitionBy("band", "bucket")
+      val sized = postings
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__rep", min(col("id")).over(w))
+      val cands = probeBands
+        .join(sized, Seq("bucket_p", "band", "bucket"))
+        .filter(col("probe_id") =!= col("id") &&
+          (col("__bsz") <= maxBucket || col("id") === col("__rep")))
+        .select(col("probe_id"), col("id").as("index_id")).distinct()
+      val ihs = spark.read.parquet(s"$indexDir/shingles")
+        .select(col("id").as("index_id"), col("hs").as("ihs"))
+      cands.join(phs, "probe_id").join(ihs, "index_id")
+        .withColumn("__i", size(array_intersect(col("phs"), col("ihs"))))
+        .withColumn("__j", col("__i").cast("double") /
+          (size(col("phs")) + size(col("ihs")) - col("__i")))
+        .filter(col("__j") >= threshold)
+        .select(col("probe_id"), col("index_id"),
+          round(col("__j"), 4).as("jaccard"))
+    }
+  }
 }
