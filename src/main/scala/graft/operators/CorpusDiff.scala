@@ -29,14 +29,18 @@ object CorpusDiff {
     */
   def diff(v1: DataFrame, v2: DataFrame, idCol: String,
       contentCol: String, meta: Seq[String] = Nil): DataFrame = {
+    // presence is its own flag: md5(NULL) is NULL, so hash-nullness
+    // alone would misread a present-but-null-content row as absent
     def narrow(df: DataFrame, tag: String) =
-      df.select(Seq(col(idCol).as("id"), md5(col(contentCol)).as(s"h_$tag")) ++
+      df.select(Seq(col(idCol).as("id"), lit(true).as(s"in_$tag"),
+        md5(col(contentCol)).as(s"h_$tag")) ++
         meta.map(m => col(m).as(s"${m}_$tag")): _*)
     narrow(v1, "a").join(narrow(v2, "b"), Seq("id"), "full_outer")
       .select(Seq(col("id"),
-        when(col("h_a").isNull, lit("added"))
-          .when(col("h_b").isNull, lit("removed"))
-          .when(col("h_a") =!= col("h_b"), lit("changed"))
+        when(col("in_a").isNull, lit("added"))
+          .when(col("in_b").isNull, lit("removed"))
+          // null-safe: null content ≠ any hash, = null content
+          .when(!(col("h_a") <=> col("h_b")), lit("changed"))
           .otherwise(lit("unchanged")).as("change")) ++
         meta.map(m => coalesce(col(s"${m}_b"), col(s"${m}_a")).as(m)): _*)
   }

@@ -39,6 +39,20 @@ class CorpusDiffSpec extends SparkSuite {
       ("s2", "removed", 1L)))
   }
 
+  test("null content is presence, not absence") {
+    val a = Seq((1L, Option("x"), "s"), (2L, Option.empty[String], "s"),
+      (3L, Option("y"), "s")).toDF("id", "text", "src")
+    val b = Seq((1L, Option.empty[String], "s"), (2L, Option.empty[String], "s"),
+      (4L, Option.empty[String], "s")).toDF("id", "text", "src")
+    val out = CorpusDiff.diff(a, b, "id", "text", Seq("src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "changed",   // content -> null is a change, not a removal
+      2L -> "unchanged", // null on both sides: same (absent) content
+      3L -> "removed",
+      4L -> "added"))
+  }
+
   test("the exchange carries hashes, not document bodies") {
     // the full-outer join joins the narrow (id, md5, meta) projections:
     // every plan node ABOVE the first exchange (join, sorts, final
