@@ -444,6 +444,80 @@ object Dedup {
     }
   }
 
+  /** Duplicate-span REMOVAL — the transform half of [[dupSpans]]
+    * (Lee et al. '21 deduplicate *by deleting* one occurrence, not by
+    * dropping documents): every cross-doc duplicated token run of at
+    * least `minSpan` tokens is cut from the LATER document (higher id —
+    * the earliest occurrence survives, the deterministic keep rule),
+    * overlapping cuts are merged, and the text is rebuilt from the
+    * surviving tokens.
+    *
+    * Pipeline: the [[dupSpans]] gram-diagonal islands, kept WITH their
+    * positions on the later side (pb = pa − diag) → per-doc interval
+    * merge (the q60 islands pattern: running max over (s, e), new
+    * island when s jumps past it) → one per-doc array rebuild with
+    * higher-order functions (no token explode on the rebuild side — a
+    * doc's spans ride along as one array column). Shuffles: the gram
+    * join on xxhash64 keys, the island window on (pair, diag), the
+    * merge window on the doc id — all fixed-width.
+    *
+    * Returns only AFFECTED documents: (id, n_spans, tokens_removed,
+    * clean_text). Clean text is canonical single-space joined — the
+    * same normalization [[TextFns.tokens]] applied on the way in. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minSpan: Int = 20): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val gramArr = when(size(toks) >= k, gramSeq(toks, k))
+      .otherwise(array().cast("array<string>"))
+    val grams = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), posexplode(gramArr))
+      .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
+    val merged = Caches.scoped(grams) {
+      val matches = grams.as("a").join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
+        .distinct()
+      val wIsl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+      val cuts = matches
+        .withColumn("run_id", col("pa") - row_number().over(wIsl))
+        .groupBy("id_a", "id_b", "diag", "run_id")
+        .agg(count(lit(1)).as("cnt"), min(col("pa")).as("pa_min"))
+        .filter(col("cnt") + lit(k - 1) >= minSpan)
+        // positions on the LATER (kept-from, id_b) side
+        .select(col("id_b").as("id"),
+          (col("pa_min") - col("diag")).as("s"), col("cnt"))
+        .withColumn("e", col("s") + col("cnt") + lit(k - 2))
+        .select("id", "s", "e").distinct()
+      val wDoc = Window.partitionBy("id").orderBy("s", "e")
+      val prevMax = max(col("e"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+      cuts
+        .withColumn("isl",
+          when(col("s") > coalesce(prevMax, lit(Long.MinValue)), 1)
+            .otherwise(0))
+        .withColumn("gid", sum(col("isl"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "gid")
+        .agg(min("s").as("s0"), max("e").as("e0"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e0") - col("s0") + 1).as("tokens_removed"),
+          sort_array(collect_list(struct(col("s0"), col("e0")))).as("sp"))
+    }
+    docs.join(merged, col(idCol) === merged("id"))
+      .withColumn("__toks", toks)
+      .withColumn("__kept", filter(
+        zip_with(col("__toks"),
+          sequence(lit(1L), size(col("__toks")).cast("long")),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        p => !exists(col("sp"),
+          sp => p("i") >= sp("s0") && p("i") <= sp("e0"))))
+      .select(col("id"), col("n_spans"), col("tokens_removed"),
+        concat_ws(" ", transform(col("__kept"), p => p("t")))
+          .as("clean_text"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS scheme): hash every k-gram, slide a window of
     * `w` consecutive gram hashes, and select each window's minimum —

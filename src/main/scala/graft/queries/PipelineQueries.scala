@@ -885,6 +885,19 @@ object PipelineQueries {
     Dedup.dupSpans(docs(s, dir), "doc_id", "text", k = 5, minSpan = 20)
       .orderBy("id_a", "id_b")
 
+  /** The transform half of d07 ([[Dedup.scrubDupSpans]]): cut every
+    * ≥20-token cross-doc duplicated run from the later document and
+    * rebuild its text — Lee et al.'s actual deduplication step, not
+    * just the detection report. Oracled end-to-end INCLUDING the
+    * rebuilt string: DuckDB replays grams → diagonal islands → interval
+    * merge → token filter and must reproduce `clean_text` byte for
+    * byte. */
+  def t36SpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.scrubDupSpans(docs(s, dir), "doc_id", "text",
+        k = 5, minSpan = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Incremental dedup: docs ≡ 3 (mod 10) play the daily increment;
     * near-dup pairs touching the increment, at exactly d02's semantics
     * — without re-pairing the settled 90% with itself. */
@@ -1076,6 +1089,7 @@ object PipelineQueries {
     "t33_bpe_encode" -> t33BpeEncode,
     "t34_ppl_buckets" -> t34PplBuckets,
     "t35_token_entropy" -> t35TokenEntropy,
+    "t36_span_scrub" -> t36SpanScrub,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -1251,6 +1265,60 @@ object PipelineQueries {
       |SELECT id_a, id_b, CAST(MAX(span) AS BIGINT) AS max_span
       |FROM spans GROUP BY id_a, id_b HAVING MAX(span) >= 20
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** t36 extends the d07 oracle past detection: span positions on the
+    * later (id_b) side, per-doc interval merge via the running-max
+    * island window, then the token-level filter and string rebuild —
+    * `clean_text` must match the Spark rebuild byte for byte. */
+  private lazy val t36OracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-4)) AS i) s),
+      |m AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, a.i - b.i AS diag
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT id_a, id_b, diag, pa,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS run_id
+      |  FROM m),
+      |cuts AS (
+      |  SELECT DISTINCT id_b AS id, MIN(pa) - diag AS s,
+      |    MIN(pa) - diag + COUNT(*) + 3 AS e
+      |  FROM runs GROUP BY id_a, id_b, diag, run_id
+      |  HAVING COUNT(*) + 4 >= 20),
+      |isl AS (
+      |  SELECT id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+      |      THEN 1 ELSE 0 END AS new_isl
+      |  FROM cuts),
+      |gisl AS (
+      |  SELECT id, s, e, SUM(new_isl) OVER (PARTITION BY id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      |  FROM isl),
+      |merged AS (
+      |  SELECT id, gid, MIN(s) AS s0, MAX(e) AS e0
+      |  FROM gisl GROUP BY id, gid),
+      |stats AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(e0 - s0 + 1) AS BIGINT) AS tokens_removed
+      |  FROM merged GROUP BY id),
+      |pos AS (
+      |  SELECT doc_id, i, l[i] AS tok
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) s
+      |  WHERE doc_id IN (SELECT id FROM stats)),
+      |rem AS (
+      |  SELECT DISTINCT p.doc_id, p.i
+      |  FROM pos p JOIN merged m ON p.doc_id = m.id AND p.i BETWEEN m.s0 AND m.e0),
+      |clean AS (
+      |  SELECT p.doc_id,
+      |    COALESCE(string_agg(CASE WHEN r.i IS NULL THEN p.tok END, ' ' ORDER BY p.i), '') AS clean_text
+      |  FROM pos p LEFT JOIN rem r ON p.doc_id = r.doc_id AND p.i = r.i
+      |  GROUP BY p.doc_id)
+      |SELECT s.id AS doc_id, s.n_spans, s.tokens_removed, c.clean_text
+      |FROM stats s JOIN clean c ON s.id = c.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[Similarity.mmrRerank]] (k=3, c=10, λ=0.7),
     * unrolled exactly like the operator. λ and 1−λ are interpolated
@@ -1749,6 +1817,7 @@ object PipelineQueries {
          |  AND a.label <> bb.label
          |ORDER BY id_a, id_b""".stripMargin,
     "d07_dup_spans" -> d07OracleSql,
+    "t36_span_scrub" -> t36OracleSql,
     "d08_bloom_decontam" ->
       ("""WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),

@@ -565,4 +565,38 @@ class DedupSpec extends SparkSuite {
       assert(members.forall(m => qual(m._1) <= repQ))
     }
   }
+
+  test("scrubDupSpans cuts the later copy, merges overlaps, keeps the earliest") {
+    val run = (0 until 25).map(i => s"r$i").mkString(" ") // 25-token run
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),     // earliest: untouched
+      (2L, s"pre1 pre2 pre3 $run post1 post2"), // later: run cut
+      (3L, run),                                // exact full-doc dup: emptied
+      (10L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")   // no long spans: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text",
+        k = 5, minSpan = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the earliest occurrence everywhere — never scrubbed
+    assert(!out.contains(1L) && !out.contains(10L))
+    assert(out(2L) === ((1L, 25L, "pre1 pre2 pre3 post1 post2")))
+    assert(out(3L) === ((1L, 25L, ""))) // fully duplicated → emptied
+  }
+
+  test("scrubDupSpans merges overlapping cuts from different partners") {
+    // doc 30 shares tokens 1-24 with doc 5 and tokens 5-28 with doc 6:
+    // the two cuts overlap and must merge to ONE span of 28 tokens
+    val w = (0 until 28).map(i => s"w$i")
+    val docs = Seq(
+      (5L, w.take(24).mkString(" ")),
+      (6L, w.drop(4).mkString(" ")),
+      (30L, w.mkString(" ") + " tail1 tail2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text",
+        k = 5, minSpan = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(30L) === ((1L, 28L, "tail1 tail2")))
+  }
 }
