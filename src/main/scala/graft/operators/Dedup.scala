@@ -466,6 +466,10 @@ object Dedup {
     * same normalization [[TextFns.tokens]] applied on the way in. */
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minSpan: Int = 20): DataFrame = {
+    // a span is at least one whole gram; minSpan < k would ask for
+    // runs shorter than the detector's resolution
+    require(k >= 1 && minSpan >= k,
+      s"minSpan ($minSpan) must be >= k ($k)")
     val toks = TextFns.tokens(col(textCol))
     val gramArr = when(size(toks) >= k, gramSeq(toks, k))
       .otherwise(array().cast("array<string>"))
