@@ -396,6 +396,17 @@ object Dedup {
     * key-partitioned shuffle — (gram) for the join, (pair, diag) for
     * the window — never all-pairs, no driver state.
     *
+    * `hotDf` is the 100 TB safety valve on the one join that could
+    * degenerate: a gram appearing in D documents seeds D² diagonal
+    * matches, so a boilerplate gram shared by 10⁴+ docs would go
+    * quadratic exactly like an uncapped LSH bucket. With a cap, only
+    * grams with df ≤ hotDf seed matches: a duplicated run then
+    * detects as its maximal stretches of sub-cap grams — runs made
+    * ENTIRELY of ubiquitous boilerplate (t13's territory) drop, runs
+    * merely crossing one hot gram split/shorten by at most the hot
+    * stretch (DedupSpec pins both fates). The default leaves the
+    * exact semantics (and the default plan) untouched.
+    *
     * Returns (id_a, id_b, max_span) for pairs sharing a span of at
     * least `minSpan` tokens. */
   /** Positional k-gram sequence (index i holds the gram starting at
@@ -408,7 +419,8 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(k))))
 
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minSpan: Int = 20): DataFrame = {
+      k: Int = 5, minSpan: Int = 20,
+      hotDf: Int = Int.MaxValue): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
     // <k-token docs produce an EMPTY gram array, not a whole-text
     // fallback: a fabricated gram would report a span of k tokens from
@@ -426,9 +438,10 @@ object Dedup {
     // the tokenize+posexplode lineage feeds BOTH sides of the self-join —
     // materialize it once for the operator's scope
     Caches.scoped(grams) {
+      val seeds = hotGramFilter(grams, hotDf)
       // repeated k-grams inside one doc create duplicate (pair, diag, pa)
       // matches — distinct them or the island row_number miscounts runs
-      val matches = grams.as("a").join(grams.as("b"),
+      val matches = seeds.as("a").join(seeds.as("b"),
           col("a.g") === col("b.g") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
@@ -464,8 +477,21 @@ object Dedup {
     * Returns only AFFECTED documents: (id, n_spans, tokens_removed,
     * clean_text). Clean text is canonical single-space joined — the
     * same normalization [[TextFns.tokens]] applied on the way in. */
+  /** Drop match-seeding grams above the df cap — [[dupSpans]]'s
+    * quadratic-join valve; identity at the default (no df pass, plan
+    * unchanged). */
+  private def hotGramFilter(grams: DataFrame, hotDf: Int): DataFrame =
+    if (hotDf == Int.MaxValue) grams
+    else {
+      require(hotDf >= 1, s"hotDf ($hotDf) must be >= 1")
+      grams.join(
+        grams.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= hotDf).select("g"), "g")
+    }
+
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minSpan: Int = 20): DataFrame = {
+      k: Int = 5, minSpan: Int = 20,
+      hotDf: Int = Int.MaxValue): DataFrame = {
     // a span is at least one whole gram; minSpan < k would ask for
     // runs shorter than the detector's resolution
     require(k >= 1 && minSpan >= k,
@@ -477,7 +503,8 @@ object Dedup {
       .select(col(idCol).as("id"), posexplode(gramArr))
       .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
     val merged = Caches.scoped(grams) {
-      val matches = grams.as("a").join(grams.as("b"),
+      val seeds = hotGramFilter(grams, hotDf)
+      val matches = seeds.as("a").join(seeds.as("b"),
           col("a.g") === col("b.g") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))

@@ -584,6 +584,31 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === ((1L, 25L, ""))) // fully duplicated → emptied
   }
 
+  test("dupSpans hotDf cap: all-hot runs drop, a hot gram splits a run") {
+    val run = (0 until 45).map(i => s"t$i").mkString(" ")
+    val hotGram = (20 until 25).map(i => s"t$i").mkString(" ") // 1 gram
+    val docs = (Seq(
+      (1L, s"head1 $run tail1"),
+      (2L, s"head2 $run tail2")) ++
+      // 6 more docs holding ONLY the middle gram → its df = 8
+      (10L to 15L).map(i => (i, hotGram))).toDF("doc_id", "text")
+    def spans(hotDf: Int) = Dedup.dupSpans(docs, "doc_id", "text",
+        k = 5, minSpan = 20, hotDf = hotDf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // uncapped: the full 45-token run
+    assert(spans(Int.MaxValue) === Map((1L, 2L) -> 45L))
+    // cap 6 < df 8: the one hot gram stops seeding, the run splits into
+    // two 24-token stretches (islands [1..20] and [22..41] of the 41
+    // grams, each + k - 1) — shortened, not lost
+    assert(spans(6) === Map((1L, 2L) -> 24L))
+    // a run made ENTIRELY of hot grams disappears under the cap
+    val boiler = (0 until 8).map(i => (100L + i, run)).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(boiler, "doc_id", "text", k = 5, minSpan = 20,
+      hotDf = 6).isEmpty)
+    assert(Dedup.dupSpans(boiler, "doc_id", "text",
+      k = 5, minSpan = 20).count() === 28) // uncapped: all C(8,2) pairs
+  }
+
   test("scrubDupSpans merges overlapping cuts from different partners") {
     // doc 30 shares tokens 1-24 with doc 5 and tokens 5-28 with doc 6:
     // the two cuts overlap and must merge to ONE span of 28 tokens
