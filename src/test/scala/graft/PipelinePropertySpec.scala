@@ -101,6 +101,41 @@ class PipelinePropertySpec extends SparkSuite {
     }
   }
 
+  test("spanScrub: token accounting, subsequence, and affected = d07's later docs") {
+    import graft.operators.Dedup
+    (1 to 3).foreach { trial =>
+      // random corpus with planted shared runs so spans exist
+      val run = (0 until 20 + trial * 3).map(i => s"run${trial}x$i")
+      val base = randomCorpus(20, 10)
+      val corpus = (base ++ Seq(
+        (100L + trial, (run ++ base(trial)._2.split(" ").take(3)).mkString(" ")),
+        (200L + trial, ("lead" +: run).mkString(" "))
+      )).toDF("doc_id", "text")
+      val out = Dedup.scrubDupSpans(corpus, "doc_id", "text",
+          k = 5, minSpan = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      assert(out.nonEmpty, s"trial $trial: planted runs not scrubbed")
+      val toks = corpus.collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+          .split("\\s+").toSeq).toMap
+      out.foreach { case (id, removed, clean) =>
+        val orig = toks(id)
+        val kept = if (clean.isEmpty) Seq.empty[String]
+          else clean.split(" ").toSeq
+        // removed + kept account for every original token
+        assert(kept.length + removed === orig.length, s"trial $trial doc $id")
+        // kept tokens are a subsequence of the original token stream
+        val it = orig.iterator
+        assert(kept.forall(t => it.contains(t)), s"doc $id not a subsequence")
+      }
+      // exactly the docs that are the LATER side of a >=minSpan pair
+      val laterDocs = Dedup.dupSpans(corpus, "doc_id", "text",
+          k = 5, minSpan = 15)
+        .collect().map(_.getLong(1)).toSet
+      assert(out.map(_._1).toSet === laterDocs, s"trial $trial")
+    }
+  }
+
   test("quantiles: buckets are monotone in score and ties cohere") {
     (1 to 3).foreach { trial =>
       val scores = (0 until 60).map(i =>
