@@ -1093,7 +1093,9 @@ object Dedup {
     * build-once/serve-many counterpart of [[Similarity.buildLshIndex]]:
     * a `postings` table (band, bucket, id) PARTITIONED BY
     * `bucket_p = pmod(bucket, parts)` (the probe's partition-pruning
-    * key), a `shingles` table (id, hs) for exact-Jaccard verification,
+    * key), a `shingles` table (id, hs) for exact-Jaccard verification —
+    * partitioned by `id_p = pmod(xxhash64(id), parts)` so the
+    * verification join prunes too —
     * and a 1-row `meta` table freezing (k, num_hashes, bands, parts) —
     * probe and append must replay the IDENTICAL signature arithmetic.
     * [[incrementalMinhashPairs]] makes the nightly increment cheap but
@@ -1143,7 +1145,13 @@ object Dedup {
       .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
     hs.persist()
     try {
-      hs.write.mode(mode).parquet(s"$indexDir/shingles")
+      // shingles partitioned by an id-hash directory key so the probe's
+      // verification join prunes to the candidate ids' partitions
+      // instead of scanning the corpus-wide shingle table
+      hs.withColumn("id_p", pmod(xxhash64(col("id")), lit(parts.toLong)))
+        .repartition(col("id_p"))
+        .write.mode(mode).partitionBy("id_p")
+        .parquet(s"$indexDir/shingles")
       signaturesFromHashes(hs, numHashes)
         .select(col("id"),
           posexplode(bandKeys(col("sig"), bands, numHashes / bands))
@@ -1168,8 +1176,9 @@ object Dedup {
     *
     * Scale shape: the probe batch pays one signature pass; its distinct
     * `bucket_p` values become a LITERAL partition filter on the
-    * postings scan (for serving-sized probes that is a handful of
-    * `bucket_p=` directories, never the corpus — the collect is bounded
+    * postings scan, and the candidates' `id_p` values one on the
+    * shingle scan (for serving-sized probes that is a handful of
+    * directories on each, never the corpus — both collects are bounded
     * by `parts`); the band join is bucket-keyed; and buckets whose
     * INDEX population exceeds `maxBucket` degrade to the bucket's
     * min-id representative star (the [[withBucketStats]] discipline,
@@ -1208,20 +1217,30 @@ object Dedup {
       val sized = postings
         .withColumn("__bsz", count(lit(1)).over(w))
         .withColumn("__rep", min(col("id")).over(w))
+      // candidates feed the shingle-partition collect AND the verify
+      // join — small (probe hits), persisted (NOT checkpointed: the
+      // plan probes must still see the postings scan and its partition
+      // filter through the cached lineage)
       val cands = probeBands
         .join(sized, Seq("bucket_p", "band", "bucket"))
         .filter(col("probe_id") =!= col("id") &&
           (col("__bsz") <= maxBucket || col("id") === col("__rep")))
         .select(col("probe_id"), col("id").as("index_id")).distinct()
-      val ihs = spark.read.parquet(s"$indexDir/shingles")
-        .select(col("id").as("index_id"), col("hs").as("ihs"))
-      cands.join(phs, "probe_id").join(ihs, "index_id")
-        .withColumn("__i", size(array_intersect(col("phs"), col("ihs"))))
-        .withColumn("__j", col("__i").cast("double") /
-          (size(col("phs")) + size(col("ihs")) - col("__i")))
-        .filter(col("__j") >= threshold)
-        .select(col("probe_id"), col("index_id"),
-          round(col("__j"), 4).as("jaccard"))
+      Caches.scoped(cands) {
+        val idPs = cands
+          .select(pmod(xxhash64(col("index_id")), lit(parts.toLong)))
+          .distinct().collect().map(_.get(0)) // bounded by `parts`
+        val ihs = spark.read.parquet(s"$indexDir/shingles")
+          .filter(col("id_p").isin(idPs.toSeq: _*))
+          .select(col("id").as("index_id"), col("hs").as("ihs"))
+        cands.join(phs, "probe_id").join(ihs, "index_id")
+          .withColumn("__i", size(array_intersect(col("phs"), col("ihs"))))
+          .withColumn("__j", col("__i").cast("double") /
+            (size(col("phs")) + size(col("ihs")) - col("__i")))
+          .filter(col("__j") >= threshold)
+          .select(col("probe_id"), col("index_id"),
+            round(col("__j"), 4).as("jaccard"))
+      }
     }
   }
 }

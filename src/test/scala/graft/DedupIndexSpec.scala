@@ -80,6 +80,10 @@ class DedupIndexSpec extends SparkSuite {
     // literal isin must reach the scan as a partition filter
     assert(plan.contains("PartitionFilters: [bucket_p"),
       s"no bucket_p partition filter:\n${plan.take(2000)}")
+    // and the Jaccard-verification scan prunes by the candidates' id
+    // hash — NOT a corpus-wide shingle-table read
+    assert(plan.contains("PartitionFilters: [id_p"),
+      s"no id_p partition filter on the shingle scan:\n${plan.take(2000)}")
   }
 
   test("micro-batch chunking does not change the probe result") {
