@@ -577,6 +577,25 @@ object CoreQueries {
       .orderBy("custkey")
   }
 
+  /** PageRank centrality over the customer⇄supplier trading graph
+    * ([[graft.operators.PageRank]]): bipartite edges from the
+    * orders⋈lineitem fact join (node ids disjoint by parity —
+    * customers even, suppliers odd), symmetrized so the random walk is
+    * well-defined, then 5 damped decimal-exact power iterations. The
+    * supply-chain centrality screen: which counterparties anchor the
+    * trading network. */
+  def e12PageRank(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val bip = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    val edges = bip.unionByName(
+      bip.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 5)
+      .orderBy("node")
+  }
+
   /** SCD type-2 MERGE over the customer dimension: a deterministic
     * update batch (every 10th customer's balance moves; 20 brand-new
     * keys arrive) applied via [[graft.operators.Scd.scd2Merge]] —
@@ -933,6 +952,7 @@ object CoreQueries {
     "e09_transitions" -> e09Transitions,
     "e10_session_funnel" -> e10SessionFunnel,
     "e11_rfm_scores" -> e11RfmScores,
+    "e12_pagerank" -> e12PageRank,
     "q60_gap_detection" -> q60GapDetection,
     "q38_rollup" -> q38Rollup,
     "q39_percentiles" -> q39Percentiles,
@@ -1274,6 +1294,12 @@ object CoreQueries {
         |  ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
         |  ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
         |FROM base ORDER BY custkey""".stripMargin),
+    "e12_pagerank" -> graft.operators.PageRank.pageRankOracleSql(
+      """e0 AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""".stripMargin,
+      iters = 5),
     "e10_session_funnel" ->
       ("""WITH l AS (SELECT user_id, event_id, ts, event_type,
         |   CASE WHEN lag(ts) OVER w IS NULL

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Bpe, Dedup, Multimodal, Projection, Quantiles, Sampling, Similarity, Tfidf}
+import graft.operators.{Bpe, Caches, Dedup, EditDistance, Multimodal, Projection, Quantiles, Sampling, Similarity, Tfidf}
 
 /** Training-data pipeline operators exposed as declared queries over the
   * driver's `documents` / `embeddings` tables: deduplication (exact,
@@ -202,6 +202,24 @@ object PipelineQueries {
         Seq("source"))
       .orderBy("source", "change")
   }
+
+  /** Character-level near-dup pairs ([[EditDistance.editPairs]]):
+    * PassJoin segment blocking over the 16-char normalized prefix,
+    * verified by banded levenshtein at maxDist 3 — the typo/OCR member
+    * of the dedup family, EXACT (the oracle is the all-pairs join over
+    * the same collapsed prefixes). */
+  def d14EditPairs(s: SparkSession, dir: String): DataFrame =
+    EditDistance.editPairs(docs(s, dir), "doc_id", "text",
+        prefixLen = 16, maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Cross-source overlap matrix ([[graft.operators.Overlap]]):
+    * pairwise 3-shingle Jaccard between the corpus's source partitions —
+    * the provenance screen run before trusting a source mix. */
+  def d15SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Overlap.sourceOverlap(docs(s, dir), "doc_id", "source",
+        "text", k = 3)
+      .orderBy("src_a", "src_b")
 
   /** Triangle count over the near-dup pair graph — the graph-density
     * probe of a dedup report (triangle-rich components are template
@@ -898,6 +916,31 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-200 df-ranked vocabulary (t08's ranking, deterministic
+    * (df desc, token) tie-break) — the tokenizer-coverage screen: a doc
+    * whose tokens mostly miss the vocabulary is noise, code, or the
+    * wrong language for this tokenizer. Vocab is top-k-bounded so it
+    * broadcasts BY CONSTRUCTION at any corpus size; the per-doc pass is
+    * one broadcast left join + one map-side-combinable groupBy. */
+  def t37OovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+    Caches.scoped(tok) {
+      val vocab = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("token")).limit(200)
+        .select(col("token"), lit(1).as("__in"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Incremental dedup: docs ≡ 3 (mod 10) play the daily increment;
     * near-dup pairs touching the increment, at exactly d02's semantics
     * — without re-pairing the settled 90% with itself. */
@@ -1085,6 +1128,9 @@ object PipelineQueries {
     "d11_tfidf_pairs" -> d11TfidfPairs,
     "d12_incremental_tfidf" -> d12IncrementalTfidf,
     "d13_corpus_diff" -> d13CorpusDiff,
+    "d14_edit_pairs" -> d14EditPairs,
+    "d15_source_overlap" -> d15SourceOverlap,
+    "t37_oov_rate" -> t37OovRate,
     "t32_bpe_merges" -> t32BpeMerges,
     "t33_bpe_encode" -> t33BpeEncode,
     "t34_ppl_buckets" -> t34PplBuckets,
@@ -2066,6 +2112,42 @@ object PipelineQueries {
              Seq(("head", 1, 3), ("middle", 2, 3)), "tail")}
         |SELECT doc_id, sc.avg_nll, bucket
         |FROM sc JOIN bk USING (avg_nll) ORDER BY doc_id""".stripMargin),
+    "d14_edit_pairs" -> EditDistance.editPairsOracleSql(16, 3),
+    "d15_source_overlap" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT source,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks),
+        |u AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM u GROUP BY source),
+        |ov AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM u a JOIN u b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.sz AS n_a, sb.sz AS n_b, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+        |FROM ov JOIN sz sa ON ov.src_a = sa.source
+        |        JOIN sz sb ON ov.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin),
+    "t37_oov_rate" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, CAST(count(*) AS BIGINT) AS df
+        |    FROM (SELECT DISTINCT doc_id, token FROM tok)
+        |    GROUP BY token ORDER BY df DESC, token LIMIT 200))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM tok LEFT JOIN vocab v USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "d13_corpus_diff" ->
       ("""WITH v1 AS (SELECT doc_id, md5(text) AS h, source FROM documents),
         |v2raw AS (
