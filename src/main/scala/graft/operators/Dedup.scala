@@ -986,6 +986,48 @@ object Dedup {
       threshold: Double = 0.5, k: Int = 3,
       hotDf: Int = 4096, salts: Int = 16): DataFrame = {
     require(threshold > 0 && threshold <= 1, "jaccard threshold in (0, 1]")
+    shingleMeets(docs, idCol, textCol, k, hotDf, salts) { meets =>
+      meets
+        .withColumn("__j", col("__i").cast("double") /
+          (col("__sa") + col("__sb") - col("__i")))
+        // unrounded threshold — rounding first would admit sub-threshold
+        // boundary pairs the all-pairs definition excludes
+        .filter(col("__j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+    }
+  }
+
+  /** EXACT pairwise n-gram CONTAINMENT — |A ∩ B| / min(|A|, |B|) — the
+    * asymmetric twin of [[ngramJaccardPairs]]: a short document wholly
+    * embedded in a long one scores ~1 here while its jaccard collapses
+    * toward |A|/|B| (a 50-gram quote inside a 5000-gram page is
+    * containment 1.0, jaccard 0.01) — the quote/excerpt/wrapper-page
+    * detector a corpus dedup needs ALONGSIDE the symmetric measures.
+    * Same meet-count inverted index, same hot-shingle salting, same
+    * exactness argument; only the denominator differs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 3,
+      hotDf: Int = 4096, salts: Int = 16): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "containment threshold in (0, 1]")
+    shingleMeets(docs, idCol, textCol, k, hotDf, salts) { meets =>
+      meets
+        .withColumn("__c", col("__i").cast("double") /
+          least(col("__sa"), col("__sb")))
+        .filter(col("__c") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("containment"))
+    }
+  }
+
+  /** Shared meet-count core of the exact pairwise measures: hashed
+    * shingle postings (df = 1 singletons dropped — they cannot
+    * intersect), cold keys joined directly, hot keys (df > hotDf)
+    * through the exact salted self-join, aggregated to one row per
+    * unordered pair: (id_a, id_b, __i = |A ∩ B|, __sa = |A|,
+    * __sb = |B|). `finish` shapes the measure; it runs inside the
+    * cache scope so its plan reuses the hot shingle frame. */
+  private def shingleMeets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, hotDf: Int, salts: Int)(
+      finish: DataFrame => DataFrame): DataFrame = {
     val hs = Caches.spreadByKey(docs, col(idCol)).select(col(idCol).as("id"),
       hashedShingles(col(textCol), k).as("hs"))
     Caches.scoped(hs) {
@@ -1009,16 +1051,10 @@ object Dedup {
       val hotR = hot.withColumn("__salt",
         explode(sequence(lit(0L), lit(salts - 1L))))
       val hotPairs = pairCols(hotL, hotR, Seq("__salt"))
-      coldPairs.unionByName(hotPairs)
+      finish(coldPairs.unionByName(hotPairs)
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("__i"),
-          first(col("sz_a")).as("__sa"), first(col("sz_b")).as("__sb"))
-        .withColumn("__j", col("__i").cast("double") /
-          (col("__sa") + col("__sb") - col("__i")))
-        // unrounded threshold — rounding first would admit sub-threshold
-        // boundary pairs the all-pairs definition excludes
-        .filter(col("__j") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+          first(col("sz_a")).as("__sa"), first(col("sz_b")).as("__sb")))
     }
   }
 

@@ -596,6 +596,23 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** BFS hop counts over the same trading graph as e12
+    * ([[graft.operators.Graph.bfsHops]]): minimum hops from customer 0
+    * to every counterparty within 4 — the reachability/radius probe
+    * (how many intermediaries connect two parties). Frontier-expansion
+    * joins, integer-exact, oracled by a recursive-CTE walk. */
+  def e13BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val bip = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    val edges = bip.unionByName(
+      bip.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.bfsHops(edges, "src", "dst", source = 0L, maxHops = 4)
+      .orderBy("node")
+  }
+
   /** SCD type-2 MERGE over the customer dimension: a deterministic
     * update batch (every 10th customer's balance moves; 20 brand-new
     * keys arrive) applied via [[graft.operators.Scd.scd2Merge]] —
@@ -953,6 +970,7 @@ object CoreQueries {
     "e10_session_funnel" -> e10SessionFunnel,
     "e11_rfm_scores" -> e11RfmScores,
     "e12_pagerank" -> e12PageRank,
+    "e13_bfs_hops" -> e13BfsHops,
     "q60_gap_detection" -> q60GapDetection,
     "q38_rollup" -> q38Rollup,
     "q39_percentiles" -> q39Percentiles,
@@ -1300,6 +1318,12 @@ object CoreQueries {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""".stripMargin,
       iters = 5),
+    "e13_bfs_hops" -> graft.operators.Graph.bfsHopsOracleSql(
+      """e0 AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""".stripMargin,
+      source = 0L, maxHops = 4),
     "e10_session_funnel" ->
       ("""WITH l AS (SELECT user_id, event_id, ts, event_type,
         |   CASE WHEN lag(ts) OVER w IS NULL

@@ -213,6 +213,15 @@ object PipelineQueries {
         prefixLen = 16, maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** n-gram containment pairs ([[Dedup.containmentPairs]]): the
+    * asymmetric overlap measure — |A∩B| / min(|A|,|B|) — that catches a
+    * short document embedded in a long one, which jaccard structurally
+    * misses. EXACT (count-based inverted index, salted hot shingles). */
+  def d16Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
   /** Cross-source overlap matrix ([[graft.operators.Overlap]]):
     * pairwise 3-shingle Jaccard between the corpus's source partitions —
     * the provenance screen run before trusting a source mix. */
@@ -1130,6 +1139,7 @@ object PipelineQueries {
     "d13_corpus_diff" -> d13CorpusDiff,
     "d14_edit_pairs" -> d14EditPairs,
     "d15_source_overlap" -> d15SourceOverlap,
+    "d16_containment" -> d16Containment,
     "t37_oov_rate" -> t37OovRate,
     "t32_bpe_merges" -> t32BpeMerges,
     "t33_bpe_encode" -> t33BpeEncode,
@@ -2113,6 +2123,22 @@ object PipelineQueries {
         |SELECT doc_id, sc.avg_nll, bucket
         |FROM sc JOIN bk USING (avg_nll) ORDER BY doc_id""".stripMargin),
     "d14_edit_pairs" -> EditDistance.editPairsOracleSql(16, 3),
+    "d16_containment" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        least(len(a.sh), len(b.sh)), 4) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      least(len(a.sh), len(b.sh)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
     "d15_source_overlap" ->
       ("""WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
