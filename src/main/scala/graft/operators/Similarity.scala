@@ -58,6 +58,33 @@ object Similarity {
     cosineRank(scored, k)
   }
 
+  /** Attribute-constrained (filtered) exact kNN: top-k cosine neighbors
+    * restricted to corpus rows whose `attrCol` EQUALS the query's — the
+    * "filtered vector search" every retrieval deployment needs
+    * (per-tenant, per-language, per-label retrieval). The constraint is
+    * an equi-JOIN KEY, not a post-filter: candidates co-partition by
+    * attribute, so a query never scores (or shuffles) a vector outside
+    * its slice — at corpus scale the cost is Σ_a |slice_a|·|queries_a|,
+    * not |corpus|·|queries|, and recall is exact BY CONSTRUCTION
+    * (post-filtering an unfiltered ANN top-k under-fills the result
+    * list; this cannot). Queries stay broadcast (bounded set); norms are
+    * precomputed per row as in [[bruteForceTopK]]. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, attrCol: String, k: Int): DataFrame = {
+    val scored = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(attrCol).as("__attr"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+      .join(broadcast(
+          queries.select(col(idCol).as("query_id"), col(attrCol).as("__attr"),
+            asDouble(col(vecCol)).as("qv"),
+            l2Norm(asDouble(col(vecCol))).as("qn"))),
+        Seq("__attr"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * col("vn"), lit(0.0)))
+    cosineRank(scored, k)
+  }
+
   /** Scalar-quantization (SQ8) ANN — the fourth classic compression
     * path beside LSH/IVF/PQ: every vector element is quantized to one
     * of `levels`+1 codes on a single GLOBAL [lo, hi] range (one min/max

@@ -474,6 +474,28 @@ object CoreQueries {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Seasonal anomaly detection: daily event counts per (event_type,
+    * hour-of-day) cell, flagged when they sit > 2σ from that cell's own
+    * across-days baseline — the g05 outlier gate made SEASONALITY-aware
+    * (a 9am spike is judged against 9am history, not the all-day mean).
+    * Two chained count aggregates (both map-side combined) and one
+    * attach join against the |types|×24-row baseline — broadcast by
+    * construction at any corpus size; the flagged value is an integer
+    * count, so the 2σ comparison has no float-accumulation tie hazard. */
+  def e14SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy("event_type", "hr")
+      .agg(avg("n").as("m"), stddev_pop("n").as("sd"))
+    cells.join(broadcast(base), Seq("event_type", "hr"))
+      .filter(abs(col("n") - col("m")) > lit(2.0) * col("sd"))
+      .select(col("event_type"), col("hr").cast("long").as("hr"),
+        col("day"), col("n"))
+      .orderBy("event_type", "hr", "day")
+  }
+
   /** Markov transition matrix over per-user event sequences: P(next
     * event type | current), the behavioral-model fit every product
     * analytics stack computes. One lead() window per user (key-
@@ -984,6 +1006,7 @@ object CoreQueries {
     "q46_string_agg" -> q46StringAgg,
     "q47_scd2_merge" -> q47Scd2,
     "e03_burst_window" -> e03BurstWindow,
+    "e14_seasonal_anomaly" -> e14SeasonalAnomaly,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
@@ -1145,6 +1168,18 @@ object CoreQueries {
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+    "e14_seasonal_anomaly" ->
+      ("""WITH cells AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT event_type, hr, AVG(n) AS m, STDDEV_POP(n) AS sd
+        |  FROM cells GROUP BY event_type, hr)
+        |SELECT c.event_type, c.hr, c.day, c.n
+        |FROM cells c JOIN base b USING (event_type, hr)
+        |WHERE ABS(c.n - b.m) > 2 * b.sd
+        |ORDER BY c.event_type, c.hr, c.day""".stripMargin),
     "q47_scd2_merge" ->
       ("""WITH cur AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment,

@@ -154,6 +154,107 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram PMI collocations (Church & Hanks, CL '90): pointwise mutual
+    * information ln(p(ab) / (p(a)·p(b))) of every adjacent token pair
+    * seen ≥ `minCount` times — the classic collocation-mining signal
+    * (multiword expressions, named-entity fragments) a tokenizer/vocab
+    * pipeline reads next to t08's raw vocab and t32's BPE merges. One
+    * spread corpus pass emits bigrams; unigram counts DERIVE from a
+    * second projection-only scan; both count tables reduce map-side and
+    * are vocab-sized, so the attach joins broadcast — the corpus itself
+    * never joins anything. Output is bounded by |vocab|² regardless of
+    * corpus size (no top-k tie hazard: full table, lexicographic order). */
+  def t38PmiCollocations(s: SparkSession, dir: String,
+      minCount: Long = 20L): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val d = docs(s, dir)
+    val bg = graft.operators.Caches.spreadByKey(d, col("doc_id"))
+      .select(explode(bgArr).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val cu = d.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    // each count table feeds multiple branches (its own total + the
+    // attach joins); scope-cache them so the corpus tokenizes exactly
+    // twice (bigram pass + unigram pass), not once per branch
+    graft.operators.Caches.scoped(c2, cu) {
+      val nb = c2.agg(sum("c_ab").cast("double").as("n_bi"))
+      val nu = cu.agg(sum("c").cast("double").as("n_uni"))
+      c2.filter(col("c_ab") >= minCount)
+        .select(split(col("bg"), " ").getItem(0).as("token_a"),
+          split(col("bg"), " ").getItem(1).as("token_b"), col("c_ab"))
+        .join(broadcast(cu.select(col("token").as("token_a"),
+          col("c").as("__ca"))), Seq("token_a"))
+        .join(broadcast(cu.select(col("token").as("token_b"),
+          col("c").as("__cb"))), Seq("token_b"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("token_a"), col("token_b"), col("c_ab"),
+          round(log((col("c_ab").cast("double") / col("n_bi")) /
+            ((col("__ca").cast("double") / col("n_uni")) *
+              (col("__cb").cast("double") / col("n_uni")))), 4).as("pmi"))
+        .orderBy("token_a", "token_b")
+    }
+  }
+
+  /** Per-source distribution shift: KL(p_source ‖ p_corpus) over the
+    * unigram token distribution — the domain-divergence number a mixture
+    * designer reads next to t30's DSIR weights (sources far from the
+    * corpus mean are up/down-weighted deliberately, not by accident).
+    * One tokenize pass reduces to per-(source, token) counts; the corpus
+    * marginal and per-source totals DERIVE from that reduced table
+    * (aggregations of counts, never corpus rescans), broadcast back at
+    * dictionary scale. No smoothing needed: every source token is ⊆ the
+    * corpus support by construction, so q(w) > 0 wherever p(w) > 0. */
+  def t39DomainKl(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+    val sc = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+    // sc feeds four branches (marginals, totals, and the scored join);
+    // scope-cache the reduced table so the corpus tokenizes ONCE —
+    // everything downstream aggregates dictionary-scale counts
+    graft.operators.Caches.scoped(sc) {
+      val st = sc.groupBy("source").agg(sum("cs").cast("double").as("ns"))
+      val cc = sc.groupBy("token").agg(sum("cs").cast("double").as("c"))
+      val nt = cc.agg(sum("c").as("n"))
+      sc.join(broadcast(cc), "token").join(broadcast(st), "source")
+        .crossJoin(broadcast(nt))
+        .groupBy(col("source"), col("ns"))
+        .agg(round(sum((col("cs").cast("double") / col("ns")) *
+          log((col("cs").cast("double") / col("ns")) /
+            (col("c") / col("n")))), 4).as("kl"))
+        .select(col("source"), col("ns").cast("long").as("n_tokens"), col("kl"))
+        .orderBy("source")
+    }
+  }
+
+  /** Zipf-slope fit per source: least-squares slope of ln(freq) on
+    * ln(rank) over each source's top-`maxRank` token frequencies — the
+    * corpus-health diagnostic (natural text sits near −1; template/spam
+    * sources flatten, gibberish steepens). The regression is a single
+    * co-moment aggregate ([[q45StatsAgg]]'s shape) over the RANKED
+    * per-source vocab — counts are already reduced, the rank window runs
+    * per source over dictionary-scale rows with WindowGroupLimit pushing
+    * the top-`maxRank` cut below the sort, and ties rank by token text
+    * so the fit set is engine-invariant. */
+  def t40ZipfSlope(s: SparkSession, dir: String,
+      maxRank: Int = 32): DataFrame = {
+    val f = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("token"))
+    f.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxRank)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        round(regr_slope(log(col("c").cast("double")),
+          log(col("rnk").cast("double"))), 4).as("zipf_slope"))
+      .orderBy("source")
+  }
+
   /** Subword segmentation of the corpus with the t32-learned vocab
     * ([[Bpe.encode]]) — the BPE APPLY step: per-doc subword counts and
     * tokens-per-word ratio, one corpus join against the |vocab|-row
@@ -704,6 +805,17 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Label-constrained exact kNN for queries 0-4
+    * ([[Similarity.filteredTopK]]): each query retrieves only from its
+    * own label slice — filtered vector search, with the filter as a
+    * join key so off-label vectors are never scored or shuffled. */
+  def v24FilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.filteredTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -1146,6 +1258,10 @@ object PipelineQueries {
     "t34_ppl_buckets" -> t34PplBuckets,
     "t35_token_entropy" -> t35TokenEntropy,
     "t36_span_scrub" -> t36SpanScrub,
+    "t38_pmi_collocations" -> (t38PmiCollocations(_, _)),
+    "t39_domain_kl" -> t39DomainKl,
+    "t40_zipf_slope" -> (t40ZipfSlope(_, _)),
+    "v24_filtered_knn" -> v24FilteredKnn,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -2208,6 +2324,59 @@ object PipelineQueries {
         |    THEN (ln(CAST(n AS DOUBLE)) - slc / n) / ln(CAST(types AS DOUBLE))
         |    ELSE 0.0 END, 4) AS entropy_norm
         |FROM agg ORDER BY doc_id""".stripMargin),
+    "t38_pmi_collocations" ->
+      ("""WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |bgi AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT t[i] AS token_a, t[i+1] AS token_b, count(*) AS c_ab
+        |       FROM bgi GROUP BY 1, 2),
+        |uni AS (SELECT unnest(t) AS token FROM toks),
+        |cu AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+        |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bi FROM c2),
+        |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM cu)
+        |SELECT token_a, token_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  ROUND(ln((CAST(c_ab AS DOUBLE) / n_bi) /
+        |    ((CAST(ca.c AS DOUBLE) / n_uni) * (CAST(cb.c AS DOUBLE) / n_uni))), 4) + 0.0 AS pmi
+        |FROM c2 JOIN cu ca ON c2.token_a = ca.token
+        |  JOIN cu cb ON c2.token_b = cb.token
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE c_ab >= 20
+        |ORDER BY token_a, token_b""".stripMargin),
+    "t39_domain_kl" ->
+      ("""WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |sc AS (SELECT source, token, count(*) AS cs FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(cs) AS DOUBLE) AS ns FROM sc GROUP BY source),
+        |cc AS (SELECT token, CAST(SUM(cs) AS DOUBLE) AS c FROM sc GROUP BY token),
+        |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cc)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |  ROUND(SUM((cs / ns) * ln((cs / ns) / (c / n))), 4) + 0.0 AS kl
+        |FROM sc JOIN cc USING (token) JOIN st USING (source) CROSS JOIN nt
+        |GROUP BY source, ns ORDER BY source""".stripMargin),
+    "t40_zipf_slope" ->
+      ("""WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |f AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rnk FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) + 0.0 AS zipf_slope
+        |FROM rk WHERE rnk <= 32
+        |GROUP BY source ORDER BY source""".stripMargin),
+    "v24_filtered_knn" ->
+      ("""WITH q AS (SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
     "v22_rand_proj" -> Projection.randProjectOracleSql(64, 16),
     "d06_dup_triangles" -> d06OracleSql,
     // replays Sampling.withSplit / sampleDeterministic digit-for-digit
