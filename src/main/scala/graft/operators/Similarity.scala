@@ -301,6 +301,35 @@ object Similarity {
       assigned, k)
   }
 
+  /** Per-query attribute-constrained IVF: [[ivfTopK]] with each query
+    * retrieving only candidates whose `attrCol` equals its own — the
+    * index-tier member of the filtered-search pair ([[filteredTopK]] is
+    * the exact tier). Centroids and assignment are built over the FULL
+    * corpus (one shared index serves every slice — the production
+    * layout; per-slice indexes would rebuild per tenant), and the
+    * attribute constraint lands on the probed candidate rows before any
+    * scoring: the shuffle carries probed-list rows only, and off-attr
+    * candidates drop before the dot product. Recall within a slice
+    * matches unfiltered IVF recall when slices are centroid-balanced;
+    * heavily skewed slices should raise nProbe (the standard filtered-
+    * ANN guidance). */
+  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, attrCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, assigned) =
+      ivfBuild(corpus, idCol, vecCol, nCentroids, Seq(attrCol))
+    val probes = ivfProbes(centroids,
+        queries.withColumnRenamed(attrCol, "__qattr"), idCol, vecCol, nProbe,
+        extraCols = Seq("__qattr"))
+    cosineRank(
+      probes.join(assigned, "cid")
+        .filter(col("query_id") =!= col("neighbor_id") &&
+          col("__qattr") === col(attrCol))
+        .withColumn("sim", dot(col("qv"), col("v")) /
+          nullif(col("qn") * col("vn"), lit(0.0))),
+      k)
+  }
+
   /** THE deterministic sampling contract every yardstick in this file
     * shares (IVF centroids, k-means seed, PQ codebook): the `n` rows
     * with smallest md5(id-as-string), tie by id — stable across
@@ -312,12 +341,15 @@ object Similarity {
       .orderBy(col("__h"), col(idCol)).limit(n).drop("__h")
 
   /** The IVF build pass shared by [[ivfTopK]] (inline) and
-    * [[buildIvfIndex]] (persisted): (centroid table, assignment lists). */
+    * [[buildIvfIndex]] (persisted): (centroid table, assignment lists).
+    * `attrCols` ride along into the assignment lists so a filtered
+    * serve can prune on them without touching the corpus. */
   private def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): (DataFrame, DataFrame) = {
+      nCentroids: Int, attrCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val c = Caches.spreadByKey(corpus, col(idCol))
-      .select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+      .select(col(idCol).as("neighbor_id") +: attrCols.map(col) :+
+        asDouble(col(vecCol)).as("v") :+
+        l2Norm(asDouble(col(vecCol))).as("vn"): _*)
     val centroids = md5Sample(c, "neighbor_id", nCentroids)
       .select(col("neighbor_id").as("cid"), col("v").as("cv"),
         col("vn").as("cn"))
@@ -340,15 +372,20 @@ object Similarity {
         nullif(col("vn") * col("cn"), lit(0.0)))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
+      // every input column rides through (incl. build-time attrCols);
+      // only the assignment machinery (csim/rn) and the centroid
+      // columns drop out
+      .select(c.columns.map(col) :+ col("cid"): _*)
   }
 
   /** Each query's `nProbe` nearest centroid ids:
     * (query_id, qv, qn, cid). */
   private def ivfProbes(centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
+      idCol: String, vecCol: String, nProbe: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id") +: extraCols.map(col) :+
+      asDouble(col(vecCol)).as("qv") :+
+      l2Norm(asDouble(col(vecCol))).as("qn"): _*)
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cid"))
     q.crossJoin(broadcast(centroids))
@@ -356,7 +393,8 @@ object Similarity {
         nullif(col("qn") * col("cn"), lit(0.0)))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+      .select(col("query_id") +: extraCols.map(col) :+ col("qv") :+
+        col("qn") :+ col("cid"): _*)
   }
 
   /** The probed-list scan + rank pass shared by [[ivfTopK]] and
@@ -377,8 +415,10 @@ object Similarity {
     * partition directories, so the scan touches nProbe/nCentroids of
     * the index bytes (partition pruning), never the corpus. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, nCentroids: Int = 16): Unit = {
-    val (centroids, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
+      indexDir: String, nCentroids: Int = 16,
+      attrCols: Seq[String] = Nil): Unit = {
+    val (centroids, assigned) =
+      ivfBuild(corpus, idCol, vecCol, nCentroids, attrCols)
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     // one writer task per list — without this, every upstream task
     // writes a sliver into every cid= directory (tasks × lists small
@@ -406,11 +446,12 @@ object Similarity {
     * degrading, not the append itself. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, attrCols: Seq[String] = Nil): Unit = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val c = Caches.spreadByKey(newVecs, col(idCol))
-      .select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+      .select(col(idCol).as("neighbor_id") +: attrCols.map(col) :+
+        asDouble(col(vecCol)).as("v") :+
+        l2Norm(asDouble(col(vecCol))).as("vn"): _*)
     assignToCentroids(c, centroids)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid")
@@ -426,14 +467,20 @@ object Similarity {
     * IvfIndexSpec asserts the PartitionFilters show up in the plan. */
   def ivfServeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, where: Option[Column] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     // probes feed the cid collect AND the candidate join — materialize
     // once (query-set sized)
     val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
       .localCheckpoint()
     val cids = probes.select("cid").distinct().collect().map(_.get(0))
-    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    // `where` (over build-time attrCols) prunes the index scan itself:
+    // the predicate pushes into the parquet read NEXT TO the cid
+    // partition filter, so a filtered serve reads nProbe/nCentroids of
+    // the index bytes and row-group-skips off-attr rows — never
+    // post-filters a scored candidate set
+    val assigned0 = spark.read.parquet(s"$indexDir/assigned")
+    val assigned = where.fold(assigned0)(assigned0.filter)
       .filter(col("cid").isin(cids.toSeq: _*))
       .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
     ivfSearch(probes, assigned, k)

@@ -816,6 +816,17 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Label-constrained IVF ANN for queries 0-4
+    * ([[Similarity.ivfFilteredTopK]]): one shared index over the full
+    * corpus, the label constraint applied to probed candidates before
+    * scoring — v24's exact tier upgraded to the index tier. */
+  def v25IvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfFilteredTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 3, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -1262,6 +1273,7 @@ object PipelineQueries {
     "t39_domain_kl" -> t39DomainKl,
     "t40_zipf_slope" -> (t40ZipfSlope(_, _)),
     "v24_filtered_knn" -> v24FilteredKnn,
+    "v25_ivf_filtered" -> v25IvfFiltered,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -1709,6 +1721,38 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** v04's IVF replica with the label carried through assignment and
+    * probes, and the per-query label-equality constraint applied to the
+    * probed candidates before scoring — [[Similarity.ivfFilteredTopK]]
+    * replayed step for step. */
+  private lazy val v25OracleSql: String =
+    """WITH c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cn AS (SELECT neighbor_id, label, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
+      |cent AS (SELECT neighbor_id AS cid, v AS cv, vn AS ccn FROM cn
+      |         ORDER BY md5(CAST(neighbor_id AS VARCHAR)), neighbor_id LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, label, v, vn, cid FROM (
+      |    SELECT cn.neighbor_id, cn.label, cn.v, cn.vn, cent.cid,
+      |      row_number() OVER (PARTITION BY cn.neighbor_id
+      |        ORDER BY list_dot_product(cn.v, cent.cv) / NULLIF(cn.vn * cent.ccn, 0.0) DESC, cent.cid) AS rn
+      |    FROM cn, cent) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+      |qn AS (SELECT query_id, label, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+      |probes AS (
+      |  SELECT query_id, label, qv, qn, cid FROM (
+      |    SELECT qn.query_id, qn.label, qn.qv, qn.qn, cent.cid,
+      |      row_number() OVER (PARTITION BY qn.query_id
+      |        ORDER BY list_dot_product(qn.qv, cent.cv) / NULLIF(qn.qn * cent.ccn, 0.0) DESC, cent.cid) AS rn
+      |    FROM qn, cent) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    list_dot_product(p.qv, a.v) / NULLIF(p.qn * a.vn, 0.0) AS sim
+      |  FROM probes p JOIN assigned a USING (cid)
+      |  WHERE p.query_id <> a.neighbor_id AND p.label = a.label)
+      |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB twin of [[Similarity.kmeansStep]]: same md5-sampled
     * centroids and rn=1 cosine assignment as the v04 oracle, then 64
     * generated per-dimension means and the L2 shift against the old
@@ -1976,6 +2020,7 @@ object PipelineQueries {
     "v02_ann_lsh" -> v02OracleSql,
     "v03_cosine_near_dup" -> v03OracleSql,
     "v04_ann_ivf" -> v04OracleSql,
+    "v25_ivf_filtered" -> v25OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,

@@ -63,6 +63,70 @@ class IvfIndexSpec extends SparkSuite {
     assert(servedRecall === declared)
   }
 
+  test("filtered serve: attr predicate prunes the index scan and stays exact") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = Files.createTempDirectory("ivf_attr_index").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+      nCentroids = 16, attrCols = Seq("label"))
+
+    val aLabel = queries.select("label").head().getInt(0)
+    val servedDf = Similarity.ivfServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4,
+      where = Some(col("label") === aLabel))
+    val plan = servedDf.queryExecution.executedPlan.toString()
+    // BOTH prunings present: cid partition filter + label pushed filter
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"no cid partition filter:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(label"),
+      s"label predicate not pushed to the index scan:\n${plan.take(2000)}")
+
+    // exactness: equals ranking computed directly over the index files
+    // restricted to (probed lists ∩ label slice) — no post-filter loss
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val probed = queries.select(col("vec_id").as("query_id"),
+        col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", Similarity.cosine(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rn") <= 4)
+      .select(col("query_id"), col("embedding").as("qe"), col("cid"))
+    val expect = probed
+      .join(spark.read.parquet(s"$idx/assigned")
+        .filter(col("label") === aLabel)
+        .select(col("neighbor_id"), col("v"), col("cid")), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Similarity.cosine(col("qe"), col("v")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4),
+        col("rank").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val served = servedDf.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toSet
+    assert(served === expect)
+    assert(served.nonEmpty)
+  }
+
+  test("inline ivfFilteredTopK: slices airtight, ≡ label-restricted candidates") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.ivfFilteredTopK(emb, queries, "vec_id", "embedding",
+      "label", k = 3, nCentroids = 16, nProbe = 4)
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    val qLabels = emb.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    val crossed = got.join(labels, "neighbor_id").join(qLabels, "query_id")
+      .filter(col("label") =!= col("q_label"))
+    assert(crossed.isEmpty, "filtered IVF returned an off-label neighbor")
+    assert(got.count() > 0)
+  }
+
   test("appendToIvfIndex ≡ one-shot build when the centroid sample coincides") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
