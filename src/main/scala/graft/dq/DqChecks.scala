@@ -303,4 +303,29 @@ object DqChecks {
       aggExprs: Seq[Column]): DataFrame =
     df.groupBy(date_trunc("hour", col(tsCol)).as("bucket_hour"))
       .agg(aggExprs.head, aggExprs.tail: _*)
+
+  /** Functional-dependency profile (the Deequ/metanome-style constraint
+    * check): for each candidate FD `det → dep`, one row reporting how
+    * many determinant groups exist, how many VIOLATE the dependency
+    * (map to >1 distinct dependent value), and the worst fan-out. A
+    * zero `n_violating` certifies the FD holds on this snapshot — the
+    * evidence a schema-inference or key-discovery pass records. Each FD
+    * is one grouped count-distinct (map-side partially aggregated) over
+    * the determinant key reduced to a SINGLE row — the shuffle carries
+    * (det, ndv) pairs, the result is candidate-FD-sized. Nulls follow
+    * SQL semantics on both engines: a null determinant forms its own
+    * group; null dependents don't count toward ndv. */
+  def fdViolations(df: DataFrame, table: String,
+      fds: Seq[(String, String)]): DataFrame =
+    fds.map { case (det, dep) =>
+      df.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("__ndv"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__ndv") > 1, 1L).otherwise(0L)).as("__v"),
+          max("__ndv").as("__m"))
+        .select(lit(s"$table.$det->$dep").as("fd"),
+          col("__n").cast("long").as("n_groups"),
+          col("__v").cast("long").as("n_violating"),
+          col("__m").cast("long").as("max_fanout"))
+    }.reduce(_.unionByName(_))
 }

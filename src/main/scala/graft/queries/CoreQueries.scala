@@ -496,6 +496,34 @@ object CoreQueries {
       .orderBy("event_type", "hr", "day")
   }
 
+  /** Max interval concurrency per user: treat each event as the
+    * half-open activity interval [ts, ts+5min) and report the maximum
+    * number simultaneously open — the sweep-line overlap counter
+    * (resource scheduling, peak-load sizing, session-stacking). Start
+    * and end edges union into ±1 deltas; a per-user ROWS-frame running
+    * sum walks the sweep; ends sort BEFORE starts at the same instant
+    * (delta asc) so touching intervals don't overlap. The max of the
+    * running sum is invariant to ordering within a tied (edge, delta)
+    * block — partial sums form the same multiset — so the result is
+    * engine- and partitioning-deterministic. Key-partitioned window,
+    * no global state: scales with users × events-per-user. */
+  def e15MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val deltas = e.select(col("user_id"), col("ts").as("edge"),
+        lit(1).as("d"))
+      .unionByName(e.select(col("user_id"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("edge"),
+        lit(-1).as("d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("edge"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    deltas.withColumn("open", sum("d").over(w))
+      .groupBy("user_id")
+      .agg(max("open").cast("long").as("max_concurrent"))
+      .orderBy("user_id")
+  }
+
   /** Markov transition matrix over per-user event sequences: P(next
     * event type | current), the behavioral-model fit every product
     * analytics stack computes. One lead() window per user (key-
@@ -1007,6 +1035,7 @@ object CoreQueries {
     "q47_scd2_merge" -> q47Scd2,
     "e03_burst_window" -> e03BurstWindow,
     "e14_seasonal_anomaly" -> e14SeasonalAnomaly,
+    "e15_max_concurrency" -> e15MaxConcurrency,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
@@ -1180,6 +1209,18 @@ object CoreQueries {
         |FROM cells c JOIN base b USING (event_type, hr)
         |WHERE ABS(c.n - b.m) > 2 * b.sd
         |ORDER BY c.event_type, c.hr, c.day""".stripMargin),
+    "e15_max_concurrency" ->
+      ("""WITH d AS (
+        |  SELECT user_id, ts AS edge, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts + INTERVAL 5 MINUTE, -1 FROM events),
+        |sweep AS (
+        |  SELECT user_id,
+        |    SUM(d) OVER (PARTITION BY user_id ORDER BY edge, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM d)
+        |SELECT user_id, CAST(MAX(open) AS BIGINT) AS max_concurrent
+        |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin),
     "q47_scd2_merge" ->
       ("""WITH cur AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment,

@@ -232,7 +232,20 @@ object GovernanceQueries {
         col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
       .orderBy("segment")
 
+  /** Functional-dependency profile ([[DqChecks.fdViolations]]) over a
+    * candidate set mixing FDs that HOLD (primary-key determinants) with
+    * FDs that are heavily violated (behavioral columns) — the check is
+    * only trustworthy if it separates the two. */
+  def g18FdProfile(s: SparkSession, dir: String): DataFrame =
+    DqChecks.fdViolations(t(s, dir, "events"), "events",
+        Seq("user_id" -> "event_type", "event_id" -> "event_type"))
+      .unionByName(DqChecks.fdViolations(t(s, dir, "orders"), "orders",
+        Seq("o_orderkey" -> "o_orderstatus",
+          "o_custkey" -> "o_orderpriority")))
+      .orderBy("fd")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g18_fd_profile" -> g18FdProfile,
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
     "g03_null_profile" -> g03NullProfile,
@@ -253,6 +266,27 @@ object GovernanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g18_fd_profile" ->
+      ("""WITH f1 AS (SELECT user_id AS det, count(DISTINCT event_type) AS ndv FROM events GROUP BY 1),
+        |f2 AS (SELECT event_id AS det, count(DISTINCT event_type) AS ndv FROM events GROUP BY 1),
+        |f3 AS (SELECT o_orderkey AS det, count(DISTINCT o_orderstatus) AS ndv FROM orders GROUP BY 1),
+        |f4 AS (SELECT o_custkey AS det, count(DISTINCT o_orderpriority) AS ndv FROM orders GROUP BY 1)
+        |SELECT 'events.user_id->event_type' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(MAX(ndv) AS BIGINT) AS max_fanout FROM f1
+        |UNION ALL
+        |SELECT 'events.event_id->event_type', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(MAX(ndv) AS BIGINT) FROM f2
+        |UNION ALL
+        |SELECT 'orders.o_orderkey->o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(MAX(ndv) AS BIGINT) FROM f3
+        |UNION ALL
+        |SELECT 'orders.o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(MAX(ndv) AS BIGINT) FROM f4
+        |ORDER BY fd""".stripMargin),
     "g17_cat_drift" ->
       ("""WITH b AS (
         |  SELECT COALESCE(CAST(event_type AS VARCHAR), '__NULL__') AS bin, CAST(COUNT(*) AS BIGINT) AS nb

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.dq.DqChecks
+
+/** Hand-computed cases for the round-6 event/DQ additions: the e15
+  * sweep-line concurrency counter and the FD-violation profile. */
+class EventOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(m: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$sec%02d")
+
+  test("sweep-line concurrency: hand-built stack of 5-minute intervals") {
+    // user 1: events at 10:00, 10:01, 10:02 — all three open at 10:02 → 3
+    // user 2: events at 10:00 and 10:05 — [10:00,10:05) closes exactly
+    //         as [10:05,10:10) opens (half-open) → max 1
+    // user 3: single event → 1
+    val e = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)),
+      (2L, ts(0)), (2L, ts(5)),
+      (3L, ts(30))).toDF("user_id", "ts")
+    val deltas = e.select(col("user_id"), col("ts").as("edge"), lit(1).as("d"))
+      .unionByName(e.select(col("user_id"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("edge"), lit(-1).as("d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("edge"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = deltas.withColumn("open", sum("d").over(w))
+      .groupBy("user_id").agg(max("open").cast("long").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("e15 declared query: max_concurrent >= 1 and bounded by user volume") {
+    val out = queries.CoreQueries.e15MaxConcurrency(spark, sf0001)
+    val perUser = graft.core.Tables.table(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val joined = out.join(perUser, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (mc, n) = (r.getLong(1), r.getLong(2))
+      assert(mc >= 1L && mc <= n, s"user ${r.getLong(0)}: mc=$mc n=$n")
+    }
+  }
+
+  test("fdViolations separates holding FDs from violated ones") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "y"),   // k=1: dep has 2 values → violated
+      (2L, "b", "x"), (2L, "b", "x"),   // k=2: holds
+      (3L, "c", "z")                    // k=3: holds
+    ).toDF("k", "stable", "wobbly")
+    val got = DqChecks.fdViolations(df, "t",
+        Seq("k" -> "stable", "k" -> "wobbly"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("t.k->stable") === ((3L, 0L, 1L)), "stable FD must hold")
+    assert(got("t.k->wobbly") === ((3L, 1L, 2L)), "wobbly FD must violate once")
+  }
+
+  test("fdViolations: null determinant forms a group, null dependents don't fan out") {
+    val df = Seq[(java.lang.Long, String)](
+      (null, "x"), (null, "y"),          // null det group: ndv 2 → violated
+      (1L.asInstanceOf[java.lang.Long], "x"),
+      (1L.asInstanceOf[java.lang.Long], null) // null dep ignored: ndv 1
+    ).toDF("k", "v")
+    val got = DqChecks.fdViolations(df, "t", Seq("k" -> "v")).head()
+    assert(got.getLong(1) === 2L)   // two determinant groups (null, 1)
+    assert(got.getLong(2) === 1L)   // only the null group violates
+    assert(got.getLong(3) === 2L)
+  }
+}
