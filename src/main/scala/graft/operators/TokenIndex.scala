@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Materialized corpus token statistics — the text-tier member of the
+  * build-once/serve-many index family ([[Similarity.buildIvfIndex]],
+  * [[Dedup]]'s MinHash index): ONE corpus tokenize pass reduces to a
+  * persisted `(source, token, cnt)` table that then serves every
+  * distribution-shaped query (per-source KL, top-token profiles,
+  * unigram LM denominators) without ever re-reading the corpus.
+  *
+  * Incremental maintenance is LSM-shaped: [[appendTokenStats]]
+  * tokenizes ONLY the increment and appends delta rows — no
+  * read-modify-write of the settled index — and [[tokenStats]]
+  * sum-merges deltas on read (a dictionary-scale aggregate). Nightly
+  * maintenance therefore costs ∝ increment; a periodic [[compact]]
+  * rewrite folds accumulated deltas back to one row per (source,
+  * token) when the delta tail grows. At 100 TB the corpus tokenize is
+  * the single most expensive text pass there is — this index is how
+  * t39/t08-class questions get answered daily without paying it
+  * daily. */
+object TokenIndex {
+
+  private[graft] def counts(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame =
+    Caches.spreadByKey(docs, col(idCol))
+      .select(col(srcCol).as("source"),
+        explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+
+  /** Build the index from scratch: one tokenize, one dictionary-scale
+    * shuffle, one parquet write. */
+  def buildTokenStats(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, indexDir: String): Unit =
+    counts(docs, idCol, textCol, srcCol)
+      .write.mode("overwrite").parquet(s"$indexDir/token_stats")
+
+  /** Append an increment's counts as delta rows — tokenizes ONLY
+    * `newDocs`; the settled index is untouched. */
+  def appendTokenStats(newDocs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, indexDir: String): Unit =
+    counts(newDocs, idCol, textCol, srcCol)
+      .write.mode("append").parquet(s"$indexDir/token_stats")
+
+  /** The merged view: sum delta rows per (source, token). Exactly the
+    * table [[buildTokenStats]] would produce over the union corpus —
+    * counts are mergeable, so append order and batch boundaries can
+    * never change the result. */
+  def tokenStats(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/token_stats")
+      .groupBy("source", "token").agg(sum("cnt").as("cnt"))
+
+  /** Fold accumulated deltas back to one row per key (run when the
+    * delta tail grows past taste; serving is correct either way). */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val merged = tokenStats(spark, indexDir).localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$indexDir/token_stats")
+  }
+
+  /** t39's per-source KL divergence served FROM THE INDEX — the same
+    * math as the inline query, zero corpus reads. */
+  def serveDomainKl(spark: SparkSession, indexDir: String): DataFrame = {
+    val sc = tokenStats(spark, indexDir)
+      .withColumnRenamed("cnt", "cs").localCheckpoint()
+    val st = sc.groupBy("source").agg(sum("cs").cast("double").as("ns"))
+    val cc = sc.groupBy("token").agg(sum("cs").cast("double").as("c"))
+    val nt = cc.agg(sum("c").as("n"))
+    sc.join(broadcast(cc), "token").join(broadcast(st), "source")
+      .crossJoin(broadcast(nt))
+      .groupBy(col("source"), col("ns"))
+      .agg(round(sum((col("cs").cast("double") / col("ns")) *
+        log((col("cs").cast("double") / col("ns")) /
+          (col("c") / col("n")))), 4).as("kl"))
+      .select(col("source"), col("ns").cast("long").as("n_tokens"), col("kl"))
+      .orderBy("source")
+  }
+
+  /** Corpus-wide top-`n` tokens by total frequency, from the index
+    * (tie by token text — deterministic). */
+  def serveTopTokens(spark: SparkSession, indexDir: String,
+      n: Int): DataFrame =
+    tokenStats(spark, indexDir)
+      .groupBy("token").agg(sum("cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(n)
+}

@@ -524,6 +524,30 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** CUSUM level-shift trace per event type (Page '54): daily counts
+    * minus the type's own across-days mean, accumulated in day order —
+    * the classic change-point detector (a sustained rate shift drives
+    * |cusum| steadily away from 0, where e14's per-cell σ gate only
+    * sees isolated spikes). One daily-count aggregate, a broadcast
+    * per-type mean attach, and a key-partitioned running sum — no
+    * global window, scales with types × days. The full trace is
+    * emitted (deterministic, threshold-free); the alert rule
+    * max|cusum| > h is a trivial consumer-side filter. */
+  def e16CusumShift(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val m = daily.groupBy("event_type").agg(avg("n").as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.join(broadcast(m), "event_type")
+      .withColumn("cusum", round(sum(col("n") - col("m")).over(w), 4))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"))
+      .orderBy("event_type", "day")
+  }
+
   /** Markov transition matrix over per-user event sequences: P(next
     * event type | current), the behavioral-model fit every product
     * analytics stack computes. One lead() window per user (key-
@@ -1036,6 +1060,7 @@ object CoreQueries {
     "e03_burst_window" -> e03BurstWindow,
     "e14_seasonal_anomaly" -> e14SeasonalAnomaly,
     "e15_max_concurrency" -> e15MaxConcurrency,
+    "e16_cusum_shift" -> e16CusumShift,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
@@ -1221,6 +1246,16 @@ object CoreQueries {
         |  FROM d)
         |SELECT user_id, CAST(MAX(open) AS BIGINT) AS max_concurrent
         |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "e16_cusum_shift" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, AVG(n) AS m FROM daily GROUP BY event_type)
+        |SELECT d.event_type, d.day, d.n,
+        |  ROUND(SUM(d.n - m.m) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS cusum
+        |FROM daily d JOIN m USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin),
     "q47_scd2_merge" ->
       ("""WITH cur AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment,

@@ -48,6 +48,32 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("CUSUM: flat series stays at 0, a step shift accumulates linearly") {
+    // type A: constant 4/day → cusum identically 0 every day
+    // type B: 2,2,2 then 6,6,6 → mean 4; cusum -2,-4,-6,-4,-2,0 —
+    // the pre-shift drift and post-shift recovery a step change produces
+    val rows =
+      (1 to 6).flatMap(d => Seq.fill(4)(("A", f"2024-02-$d%02d 09:00:00"))) ++
+      (1 to 3).flatMap(d => Seq.fill(2)(("B", f"2024-02-$d%02d 09:00:00"))) ++
+      (4 to 6).flatMap(d => Seq.fill(6)(("B", f"2024-02-$d%02d 09:00:00")))
+    val e = rows.toDF("event_type", "tss")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"))
+    val daily = e.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val m = daily.groupBy("event_type").agg(avg("n").as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = daily.join(m, "event_type")
+      .withColumn("cusum", round(sum(col("n") - col("m")).over(w), 4))
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getDouble(4)))
+    assert(got.filter(_._1 == "A").map(_._2).toSeq === Seq.fill(6)(0.0))
+    assert(got.filter(_._1 == "B").map(_._2).toSeq ===
+      Seq(-2.0, -4.0, -6.0, -4.0, -2.0, 0.0))
+  }
+
   test("fdViolations separates holding FDs from violated ones") {
     val df = Seq(
       (1L, "a", "x"), (1L, "a", "y"),   // k=1: dep has 2 values → violated
