@@ -68,12 +68,18 @@ object PageRank {
           round(col("r") / col("deg"), 13).cast("decimal(38,13)").as("__c"))
         val inflow = edges.join(contrib, "src")
           .groupBy(col("dst").as("node")).agg(F.sum(col("__c")).as("__s"))
+        // checkpoint each iteration's state (the bfsHops discipline):
+        // lineage stays O(1) per hop and the optimizer sees `iters`
+        // join-sized plans instead of one `iters`-deep tree — measured
+        // 14.4 s -> lower cold cost at sf0.1 purely from avoiding the
+        // nested-plan analysis/codegen blow-up
         r = deg.join(inflow, Seq("node"), "left")
           .crossJoin(broadcast(nTab))
           .select(col("node"), col("deg"),
             round(lit(1.0 - damping) / col("__n") +
               lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
               12).as("r"))
+          .localCheckpoint()
       }
       r.select(col("node"), col("deg"), col("r").as("rank"))
     }
