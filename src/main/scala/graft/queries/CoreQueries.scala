@@ -548,6 +548,27 @@ object CoreQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Window-load report via the bucketed point-in-interval join
+    * ([[graft.operators.IntervalJoin.countPerInterval]]): 90-minute
+    * "busy windows" open at every hour with ≥ 3 purchases, and each
+    * window reports how many events (of ANY type) fell inside it —
+    * a point-in-interval join with NO equi key, planned as a
+    * bucket-keyed equi join + residual containment instead of a
+    * cartesian. Empty windows survive with count 0. */
+  def e17WindowLoad(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val windows = e.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 3)
+      .select(col("ws"), (col("ws") + expr("INTERVAL 90 MINUTES")).as("we"))
+    graft.operators.IntervalJoin.countPerInterval(
+        e.select(col("event_id"), col("ts")), "ts",
+        windows, "ws", "we", col("event_id"))
+      .select(col("ws").as("window_start"),
+        col("n_points").as("n_events"))
+      .orderBy("window_start")
+  }
+
   /** Markov transition matrix over per-user event sequences: P(next
     * event type | current), the behavioral-model fit every product
     * analytics stack computes. One lead() window per user (key-
@@ -990,6 +1011,64 @@ object CoreQueries {
           col("n_exact") <= 0.05).cast("int").as("merge_ok"))
   }
 
+  /** HLL set-intersection estimate by inclusion-exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), all three from mergeable
+    * DataSketches HLL state — the audience-overlap question ("users who
+    * both clicked AND purchased") answered WITHOUT a distinct-pair
+    * shuffle: each side is one sketch aggregate, the union is a sketch
+    * merge, and only three scalars leave the executors. The estimate is
+    * deterministic for fixed input; the oracle gates it inside a ±10%
+    * band of the exact overlap (q58's property-oracle recipe —
+    * inclusion-exclusion compounds the error of three estimates, hence
+    * the wider band). */
+  def q61HllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.filter(col("event_type") === "click")
+    val b = e.filter(col("event_type") === "purchase")
+    val est = a.agg(hll_sketch_agg(col("user_id")).as("ska"))
+      .crossJoin(b.agg(hll_sketch_agg(col("user_id")).as("skb")))
+      .select(hll_sketch_estimate(col("ska")).as("ea"),
+        hll_sketch_estimate(col("skb")).as("eb"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu"))
+      .select((col("ea") + col("eb") - col("eu")).as("est_overlap"))
+    val exact = a.select("user_id").intersect(b.select("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(est)
+      .select(col("n_exact"),
+        (abs(col("est_overlap") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.10).cast("int").as("intersect_ok"))
+  }
+
+  /** Market-basket association rules over order lineitems (Agrawal &
+    * Srikant, VLDB '94 measures): for part pairs co-purchased in ≥ 2
+    * orders, support count, both directed confidences, and lift. The
+    * pair generator is a SAME-ORDER self-join — keyed by the order, so
+    * fanout is bounded by (basket size)², never |parts|² — and every
+    * measure derives from count aggregates (map-side combined;
+    * dictionary-scale support table broadcast back). The classic
+    * "bought together" recommender/affinity report. */
+  def q62AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n1"))
+    val total = li.select("ok").distinct().agg(count(lit(1)).as("n"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 2)
+      .join(broadcast(supp.select(col("pk").as("pa"), col("n1").as("na"))), "pa")
+      .join(broadcast(supp.select(col("pk").as("pb"), col("n1").as("nb"))), "pb")
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("nab"),
+        round(col("nab").cast("double") / col("na"), 4).as("conf_ab"),
+        round(col("nab").cast("double") / col("nb"), 4).as("conf_ba"),
+        round(col("nab").cast("double") * col("n") /
+          (col("na") * col("nb")), 4).as("lift"))
+      .orderBy("pa", "pb")
+  }
+
   /** A8+A12 NULLIF-guarded fraction (A4:790-805). */
   def q36FracNullif(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1061,6 +1140,7 @@ object CoreQueries {
     "e14_seasonal_anomaly" -> e14SeasonalAnomaly,
     "e15_max_concurrency" -> e15MaxConcurrency,
     "e16_cusum_shift" -> e16CusumShift,
+    "e17_window_load" -> e17WindowLoad,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
@@ -1077,6 +1157,8 @@ object CoreQueries {
     "q56_outer_coverage" -> q56OuterCoverage,
     "q57_moving_avg" -> q57MovingAvg,
     "q58_hll_merge" -> q58HllMerge,
+    "q61_hll_intersect" -> q61HllIntersect,
+    "q62_assoc_rules" -> q62AssocRules,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -1256,6 +1338,14 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS cusum
         |FROM daily d JOIN m USING (event_type)
         |ORDER BY d.event_type, d.day""".stripMargin),
+    "e17_window_load" ->
+      ("""WITH busy AS (
+        |  SELECT date_trunc('hour', ts) AS ws FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 3),
+        |w AS (SELECT ws, ws + INTERVAL 90 MINUTE AS we FROM busy)
+        |SELECT w.ws AS window_start, CAST(count(e.event_id) AS BIGINT) AS n_events
+        |FROM w LEFT JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+        |GROUP BY w.ws ORDER BY window_start""".stripMargin),
     "q47_scd2_merge" ->
       ("""WITH cur AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment,
@@ -1502,5 +1592,24 @@ object CoreQueries {
     "q58_hll_merge" ->
       ("SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact, " +
         "1 AS merge_ok FROM orders"),
+    "q61_hll_intersect" ->
+      ("""SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS intersect_ok
+        |FROM (SELECT user_id FROM events WHERE event_type = 'click'
+        |      INTERSECT
+        |      SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin),
+    "q62_assoc_rules" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |supp AS (SELECT pk, count(*) AS n1 FROM li GROUP BY pk),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+        |p AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS nab
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, nab,
+        |  ROUND(CAST(nab AS DOUBLE) / sa.n1, 4) AS conf_ab,
+        |  ROUND(CAST(nab AS DOUBLE) / sb.n1, 4) AS conf_ba,
+        |  ROUND(CAST(nab AS DOUBLE) * tot.n / (sa.n1 * sb.n1), 4) AS lift
+        |FROM p JOIN supp sa ON p.pa = sa.pk JOIN supp sb ON p.pb = sb.pk
+        |CROSS JOIN tot
+        |ORDER BY pa, pb""".stripMargin),
   )
 }
