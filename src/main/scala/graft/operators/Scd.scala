@@ -61,4 +61,14 @@ object Scd {
     closedHistory
       .unionByName(kept).unionByName(nowClosed).unionByName(opened)
   }
+
+  /** Point-in-time read over an SCD2 history: the dimension exactly as
+    * it stood at `asOf` — rows whose validity interval contains the
+    * instant, `[valid_from, valid_to)` half-open with NULL `valid_to`
+    * meaning still open. A pure partition-prunable filter: no join, no
+    * window, and at most one version per key by the SCD2 invariant
+    * (non-overlapping intervals per key — [[ScdSpec]] asserts it). */
+  def asOfSnapshot(dim: DataFrame, asOf: Column): DataFrame =
+    dim.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
 }

@@ -815,6 +815,57 @@ object Similarity {
     cosineRank(scored, k)
   }
 
+  /** Sign-bit code of a `dim`-dimensional vector packed into ONE long
+    * (bit i set ⟺ element i > 0) — built by a bitwise-OR fold so the
+    * high bit (1L << 63) needs no overflow-prone addition. */
+  private def signPack(v: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"dim ($dim) must be in [1, 64]")
+    (0 until dim).map(i =>
+        when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Binary-quantization ANN with exact re-rank — the 1-bit member of
+    * the compression family (64× smaller than float32 at dim 64: the
+    * whole corpus vector becomes ONE long). Candidates are shortlisted
+    * by hamming distance between sign-bit codes (`bit_count(xor)` —
+    * 2 machine instructions/pair) and the shortlist survivors are
+    * re-ranked by exact cosine over the raw vectors, which (as in
+    * [[pqRerankTopK]]) are only decoded ABOVE the shortlist semi-join.
+    * At serving scale the codes table is what's scanned — 8 bytes/row
+    * — and the hamming top-`shortlist` is a WindowGroupLimit per
+    * query, never a global sort. Sign-of-coordinate is exactly the
+    * 1-bit random-hyperplane LSH family (Charikar STOC'02) with
+    * axis-aligned planes, so hamming ∝ angular distance. */
+  def bqRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int = 32,
+      dim: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val codes = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        signPack(asDouble(col(vecCol)), dim).as("code"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      signPack(asDouble(col(vecCol)), dim).as("qcode")))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("ham"), col("neighbor_id"))
+    val short = codes.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", bit_count(col("code").bitwiseXOR(col("qcode"))))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("v", asDouble(col("__nv")))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        nullif(col("qn") * l2Norm(col("v")), lit(0.0)))
+    cosineRank(scored, k)
+  }
+
   /** Materialize the PQ index: codebook (m·nCodes subvector entries)
     * plus the codes table — (id, m small ints) per corpus vector, the
     * 32×-compressed scan target. Build once per corpus version, serve

@@ -729,6 +729,16 @@ object CoreQueries {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Point-in-time dimension read ([[graft.operators.Scd.asOfSnapshot]]):
+    * q47's post-merge SCD2 history snapshotted at 2024-07-01 — closed
+    * pre-merge versions drop out, opened versions and untouched rows
+    * survive. The time-travel SELECT every SCD2 dimension exists to
+    * serve, as a pure filter (no join, no window). */
+  def q63AsofSnapshot(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.asOfSnapshot(
+        q47Scd2(s, dir), lit("2024-07-01").cast("date"))
+      .orderBy("c_custkey")
+
   /** CDC apply (ST1-ST3 materialization): a deterministic change batch
     * — updates at two sequence positions (latest wins), deletes, and
     * inserts — applied to the customer snapshot via
@@ -1078,6 +1088,35 @@ object CoreQueries {
       .select(round(col("s") * lit(1.0) /
         when(col("c") === 0, lit(null)).otherwise(col("c")), 6).as("frac"))
 
+  /** q47's SCD2 merge replayed in SQL (shared by the q47 entry and the
+    * q63 as-of snapshot over the same history — one definition so the
+    * two can never drift). */
+  private lazy val q47OracleBody: String =
+    """WITH cur AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment,
+      |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal, 'NEW' FROM customer WHERE c_custkey < 20),
+      |chg AS (
+      |  SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+      |  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+      |     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+      |newk AS (
+      |  SELECT u.c_custkey FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur))
+      |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to
+      |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from, DATE '2024-06-01'
+      |FROM cur c JOIN chg USING (c_custkey)
+      |UNION ALL
+      |SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
+      |FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+      |   OR u.c_custkey IN (SELECT c_custkey FROM newk)""".stripMargin
+
   /** Registry: name → implementation. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count_global" -> q01CountGlobal,
@@ -1159,6 +1198,7 @@ object CoreQueries {
     "q58_hll_merge" -> q58HllMerge,
     "q61_hll_intersect" -> q61HllIntersect,
     "q62_assoc_rules" -> q62AssocRules,
+    "q63_asof_snapshot" -> q63AsofSnapshot,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -1346,32 +1386,14 @@ object CoreQueries {
         |SELECT w.ws AS window_start, CAST(count(e.event_id) AS BIGINT) AS n_events
         |FROM w LEFT JOIN events e ON e.ts >= w.ws AND e.ts < w.we
         |GROUP BY w.ws ORDER BY window_start""".stripMargin),
-    "q47_scd2_merge" ->
-      ("""WITH cur AS (
-        |  SELECT c_custkey, c_acctbal, c_mktsegment,
-        |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
-        |  FROM customer),
-        |upd AS (
-        |  SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 10 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_acctbal, 'NEW' FROM customer WHERE c_custkey < 20),
-        |chg AS (
-        |  SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
-        |  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
-        |     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
-        |newk AS (
-        |  SELECT u.c_custkey FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur))
-        |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to
-        |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
-        |UNION ALL
-        |SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from, DATE '2024-06-01'
-        |FROM cur c JOIN chg USING (c_custkey)
-        |UNION ALL
-        |SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
-        |FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
-        |   OR u.c_custkey IN (SELECT c_custkey FROM newk)
-        |ORDER BY c_custkey, valid_from""".stripMargin),
+    "q47_scd2_merge" -> (q47OracleBody + "\nORDER BY c_custkey, valid_from"),
+    "q63_asof_snapshot" ->
+      (s"""WITH scd AS ($q47OracleBody)
+         |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to
+         |FROM scd
+         |WHERE valid_from <= DATE '2024-07-01'
+         |  AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')
+         |ORDER BY c_custkey""".stripMargin),
     "e04_funnel" ->
       ("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id

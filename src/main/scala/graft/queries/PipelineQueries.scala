@@ -827,6 +827,16 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Binary-quantization ANN for queries 0-4
+    * ([[Similarity.bqRerankTopK]]): sign-bit codes (one long per
+    * vector), hamming shortlist, exact cosine re-rank. */
+  def v26BqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bqRerankTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, shortlist = 32, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -1274,6 +1284,7 @@ object PipelineQueries {
     "t40_zipf_slope" -> (t40ZipfSlope(_, _)),
     "v24_filtered_knn" -> v24FilteredKnn,
     "v25_ivf_filtered" -> v25IvfFiltered,
+    "v26_bq_rerank" -> v26BqRerank,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -1721,6 +1732,33 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** [[Similarity.bqRerankTopK]] replayed: sign-bit codes packed into
+    * two 32-bit halves (BIGINT-safe — the Spark side packs one long;
+    * hamming is identical either way), hamming shortlist with the same
+    * (ham, id) tiebreak, exact cosine re-rank. */
+  private lazy val v26OracleSql: String = {
+    def half(v: String, from: Int): String = (0 until 32)
+      .map(i => s"(CASE WHEN $v[${from + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |code AS (SELECT neighbor_id, v, ${half("v", 0)} AS lo, ${half("v", 32)} AS hi FROM c),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+       |qcode AS (SELECT query_id, qv, ${half("qv", 0)} AS qlo, ${half("qv", 32)} AS qhi FROM q),
+       |ham AS (
+       |  SELECT q.query_id, c.neighbor_id, q.qv, c.v,
+       |    bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS ham
+       |  FROM code c, qcode q WHERE c.neighbor_id <> q.query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, qv, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn
+       |    FROM ham) WHERE rn <= 32),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS sim FROM short)
+       |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** v04's IVF replica with the label carried through assignment and
     * probes, and the per-query label-equality constraint applied to the
     * probed candidates before scoring — [[Similarity.ivfFilteredTopK]]
@@ -2021,6 +2059,7 @@ object PipelineQueries {
     "v03_cosine_near_dup" -> v03OracleSql,
     "v04_ann_ivf" -> v04OracleSql,
     "v25_ivf_filtered" -> v25OracleSql,
+    "v26_bq_rerank" -> v26OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,

@@ -71,6 +71,22 @@ class ScdSpec extends SparkSuite {
       (2L, "silver", "elm st", None)))                // reopened
   }
 
+  test("asOfSnapshot time-travels the history: one version per key per instant") {
+    val current = Seq(
+      (1L, Option("a"), d("2020-01-01"), Option.empty[Date]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val merged = Scd.scd2Merge(current, Seq((1L, Option("b"))).toDF("id", "tier"),
+      "id", Seq("tier"), lit("2024-06-01").cast("date"))
+    def snap(day: String) = Scd.asOfSnapshot(merged,
+        lit(day).cast("date"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snap("2023-01-01") === Seq((1L, "a")), "pre-merge world")
+    assert(snap("2024-06-01") === Seq((1L, "b")),
+      "ON the merge instant the new version is live (half-open close)")
+    assert(snap("2025-01-01") === Seq((1L, "b")), "post-merge world")
+    assert(snap("2019-01-01") === Seq(), "before the dimension existed")
+  }
+
   test("idempotent: re-applying the same updates changes nothing") {
     val current = Seq((1L, Option("a"), d("2020-01-01"), Option.empty[Date]))
       .toDF("id", "tier", "valid_from", "valid_to")

@@ -432,6 +432,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
   }
 
+  test("bqRerankTopK: duplicate vector found at rank 1; recall vs brute force") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // plant an exact duplicate of vector 0 — hamming 0 guarantees it
+    // survives the shortlist, exact re-rank puts it at rank 1 (sim 1.0)
+    val dup = e.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(990000L))
+    val corpus = e.unionByName(dup)
+    val got = Similarity.bqRerankTopK(corpus, corpus.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(got.head.getLong(1) === 990000L && got.head.getDouble(2) === 1.0)
+
+    val q = e.filter(col("vec_id") < 10)
+    val bq = Similarity.bqRerankTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bq & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"BQ recall $recall below 0.5")
+  }
+
   test("mutualKnnEdges keeps exactly the symmetric pairs, ordered a<b") {
     // hand-built DIRECTED top-k lists: 1↔2 mutual, 3→1 one-way,
     // 2↔3 mutual (listed b-side first to exercise the ordering)
