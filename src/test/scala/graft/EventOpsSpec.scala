@@ -74,6 +74,36 @@ class EventOpsSpec extends SparkSuite {
       Seq(-2.0, -4.0, -6.0, -4.0, -2.0, 0.0))
   }
 
+  test("randomized: sweep-line max concurrency ≡ brute-force interval overlap") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { _ =>
+      val events = (1 to 150).map { i =>
+        (1L + rnd.nextInt(5), ts(rnd.nextInt(50), rnd.nextInt(60)), i)
+      }
+      val e = events.map { case (u, t, i) => (u, t) }.toDF("user_id", "ts")
+      val deltas = e.select(col("user_id"), col("ts").as("edge"), lit(1).as("d"))
+        .unionByName(e.select(col("user_id"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("edge"), lit(-1).as("d")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("edge"), col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val got = deltas.withColumn("open", sum("d").over(w))
+        .groupBy("user_id").agg(max("open").cast("long").as("mc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: for each event, count same-user intervals covering
+      // its start instant (max overlap is always attained at some start)
+      val brute = events.groupBy(_._1).map { case (u, evs) =>
+        u -> evs.map { case (_, t, _) =>
+          evs.count { case (_, t2, _) =>
+            !t2.after(t) && t.before(new Timestamp(t2.getTime + 300000L))
+          }.toLong
+        }.max
+      }
+      assert(got === brute)
+    }
+  }
+
   test("fdViolations separates holding FDs from violated ones") {
     val df = Seq(
       (1L, "a", "x"), (1L, "a", "y"),   // k=1: dep has 2 values → violated
