@@ -304,6 +304,33 @@ object DqChecks {
     df.groupBy(date_trunc("hour", col(tsCol)).as("bucket_hour"))
       .agg(aggExprs.head, aggExprs.tail: _*)
 
+  /** Cross-table reconciliation (the accounting-class DQ check): does a
+    * header's stored total agree with the sum of its detail lines? Each
+    * header is classified `matched` (|header − Σdetail| ≤ tol),
+    * `mismatched`, or `no_detail` (no detail rows at all), and the
+    * report is one row per class with the worst absolute discrepancy —
+    * the first thing a pipeline audit asks of any fact/rollup pair.
+    * One map-side-combined detail aggregate, one key join (header side
+    * one row per key), one 3-row report: detail volume never reaches
+    * the driver and the shuffle carries (key, sum) pairs. */
+  def reconcileRollup(header: DataFrame, headerKey: String,
+      headerVal: Column, detail: DataFrame, detailKey: String,
+      detailVal: Column, tol: Double): DataFrame = {
+    val sums = detail.groupBy(col(detailKey).as(headerKey))
+      .agg(sum(detailVal).as("__s"))
+    header.select(col(headerKey), headerVal.as("__h"))
+      .join(sums, Seq(headerKey), "left")
+      .withColumn("__diff", abs(col("__h") - col("__s")))
+      .withColumn("recon_status",
+        when(col("__s").isNull, lit("no_detail"))
+          .when(col("__diff") <= tol, lit("matched"))
+          .otherwise(lit("mismatched")))
+      .groupBy("recon_status")
+      .agg(count(lit(1)).as("n_keys"),
+        round(coalesce(max("__diff"), lit(0.0)), 2).as("max_abs_diff"))
+      .orderBy("recon_status")
+  }
+
   /** Functional-dependency profile (the Deequ/metanome-style constraint
     * check): for each candidate FD `det → dep`, one row reporting how
     * many determinant groups exist, how many VIOLATE the dependency

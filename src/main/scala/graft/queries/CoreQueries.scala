@@ -569,6 +569,41 @@ object CoreQueries {
       .orderBy("window_start")
   }
 
+  /** One-step-ahead exponential-smoothing forecast per event type
+    * (simple EMA, α = 0.3): the recursive s_d = αx_d + (1−α)s_{d−1} is
+    * expanded to its closed form s_D = α·Σ_{j≥2}(1−α)^{D−j}x_j +
+    * (1−α)^{D−1}x_1 — every weight ≤ 1 (numerically benign) and the
+    * whole smoothing becomes ONE weighted aggregate per type over the
+    * daily counts: no recursion, no sequential scan, no driver state.
+    * Output per type: the last observed day, the forecast for the next
+    * day, and the absolute error of the forecast against the last
+    * observed value (the backtest a monitoring rule thresholds). */
+  def e18EmaForecast(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.3
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val idx = daily.withColumn("j", row_number().over(w))
+    val tops = idx.groupBy("event_type")
+      .agg(max("j").as("d"), max("day").as("last_day"))
+    // forecast for day D+1 is s_D; the backtest error compares s_{D-1}
+    // (the forecast that WAS made for day D) against x_D
+    def ema(upTo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("j") === 1,
+          pow(lit(1 - alpha), upTo - 1) * col("n"))
+        .when(col("j") <= upTo,
+          lit(alpha) * pow(lit(1 - alpha), upTo - col("j")) * col("n"))
+        .otherwise(lit(0.0)))
+    idx.join(broadcast(tops), "event_type")
+      .groupBy(col("event_type"), col("last_day"))
+      .agg(round(ema(col("d")), 4).as("forecast_next"),
+        round(abs(ema(col("d") - 1) -
+          max(when(col("j") === col("d"), col("n")))), 4).as("backtest_abs_err"))
+      .orderBy("event_type")
+  }
+
   /** Markov transition matrix over per-user event sequences: P(next
     * event type | current), the behavioral-model fit every product
     * analytics stack computes. One lead() window per user (key-
@@ -1180,6 +1215,7 @@ object CoreQueries {
     "e15_max_concurrency" -> e15MaxConcurrency,
     "e16_cusum_shift" -> e16CusumShift,
     "e17_window_load" -> e17WindowLoad,
+    "e18_ema_forecast" -> e18EmaForecast,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
@@ -1386,6 +1422,26 @@ object CoreQueries {
         |SELECT w.ws AS window_start, CAST(count(e.event_id) AS BIGINT) AS n_events
         |FROM w LEFT JOIN events e ON e.ts >= w.ws AND e.ts < w.we
         |GROUP BY w.ws ORDER BY window_start""".stripMargin),
+    "e18_ema_forecast" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS j
+        |  FROM daily),
+        |tops AS (SELECT event_type, MAX(j) AS d, MAX(day) AS last_day
+        |         FROM idx GROUP BY event_type)
+        |SELECT i.event_type, t.last_day,
+        |  ROUND(SUM(CASE WHEN i.j = 1 THEN POWER(0.7, t.d - 1) * i.n
+        |                 WHEN i.j <= t.d THEN 0.3 * POWER(0.7, t.d - i.j) * i.n
+        |                 ELSE 0.0 END), 4) AS forecast_next,
+        |  ROUND(ABS(SUM(CASE WHEN i.j = 1 THEN POWER(0.7, t.d - 2) * i.n
+        |                     WHEN i.j <= t.d - 1 THEN 0.3 * POWER(0.7, t.d - 1 - i.j) * i.n
+        |                     ELSE 0.0 END)
+        |            - MAX(CASE WHEN i.j = t.d THEN i.n END)), 4) AS backtest_abs_err
+        |FROM idx i JOIN tops t USING (event_type)
+        |GROUP BY i.event_type, t.last_day ORDER BY i.event_type""".stripMargin),
     "q47_scd2_merge" -> (q47OracleBody + "\nORDER BY c_custkey, valid_from"),
     "q63_asof_snapshot" ->
       (s"""WITH scd AS ($q47OracleBody)

@@ -244,7 +244,19 @@ object GovernanceQueries {
           "o_custkey" -> "o_orderpriority")))
       .orderBy("fd")
 
+  /** Cross-table reconciliation ([[DqChecks.reconcileRollup]]): order
+    * header totals vs the sum of their lineitem extended prices — the
+    * fact/rollup audit. (On the driver testdata the generator does NOT
+    * maintain the invariant, so the report SHOWS the inconsistency —
+    * which is the check working, not failing.) */
+  def g19Reconcile(s: SparkSession, dir: String): DataFrame =
+    DqChecks.reconcileRollup(
+      t(s, dir, "orders"), "o_orderkey", col("o_totalprice"),
+      t(s, dir, "lineitem"), "l_orderkey", col("l_extendedprice"),
+      tol = 0.01)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g19_reconcile" -> g19Reconcile,
     "g18_fd_profile" -> g18FdProfile,
     "g01_duplicates" -> g01Duplicates,
     "g02_range_violations" -> g02RangeViolations,
@@ -266,6 +278,19 @@ object GovernanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g19_reconcile" ->
+      ("""WITH sums AS (
+        |  SELECT l_orderkey AS o_orderkey, SUM(l_extendedprice) AS s
+        |  FROM lineitem GROUP BY 1),
+        |cls AS (
+        |  SELECT CASE WHEN s IS NULL THEN 'no_detail'
+        |              WHEN ABS(o_totalprice - s) <= 0.01 THEN 'matched'
+        |              ELSE 'mismatched' END AS recon_status,
+        |    ABS(o_totalprice - s) AS diff
+        |  FROM orders LEFT JOIN sums USING (o_orderkey))
+        |SELECT recon_status, CAST(count(*) AS BIGINT) AS n_keys,
+        |  ROUND(COALESCE(MAX(diff), 0.0), 2) AS max_abs_diff
+        |FROM cls GROUP BY recon_status ORDER BY recon_status""".stripMargin),
     "g18_fd_profile" ->
       ("""WITH f1 AS (SELECT user_id AS det, count(DISTINCT event_type) AS ndv FROM events GROUP BY 1),
         |f2 AS (SELECT event_id AS det, count(DISTINCT event_type) AS ndv FROM events GROUP BY 1),

@@ -8,6 +8,19 @@ import graft.dq.DqChecks
 class DqChecksSpec extends SparkSuite {
   import spark.implicits._
 
+  test("reconcileRollup classifies matched, mismatched, and detail-less headers") {
+    val header = Seq((1L, 30.0), (2L, 99.0), (3L, 7.5)).toDF("k", "total")
+    val detail = Seq((1L, 10.0), (1L, 20.0), (2L, 50.0)).toDF("dk", "amt")
+    val got = DqChecks.reconcileRollup(header, "k", col("total"),
+        detail, "dk", col("amt"), tol = 0.01)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      "matched" -> ((1L, 0.0)),       // 30 == 10+20
+      "mismatched" -> ((1L, 49.0)),   // |99 − 50|
+      "no_detail" -> ((1L, 0.0))))    // key 3 has no lines
+  }
+
   test("duplicates keeps only keys with more than one row") {
     val d = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "v")
     val out = DqChecks.duplicates(d, Seq("k")).collect()

@@ -104,6 +104,30 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("EMA closed form equals the recursive definition on the driver data") {
+    val out = queries.CoreQueries.e18EmaForecast(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    // recompute s_D and s_{D-1} recursively per type from the raw data
+    val daily = graft.core.Tables.table(spark, sf0001, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getLong(2).toDouble))
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.map(_._2)
+      val s = xs.tail.foldLeft(List(xs.head)) {
+        (acc, x) => (0.3 * x + 0.7 * acc.head) :: acc
+      }
+      val (sD, sD1) = (s.head, s.tail.head)
+      val (gotF, gotE) = out(tpe)
+      assert(math.abs(gotF - sD) < 1e-3, s"$tpe forecast $gotF vs $sD")
+      assert(math.abs(gotE - math.abs(sD1 - xs.last)) < 1e-3,
+        s"$tpe backtest err")
+    }
+  }
+
   test("fdViolations separates holding FDs from violated ones") {
     val df = Seq(
       (1L, "a", "x"), (1L, "a", "y"),   // k=1: dep has 2 values → violated
