@@ -92,6 +92,32 @@ object Masking {
 
   /** G14 surrogate key (A4:1060): 12-hex-char SHA-256 of the natural key —
     * stable across runs, join-preserving, irreversible. */
+  /** Laplace-mechanism noisy counts (Dwork et al., TCC'06): grouped
+    * counts released with Laplace(1/ε) noise — sensitivity 1 for a
+    * count query, so ε-DP *in mechanism shape*. The noise here is
+    * SEEDED (md5 of tag‖group → uniform → inverse CDF), which makes
+    * runs reproducible and the DuckDB oracle able to replay every
+    * digit — and which a REAL release must replace with a
+    * non-reproducible entropy source (seeded noise is not private
+    * against an adversary who knows the seed; this is the mechanism's
+    * distributed plumbing, deterministically testable). The uniform is
+    * (digits + 0.5)/16⁶ ∈ (0,1), so the inverse CDF never sees 0 or 1.
+    * One grouped count + per-row arithmetic — no extra shuffles. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      seedTag: String): DataFrame = {
+    val digits = conv(substring(md5(
+      concat(lit(seedTag), lit("|"), col(groupCol).cast("string"))), 1, 6),
+      16, 10).cast("double")
+    val u = (digits + 0.5) / math.pow(16, 6)
+    val b = 1.0 / epsilon
+    val noise = when(u < 0.5, lit(b) * log(u * 2.0))
+      .otherwise(lit(-b) * log((lit(1.0) - u) * 2.0))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + noise, 4).as("noisy_n"))
+  }
+
   def surrogateKey(v: Column): Column =
     substring(sha2(v.cast("string"), 256), 1, 12)
 

@@ -90,7 +90,18 @@ object PiiQueries {
           regexp_count(col("txt"), lit(phoneRe))).cast("long").as("n_pii"))
       .orderBy("c_custkey").limit(100)
 
+  /** Laplace-mechanism noisy release ([[Masking.dpNoisyCounts]]):
+    * per-segment customer counts with seeded Laplace(1/ε) noise at
+    * ε = 1 — the privacy-preserving aggregate-release mechanism,
+    * deterministically replayable (see the operator doc for why a real
+    * release swaps the seed source). */
+  def p08DpCounts(s: SparkSession, dir: String): DataFrame =
+    Masking.dpNoisyCounts(t(s, dir, "customer"), "c_mktsegment",
+        epsilon = 1.0, seedTag = "p08")
+      .orderBy("c_mktsegment")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_dp_counts" -> p08DpCounts,
     "p01_pii_registry" -> p01PiiRegistry,
     "p02_mask_auditor" -> p02MaskAuditor,
     "p03_mask_analyst" -> p03MaskAnalyst,
@@ -104,7 +115,19 @@ object PiiQueries {
     .map { case (t, c, cat, s) => s"('$t','$c','$cat','$s')" }
     .mkString(", ")
 
+  private val dpDigits = (1 to 6).map(i =>
+    s"(strpos('0123456789abcdef', substr(md5('p08|' || c_mktsegment), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+    .mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "p08_dp_counts" ->
+      (s"""WITH g AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
+         |u AS (SELECT c_mktsegment, n,
+         |  ($dpDigits + 0.5) / 16777216.0 AS u FROM g)
+         |SELECT c_mktsegment,
+         |  ROUND(n + CASE WHEN u < 0.5 THEN ln(u * 2.0)
+         |                 ELSE -ln((1.0 - u) * 2.0) END, 4) AS noisy_n
+         |FROM u ORDER BY c_mktsegment""".stripMargin),
     "p01_pii_registry" ->
       (s"SELECT * FROM (VALUES $regSql) AS t(table_name, column_name, category, sensitivity) " +
         "ORDER BY table_name, column_name"),

@@ -6,6 +6,28 @@ import graft.pii.Masking
 class MaskingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("dpNoisyCounts: deterministic, replayable, noise matches the inverse CDF") {
+    val d = Seq.tabulate(100)(i => (s"g${i % 4}", i)).toDF("g", "x")
+    def run() = Masking.dpNoisyCounts(d, "g", epsilon = 1.0, seedTag = "t")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val once = run()
+    assert(once === run(), "seeded noise must be run-stable")
+    // replay the mechanism driver-side: md5 digits → uniform → Laplace
+    val md = java.security.MessageDigest.getInstance("MD5")
+    once.foreach { case (g, noisy) =>
+      val hex = md.digest(s"t|$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 6)
+      val noise = if (u < 0.5) math.log(u * 2) else -math.log((1 - u) * 2)
+      val want = BigDecimal(25 + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(noisy - want) < 1e-9, s"$g: $noisy vs $want")
+    }
+    // group identity never leaks through the noise sign alone: counts stay
+    // within a plausible band for eps=1 (|noise| < 20 w.p. ~1-2e-9)
+    assert(once.values.forall(v => math.abs(v - 25) < 20))
+  }
+
   private def maskAll(values: Seq[String]): Seq[(String, String, String, String, String)] =
     values.toDF("v").select(
       col("v"),
