@@ -837,6 +837,19 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall\@k gate for the BQ tier — the v08/v13/v15 truth-join recall
+    * computed over [[Similarity.bqRerankTopK]], so all four compression
+    * families (LSH, IVF, PQ, BQ) publish their quality metric in-engine
+    * and oracled. */
+  def v27BqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
+        Similarity.bqRerankTopK(e, q, "vec_id", "embedding", k = 3))
+      .orderBy("query_id")
+  }
+
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -1285,6 +1298,7 @@ object PipelineQueries {
     "v24_filtered_knn" -> v24FilteredKnn,
     "v25_ivf_filtered" -> v25IvfFiltered,
     "v26_bq_rerank" -> v26BqRerank,
+    "v27_bq_recall" -> v27BqRecall,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -1573,6 +1587,19 @@ object PipelineQueries {
   private lazy val v13OracleSql: String =
     s"""WITH truth AS ($v01OracleSql),
        |approx AS ($v04OracleSql)
+       |SELECT t.query_id,
+       |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** v27 replays the v01 truth and the v26 BQ chain as CTEs and
+    * recomputes the same left-join recall (the v08 pattern) — the
+    * fourth index family gets its quality gate. */
+  private lazy val v27OracleSql: String =
+    s"""WITH truth AS ($v01OracleSql),
+       |approx AS ($v26OracleSql)
        |SELECT t.query_id,
        |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
        |    / COUNT(*), 4) AS recall
@@ -2060,6 +2087,7 @@ object PipelineQueries {
     "v04_ann_ivf" -> v04OracleSql,
     "v25_ivf_filtered" -> v25OracleSql,
     "v26_bq_rerank" -> v26OracleSql,
+    "v27_bq_recall" -> v27OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,
