@@ -343,7 +343,9 @@ object DqChecks {
     * SQL semantics on both engines: a null determinant forms its own
     * group; null dependents don't count toward ndv. */
   def fdViolations(df: DataFrame, table: String,
-      fds: Seq[(String, String)]): DataFrame =
+      fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty,
+      "fdViolations needs at least one (determinant, dependent) candidate")
     fds.map { case (det, dep) =>
       df.groupBy(col(det))
         .agg(countDistinct(col(dep)).as("__ndv"))
@@ -355,4 +357,5 @@ object DqChecks {
           col("__v").cast("long").as("n_violating"),
           col("__m").cast("long").as("max_fanout"))
     }.reduce(_.unionByName(_))
+  }
 }

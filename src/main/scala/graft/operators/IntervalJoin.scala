@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   * scale. */
 object IntervalJoin {
 
+  /** Buckets covered by `[startCol, endCol)`. A degenerate interval
+    * (endCol <= startCol) covers NOTHING under the half-open contract —
+    * without the guard, `sequence` would see end < start and throw
+    * "Illegal sequence boundaries" at runtime; with it, the empty array
+    * explodes to zero rows (zero matches), which is what "covers no
+    * time" means. */
+  private def coveredBuckets(startCol: String, endCol: String,
+      bucket: String): Column =
+    when(col(endCol) > col(startCol),
+      sequence(
+        date_trunc(bucket, col(startCol)),
+        // end is EXCLUSIVE: an interval ending exactly on a bucket
+        // boundary must not explode into that empty last bucket
+        date_trunc(bucket, col(endCol) - expr("INTERVAL 1 MICROSECOND")),
+        expr(s"INTERVAL 1 $bucket")))
+      .otherwise(array().cast("array<timestamp>"))
+
   /** Inner point-in-interval matches: one row per (point, covering
     * interval), `[startCol, endCol)` half-open. Output: all point
     * columns + all interval columns. `bucket` is any `date_trunc`
@@ -33,12 +50,7 @@ object IntervalJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucket: String = "hour"): DataFrame = {
     val exploded = intervals.withColumn("__bucket",
-      explode(sequence(
-        date_trunc(bucket, col(startCol)),
-        // end is EXCLUSIVE: an interval ending exactly on a bucket
-        // boundary must not explode into that empty last bucket
-        date_trunc(bucket, col(endCol) - expr("INTERVAL 1 MICROSECOND")),
-        expr(s"INTERVAL 1 $bucket"))))
+      explode(coveredBuckets(startCol, endCol, bucket)))
     points.withColumn("__bucket", date_trunc(bucket, col(pTsCol)))
       .join(exploded, Seq("__bucket"))
       .filter(col(pTsCol) >= col(startCol) && col(pTsCol) < col(endCol))
@@ -51,11 +63,11 @@ object IntervalJoin {
   def countPerInterval(points: DataFrame, pTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       countCol: Column, bucket: String = "hour"): DataFrame = {
+    // explode_outer: a degenerate interval's empty bucket array keeps
+    // its row (null bucket → joins nothing → count 0) rather than
+    // silently vanishing from the report
     val exploded = intervals.withColumn("__bucket",
-      explode(sequence(
-        date_trunc(bucket, col(startCol)),
-        date_trunc(bucket, col(endCol) - expr("INTERVAL 1 MICROSECOND")),
-        expr(s"INTERVAL 1 $bucket"))))
+      explode_outer(coveredBuckets(startCol, endCol, bucket)))
     val p = points.withColumn("__bucket", date_trunc(bucket, col(pTsCol)))
     // LEFT from the exploded intervals: an interval whose buckets hold
     // no points still reports (count of a null point column is 0, and

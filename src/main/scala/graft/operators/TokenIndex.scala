@@ -54,10 +54,28 @@ object TokenIndex {
       .groupBy("source", "token").agg(sum("cnt").as("cnt"))
 
   /** Fold accumulated deltas back to one row per key (run when the
-    * delta tail grows past taste; serving is correct either way). */
+    * delta tail grows past taste; serving is correct either way).
+    *
+    * Crash-safe by construction: the merged table is written COMPLETE
+    * to a temp sibling and only then renamed over the settled dir — the
+    * earlier read-then-overwrite-in-place shape (via localCheckpoint)
+    * could lose the whole index if an executor died mid-overwrite,
+    * after the target had already been truncated. The settled dir is
+    * never truncated before its replacement exists on disk. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val merged = tokenStats(spark, indexDir).localCheckpoint()
-    merged.write.mode("overwrite").parquet(s"$indexDir/token_stats")
+    val target = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    tokenStats(spark, indexDir).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(target, old)
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back — the settled table survives
+      throw new java.io.IOException(s"compact swap failed for $target")
+    }
+    fs.delete(old, true)
   }
 
   /** t39's per-source KL divergence served FROM THE INDEX — the same

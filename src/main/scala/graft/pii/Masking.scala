@@ -90,8 +90,6 @@ object Masking {
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
   }
 
-  /** G14 surrogate key (A4:1060): 12-hex-char SHA-256 of the natural key —
-    * stable across runs, join-preserving, irreversible. */
   /** Laplace-mechanism noisy counts (Dwork et al., TCC'06): grouped
     * counts released with Laplace(1/ε) noise — sensitivity 1 for a
     * count query, so ε-DP *in mechanism shape*. The noise here is
@@ -118,6 +116,8 @@ object Masking {
         round(col("__n") + noise, 4).as("noisy_n"))
   }
 
+  /** G14 surrogate key (A4:1060): 12-hex-char SHA-256 of the natural key —
+    * stable across runs, join-preserving, irreversible. */
   def surrogateKey(v: Column): Column =
     substring(sha2(v.cast("string"), 256), 1, 12)
 

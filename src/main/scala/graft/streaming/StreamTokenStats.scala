@@ -52,10 +52,15 @@ object StreamTokenStats {
   /** The served (source, token, cnt) table: base ∪ deltas, sum-merged.
     * Equal to a one-shot batch build over everything ingested so far. */
   def servedStats(spark: SparkSession, statsDir: String): DataFrame = {
-    def readIf(path: String): Option[DataFrame] =
-      if (new java.io.File(path).exists())
+    // Hadoop FS, not java.io.File: base/deltas may live on HDFS/S3
+    // where a local-file existence probe would silently report absent
+    def readIf(path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
         Some(spark.read.parquet(path).select("source", "token", "cnt"))
       else None
+    }
     val parts = readIf(s"$statsDir/base").toSeq ++
       readIf(s"$statsDir/deltas").toSeq
     require(parts.nonEmpty, s"no token stats under $statsDir")

@@ -153,4 +153,12 @@ class EventOpsSpec extends SparkSuite {
     assert(got.getLong(2) === 1L)   // only the null group violates
     assert(got.getLong(3) === 2L)
   }
+
+  test("fdViolations rejects an empty candidate list with a clear message") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      DqChecks.fdViolations(df, "t", Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one"))
+  }
 }

@@ -90,6 +90,30 @@ class IntervalJoinSpec extends SparkSuite {
     }
   }
 
+  test("degenerate intervals (end <= start) yield zero matches, not a runtime error") {
+    val points = Seq((1L, ts(9, 30))).toDF("event_id", "ts")
+    val intervals = Seq(
+      (ts(9, 0), ts(9, 0)),   // zero-length
+      (ts(10, 0), ts(9, 0)),  // inverted
+      (ts(9, 0), ts(10, 0))   // real — still matches
+    ).toDF("ws", "we")
+    // [start, end) with end <= start covers nothing — the sequence()
+    // guard must turn these into empty bucket arrays, not throw
+    // "Illegal sequence boundaries"
+    val got = IntervalJoin.pointInInterval(points, "ts", intervals,
+      "ws", "we").select("event_id", "ws")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got === Set((1L, ts(9, 0))))
+    // and countPerInterval still REPORTS the degenerate intervals (0)
+    val counts = IntervalJoin.countPerInterval(points, "ts", intervals,
+        "ws", "we", col("event_id"))
+      .collect().map(r => ((r.getTimestamp(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    assert(counts === Map(
+      (ts(9, 0), ts(9, 0)) -> 0L,
+      (ts(10, 0), ts(9, 0)) -> 0L,
+      (ts(9, 0), ts(10, 0)) -> 1L))
+  }
+
   test("interval ending exactly on a bucket boundary doesn't leak a bucket") {
     val points = Seq((1L, ts(11, 0))).toDF("event_id", "ts")
     val intervals = Seq((ts(10, 0), ts(11, 0))).toDF("ws", "we")
