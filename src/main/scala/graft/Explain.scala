@@ -30,17 +30,41 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val budget = new StringBuilder
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // probe the interior plans of eager (Caches.scoped) queries while
+      // the query function CONSTRUCTS (and thus materializes) them. AQE
+      // is off during construction so the captured plans expose plain
+      // ShuffleExchange nodes (deterministic counts); it is restored
+      // before the top-level plan is evaluated, so the declared-plan
+      // snapshots are unaffected.
+      val probed = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.SparkPlan]
+      graft.operators.Caches.planProbe.set(probed)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df =
+        try SparkEntry.queries(n)(spark, sfDir)
+        finally {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          graft.operators.Caches.planProbe.remove()
+        }
       planDir match {
         case Some(dir) =>
           Files.createDirectories(Paths.get(dir))
           val norm = PlanSnapshots.normalize(PlanSnapshots.planString(df))
           Files.writeString(Paths.get(dir, s"$n.txt"), norm)
           budget ++= s"$n\t${PlanSnapshots.shuffleCount(norm)}\n"
+          if (probed.nonEmpty) {
+            budget ++= s"$n#interior\t${PlanSnapshots.interiorShuffleCount(probed.toSeq)}\n"
+            Files.writeString(Paths.get(dir, s"$n.interior.txt"),
+              PlanSnapshots.interiorString(probed.toSeq))
+          }
           spark.catalog.clearCache()
         case None =>
           println(s"========== $n ==========")
           df.explain("formatted")
+          if (probed.nonEmpty) {
+            println(s"---------- $n interior (probed) ----------")
+            println(PlanSnapshots.interiorString(probed.toSeq))
+          }
       }
     }
     planDir.foreach(dir =>

@@ -40,32 +40,35 @@ object DqChecks {
       .select(lit(label).as("relationship"), col("n_orphans"))
 
   /** ANALYZE-style numeric column profile: rows, nulls, exact NDV, and
-    * min/max per column, in ONE aggregation pass, unpivoted to a row per
-    * column (the stats table a cost-based planner or a DQ dashboard
-    * feeds on). Exact `countDistinct` here because the oracle replays
-    * it; at 100 TB swap in `approx_count_distinct` (HLL) — same shape,
-    * sketch-sized shuffle. */
+    * min/max per column, one scan pass, a row per column (the stats
+    * table a cost-based planner or a DQ dashboard feeds on). Exact
+    * `countDistinct` here because the oracle replays it; at 100 TB swap
+    * in `approx_count_distinct` (HLL) — same shape, sketch-sized
+    * shuffle. An empty table profiles to an empty table.
+    *
+    * Shape: unpivot FIRST (one `(column_name, value)` cell per row and
+    * column — a per-column union of selects would let Catalyst split
+    * the plan into an independent scan per column), then a single
+    * grouped pass with ONE distinct aggregate. One distinct is planned
+    * as the classic two-exchange distinct aggregation — never the
+    * multi-distinct Expand path, whose gid/group ordering follows the
+    * session-global expression-id counter and re-dirtied this query's
+    * plan snapshot whenever unrelated queries moved the counter. The
+    * distinct stage keys on `(column_name, value)`, so it distributes
+    * over value hashes rather than piling a whole column's cells on one
+    * reducer. */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      countDistinct(col(c)).as(s"__ndv_$c"),
-      min(col(c)).cast("double").as(s"__min_$c"),
-      max(col(c)).cast("double").as(s"__max_$c"))) :+
-      count(lit(1)).as("__rows")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot by exploding a struct array over the 1-row aggregate —
-    // a per-column union of selects would let Catalyst split the plan
-    // into one independent scan+aggregation PER column
-    val metricRows = cols.map(c => struct(
-      lit(c).as("column_name"), col(s"__nulls_$c").as("n_nulls"),
-      col(s"__ndv_$c").as("ndv"), col(s"__min_$c").as("min_val"),
-      col(s"__max_$c").as("max_val")))
-    wide.select(col("__rows").as("n_rows"),
-        explode(array(metricRows: _*)).as("__m"))
-      .select(col("__m.column_name").as("column_name"), col("n_rows"),
-        col("__m.n_nulls").as("n_nulls"), col("__m.ndv").as("ndv"),
-        col("__m.min_val").as("min_val"), col("__m.max_val").as("max_val"))
+    val cells = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*))
+        .as("__c"))
+      .select(col("__c.column_name").as("column_name"), col("__c.v").as("v"))
+    cells.groupBy("column_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("v")).as("ndv"),
+      min(col("v")).as("min_val"),
+      max(col("v")).as("max_val"))
   }
 
   /** G2 range/type/staleness validation (A4:744-747): rows violating

@@ -1,5 +1,6 @@
 package graft.ingest
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -79,7 +80,7 @@ object JsonBatchLoader {
       // Spark requires caching/materializing before filtering on the
       // corrupt column alone (the lazy parse would prune it away)
       .select(col("*"), input_file_name().as("_source_file"))
-      .localCheckpoint()
+      .eagerCheckpoint()
     val good = parsed.filter(col(corrupt).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = parsed.filter(col(corrupt).isNotNull)

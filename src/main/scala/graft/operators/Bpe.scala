@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,7 +66,7 @@ object Bpe {
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), wrapChars(col("word")).as("rep"))
-      .localCheckpoint()
+      .eagerCheckpoint()
     val bracketed = vocab.filter(col("word").contains("<") ||
       col("word").contains(">")).limit(1).collect()
     if (bracketed.nonEmpty) throw new IllegalArgumentException(

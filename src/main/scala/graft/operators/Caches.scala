@@ -28,13 +28,43 @@ private[graft] object Caches {
     * row-width classes) without reconstructing them out-of-band. */
   private[graft] val planProbe = new ThreadLocal[mutable.Buffer[SparkPlan]]
 
+  /** Eager materialization with lineage truncation — the single funnel
+    * every operator checkpoint goes through, so that (a) the interior
+    * plan gate sees EVERY materialized plan ([[planProbe]] records it
+    * when installed — PlanRegressionSpec and graft.Explain budget
+    * these), and (b) the checkpoint mode is centrally switchable:
+    *
+    *  - `spark.graft.checkpoint.mode=local` (default): localCheckpoint —
+    *    blocks live in executor storage with lineage truncated. Fastest,
+    *    and the right trade on local[32]/the bench; but an executor loss
+    *    mid-job is unrecoverable (no lineage to recompute).
+    *  - `spark.graft.checkpoint.mode=reliable`: SparkContext-dir
+    *    checkpoint (HDFS/object-store-backed) — iteration state survives
+    *    executor loss, the posture a 1000-executor 100 TB run wants for
+    *    pageRank/kmeansFit/dupClusters and every scoped() exit. Requires
+    *    `sparkContext.setCheckpointDir` (enforced here with a clear
+    *    message rather than Spark's late NPE-ish failure). */
+  def eager(df: DataFrame): DataFrame = {
+    Option(planProbe.get).foreach(_ += df.queryExecution.executedPlan)
+    val reliable = df.sparkSession.conf
+      .get("spark.graft.checkpoint.mode", "local") == "reliable"
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.checkpoint.mode=reliable needs " +
+          "sparkContext.setCheckpointDir(<fault-tolerant path>)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
+  /** Postfix sugar for [[eager]]: `df.eagerCheckpoint()` — keeps
+    * operator pipelines readable at the many call sites. */
+  implicit class EagerOps(private val df: DataFrame) extends AnyVal {
+    def eagerCheckpoint(): DataFrame = Caches.eager(df)
+  }
+
   def scoped(intermediates: DataFrame*)(out: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist())
-    try {
-      val o = out
-      Option(planProbe.get).foreach(_ += o.queryExecution.executedPlan)
-      o.localCheckpoint()
-    }
+    try eager(out)
     finally intermediates.foreach(_.unpersist())
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -677,10 +678,10 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // reused every round; pair lists are small
+      .eagerCheckpoint() // reused every round; pair lists are small
     var labels = Caches.spreadByKey(docs.select(col(idCol).as("id")), col("id"))
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .eagerCheckpoint()
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
@@ -690,7 +691,7 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .eagerCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
       labels = next
@@ -734,8 +735,8 @@ object Dedup {
         greatest(col("src"), col("dst")).as("dst")).distinct()
 
     var edges = undirect(pairs.select(col("id_a").as("src"),
-      col("id_b").as("dst"))).localCheckpoint()
-    var prev = canon(edges).localCheckpoint()
+      col("id_b").as("dst"))).eagerCheckpoint()
+    var prev = canon(edges).eagerCheckpoint()
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
@@ -745,7 +746,7 @@ object Dedup {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"),
           least(col("src"), col("nmin")).as("dst"))
-      val afterLarge = undirect(large).localCheckpoint()
+      val afterLarge = undirect(large).eagerCheckpoint()
       // small-star: for (x, y<x) emit (y, m) and (x, m), m = min(y's)
       val small = afterLarge.filter(col("dst") < col("src"))
       val sMins = small.groupBy("src").agg(min("dst").as("nmin"))
@@ -753,13 +754,13 @@ object Dedup {
         small.join(sMins, "src")
           .select(col("dst").as("src"), col("nmin").as("dst"))
           .unionByName(sMins.select(col("src"), col("nmin").as("dst"))))
-        .localCheckpoint()
+        .eagerCheckpoint()
       // both sides are distinct() sets, so |A| = |B| ∧ A\B = ∅ ⇒ equal —
       // one except job per round, not two
       converged = afterSmall.count() == prev.count() &&
         afterSmall.exceptAll(prev).isEmpty
       prev = afterSmall
-      edges = undirect(afterSmall).localCheckpoint()
+      edges = undirect(afterSmall).eagerCheckpoint()
       round += 1
     }
     if (!converged)
@@ -1241,7 +1242,7 @@ object Dedup {
           posexplode(bandKeys(col("sig"), bands, numHashes / bands))
             .as(Seq("band", "bucket")))
         .withColumn("bucket_p", pmod(col("bucket"), lit(parts.toLong)))
-        .localCheckpoint()
+        .eagerCheckpoint()
       val ps = probeBands.select("bucket_p").distinct().collect()
         .map(_.get(0)) // bounded by `parts`
       // bucket → bucket_p is functional, so the pruned scan still holds

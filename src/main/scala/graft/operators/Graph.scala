@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +33,7 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     Caches.scoped(edges) {
-      var visited = Seq((source, 0)).toDF("node", "hop").localCheckpoint()
+      var visited = Seq((source, 0)).toDF("node", "hop").eagerCheckpoint()
       var frontier = visited.select("node")
       var hop = 0
       while (hop < maxHops && !frontier.isEmpty) {
@@ -41,10 +42,10 @@ object Graph {
           .join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
-          .localCheckpoint()
+          .eagerCheckpoint()
         visited = visited
           .unionByName(frontier.withColumn("hop", lit(hop)))
-          .localCheckpoint()
+          .eagerCheckpoint()
       }
       visited
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,7 +29,7 @@ object Packing {
     val wLocal = Window.partitionBy("__pid").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = n.withColumn("__lcum", sum(col("n_tokens")).over(wLocal))
-      .localCheckpoint() // reused: per-partition totals + the final layout
+      .eagerCheckpoint() // reused: per-partition totals + the final layout
     val totals = local.groupBy("__pid").agg(max(col("__lcum")).as("__tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
@@ -79,7 +80,7 @@ object PageRank {
             round(lit(1.0 - damping) / col("__n") +
               lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
               12).as("r"))
-          .localCheckpoint()
+          .eagerCheckpoint()
       }
       r.select(col("node"), col("deg"), col("r").as("rank"))
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -269,7 +270,7 @@ object Similarity {
     val m = spark.read.parquet(s"$indexDir/meta").head()
     val probes = lshProbes(queries, idCol, vecCol,
         m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
-      .localCheckpoint()
+      .eagerCheckpoint()
     val buckets = probes.select("bucket").distinct().collect().map(_.get(0))
     val bucketed = spark.read.parquet(s"$indexDir/bucketed")
       .filter(col("bucket").isin(buckets.toSeq: _*))
@@ -355,7 +356,7 @@ object Similarity {
         col("vn").as("cn"))
       // tiny (nCentroids rows) but referenced by build AND search side:
       // materialize once so the corpus isn't scanned twice for it
-      .localCheckpoint()
+      .eagerCheckpoint()
     // single consumer (the probe join or the index write) — no cache
     (centroids, assignToCentroids(c, centroids))
   }
@@ -472,7 +473,7 @@ object Similarity {
     // probes feed the cid collect AND the candidate join — materialize
     // once (query-set sized)
     val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
-      .localCheckpoint()
+      .eagerCheckpoint()
     val cids = probes.select("cid").distinct().collect().map(_.get(0))
     // `where` (over build-time attrCols) prunes the index scan itself:
     // the predicate pushes into the parquet read NEXT TO the cid
@@ -503,7 +504,7 @@ object Similarity {
         l2Norm(asDouble(col(vecCol))).as("vn"))
     val centroids = md5Sample(c, "id", nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
-      .localCheckpoint() // tiny; feeds assignment AND the shift join
+      .eagerCheckpoint() // tiny; feeds assignment AND the shift join
     val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
     val assigned = c.crossJoin(broadcast(centroids))
       .withColumn("csim", dot(col("v"), col("cv")) /
@@ -563,53 +564,91 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
-
-    // (cid, cv, cn) — assignment against a packed broadcast of these
-    def assign(cents: DataFrame): DataFrame = {
-      val packed = cents.agg(sort_array(collect_list(
-        struct(col("cid"), col("cv"), col("cn")))).as("cents"))
-      val best = aggregate(col("cents"),
-        struct(lit(-2.0).as("s"), lit(-1L).as("cid")),
-        (acc, ct) => {
-          val s = coalesce(dot(col("v"), ct.getField("cv")) /
-            nullif(col("vn") * ct.getField("cn"), lit(0.0)), lit(-2.0))
-          when(s > acc.getField("s"),
-            struct(s.as("s"), ct.getField("cid").as("cid"))).otherwise(acc)
-        })
-      c.crossJoin(broadcast(packed))
-        .select(col("id"), col("v"), best.getField("cid").as("cid"),
-          round(best.getField("s"), 6).as("sim6"))
-    }
-
-    // new centroid = 6dp-rounded decimal-exact mean of members; an
-    // empty centroid keeps its position
-    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
-      import graft.functions.DecVecSumAgg.decVecSum
-      val sums = assigned.groupBy("cid").agg(count(lit(1)).as("n"),
-        decVecSum(transform(col("v"),
-          t => round(t, 6).cast("decimal(38,6)")), dim).as("sv"))
-      cents.select(col("cid"), col("cv"))
-        .join(sums, Seq("cid"), "left")
-        .select(col("cid"),
-          when(col("n").isNotNull, transform(col("sv"),
-            s => round(s.cast("double") / col("n"), 6)))
-            .otherwise(col("cv")).as("cv"))
-        .withColumn("cn", l2Norm(col("cv")))
-        .localCheckpoint()
-    }
-
-    var cents = md5Sample(c, "id", k)
-      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) cents = update(cents, assign(cents))
-
-    val stats = assign(cents).filter(col("cid") =!= lit(-1L))
+    val cents = kmeansCentroids(c, k, iters, dim)
+    val stats = kmeansAssign(c, cents).filter(col("cid") =!= lit(-1L))
       .groupBy("cid").agg(count(lit(1)).as("n"),
         sum(col("sim6").cast("decimal(38,6)")).as("__ss"))
     cents.select(col("cid")).join(stats, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
         round(col("__ss").cast("double") / col("n"), 4).as("mean_sim"))
       .orderBy("cid")
+  }
+
+  /** The Lloyd loop behind [[kmeansFit]], returning the fitted
+    * `(cid, cv, cn)` centroid table over a prepared `(id, v, vn)`
+    * frame — split out so [[ivfTrainedTopK]] can consume trained
+    * centroids as an IVF yardstick. Same md5-seeded init, 6dp decimal-
+    * exact means, and per-iteration checkpoint as the fit. */
+  private[graft] def kmeansCentroids(c: DataFrame, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    var cents = md5Sample(c, "id", k)
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
+      .eagerCheckpoint()
+    for (_ <- 1 to iters)
+      cents = kmeansUpdate(cents, kmeansAssign(c, cents), dim)
+    cents
+  }
+
+  /** One assignment pass: each prepared row's argmax-cosine centroid
+    * (ties to the smallest cid) against a PACKED broadcast of the
+    * centroid table — the k centroids ride as one array-of-structs row,
+    * so the corpus never row-multiplies by k. Zero-norm vectors (cosine
+    * undefined everywhere) get cid −1. */
+  private def kmeansAssign(c: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(sort_array(collect_list(
+      struct(col("cid"), col("cv"), col("cn")))).as("cents"))
+    val best = aggregate(col("cents"),
+      struct(lit(-2.0).as("s"), lit(-1L).as("cid")),
+      (acc, ct) => {
+        val s = coalesce(dot(col("v"), ct.getField("cv")) /
+          nullif(col("vn") * ct.getField("cn"), lit(0.0)), lit(-2.0))
+        when(s > acc.getField("s"),
+          struct(s.as("s"), ct.getField("cid").as("cid"))).otherwise(acc)
+      })
+    c.crossJoin(broadcast(packed))
+      .select(col("id"), col("v"), best.getField("cid").as("cid"),
+        round(best.getField("s"), 6).as("sim6"))
+  }
+
+  /** One Lloyd update: new centroid = 6dp-rounded decimal-exact mean of
+    * members ([[graft.functions.DecVecSumAgg]] — order-free, engine-
+    * portable); an empty centroid keeps its position. */
+  private def kmeansUpdate(cents: DataFrame, assigned: DataFrame,
+      dim: Int): DataFrame = {
+    import graft.functions.DecVecSumAgg.decVecSum
+    val sums = assigned.groupBy("cid").agg(count(lit(1)).as("n"),
+      decVecSum(transform(col("v"),
+        t => round(t, 6).cast("decimal(38,6)")), dim).as("sv"))
+    cents.select(col("cid"), col("cv"))
+      .join(sums, Seq("cid"), "left")
+      .select(col("cid"),
+        when(col("n").isNotNull, transform(col("sv"),
+          s => round(s.cast("double") / col("n"), 6)))
+          .otherwise(col("cv")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .eagerCheckpoint()
+  }
+
+  /** IVF with TRAINED centroids: [[ivfTopK]]'s probe/search machinery
+    * over a [[kmeansCentroids]] Lloyd fit instead of the raw md5
+    * sample. The md5 sample stays as the SEED (so the whole chain is
+    * engine-replayable, oracle included); `iters` Lloyd iterations then
+    * move the centroids to cluster means — tighter lists, better
+    * per-probe recall. This is how a production IVF index is actually
+    * built (FAISS trains centroids; sampling is only the init), and
+    * the v28 recall gate measures the training gain directly against
+    * the sampled-centroid yardstick on the same corpus. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val cPrep = Caches.spreadByKey(corpus, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
+    val assigned = assignToCentroids(
+      cPrep.select(col("id").as("neighbor_id"), col("v"), col("vn")), cents)
+    ivfSearch(ivfProbes(cents, queries, idCol, vecCol, nProbe), assigned, k)
   }
 
   /** Product-quantization (PQ) codebook: the md5-sampled corpus rows'
@@ -644,7 +683,7 @@ object Similarity {
         dot(col("cs"), col("cs")).as("csq"))
       // tiny (m·nCodes rows) but feeds BOTH the encode pass and the
       // per-query LUT build: materialize once
-      .localCheckpoint()
+      .eagerCheckpoint()
   }
 
   /** Encode every corpus vector as its `m` nearest-subvector code
@@ -953,7 +992,7 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))
-    val sample = md5Sample(c, "id", nCentroids).localCheckpoint()
+    val sample = md5Sample(c, "id", nCentroids).eagerCheckpoint()
     val centroids = sample
       .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
     // at the (default) nCentroids == nCodes the two yardsticks are the
@@ -1037,7 +1076,7 @@ object Similarity {
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val (m, dsub, nCodes) = pqMeta(codebook)
     val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
-      .localCheckpoint()
+      .eagerCheckpoint()
     val cids = probes.select("cid").distinct().collect().map(_.get(0))
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cid").isin(cids.toSeq: _*))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caches.EagerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,7 +83,7 @@ object TokenIndex {
     * math as the inline query, zero corpus reads. */
   def serveDomainKl(spark: SparkSession, indexDir: String): DataFrame = {
     val sc = tokenStats(spark, indexDir)
-      .withColumnRenamed("cnt", "cs").localCheckpoint()
+      .withColumnRenamed("cnt", "cs").eagerCheckpoint()
     val st = sc.groupBy("source").agg(sum("cs").cast("double").as("ns"))
     val cc = sc.groupBy("token").agg(sum("cs").cast("double").as("c"))
     val nt = cc.agg(sum("c").as("n"))

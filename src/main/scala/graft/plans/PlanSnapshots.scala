@@ -1,6 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Physical-plan snapshot helpers: normalize a plan string so that
   * run-to-run noise (expression ids, plan ids, absolute paths, stats)
@@ -9,15 +14,13 @@ import org.apache.spark.sql.DataFrame
   * product slipping in). Used by [[graft.Explain]] to dump versioned
   * snapshots and by PlanRegressionSpec to gate changes.
   *
-  * Known benign churn the normalizer can NOT scrub: multi-column
-  * count-distinct plans (g11) order their Expand/gid groups by
-  * ExpressionSet iteration, which depends on the session-global id
-  * counter — so adding queries elsewhere permutes g11's recorded
-  * column order run-to-run. The permutation is structure-preserving
-  * (same node types, same exchange count), and the REGRESSION GATE
-  * only checks CartesianProduct + shuffle counts, which are invariant
-  * under it — expect the g11 snapshot text to re-dirty on full
-  * `graft.Explain` regenerations and commit it without alarm. */
+  * The one known churn source is gone: multi-distinct aggregates plan
+  * through an Expand whose gid/group order follows the session-global
+  * expression-id counter (adding a query elsewhere permuted g11's
+  * snapshot); numericProfile now unpivots first and uses a single
+  * distinct aggregate, so no declared query takes that path. Keep it
+  * that way — prefer one distinct per aggregation in declared
+  * queries. */
 object PlanSnapshots {
 
   /** The pre-execution physical plan (for AQE plans this is the initial
@@ -54,4 +57,50 @@ object PlanSnapshots {
 
   def hasCartesian(plan: String): Boolean =
     plan.contains("CartesianProduct")
+
+  // ---- interior-plan audit (the probed plans of eager operators) ----
+  //
+  // The eager dedup/similarity tier (Caches.scoped) materializes during
+  // query CONSTRUCTION, so the declared query's plan string is just the
+  // checkpoint scan — the string-based gate above never sees the
+  // operator internals. These walkers audit the REAL physical plans the
+  // Caches.planProbe hook captures at materialization time, descending
+  // through cached lineages and AQE wrappers, so the no-cartesian and
+  // shuffle-budget gates reach the heaviest 41 queries too.
+
+  /** Every node reachable from `p`, descending into cached-relation
+    * lineages and AQE/stage wrappers (which toString does not print). */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** Distinct nodes across a probe buffer: a cached lineage scanned by
+    * several InMemoryTableScans ran its exchanges once — node identity
+    * (SparkPlan.id) dedupes it. */
+  def distinctNodes(plans: Seq[SparkPlan]): Seq[SparkPlan] =
+    plans.flatMap(allNodes).distinctBy(_.id)
+
+  def interiorShuffleCount(plans: Seq[SparkPlan]): Int =
+    distinctNodes(plans).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  def interiorHasCartesian(plans: Seq[SparkPlan]): Boolean =
+    distinctNodes(plans).exists(_.isInstanceOf[CartesianProductExec])
+
+  /** Reviewable text of an eager query's interior: each probed plan
+    * tree, then every distinct cached lineage (toString stops at the
+    * InMemoryTableScan, so the lineages are appended explicitly). */
+  def interiorString(plans: Seq[SparkPlan]): String = {
+    val cached = distinctNodes(plans).collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }.distinctBy(_.id)
+    normalize((plans.map(_.toString()) ++
+      cached.map(p => "=== cached lineage ===\n" + p.toString()))
+      .mkString("\n"))
+  }
 }

@@ -901,6 +901,30 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** Trained-centroid IVF recall gate — v13's truth-join recall over
+    * [[Similarity.ivfTrainedTopK]] (16 centroids, 3 Lloyd iterations,
+    * probe 4) AND the md5-sampled [[Similarity.ivfTopK]] yardstick at
+    * identical parameters, side by side per query: the result table
+    * itself shows the training gain (recall_trained > recall_sampled
+    * in the mean — asserted by SimilaritySpec at sf0.001 and replayed
+    * iteration-exactly by the DuckDB oracle). 50 queries, not v13's 5:
+    * a 15-cell recall sample is noise; 150 cells separate the tiers. */
+  def v28IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 50)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+    Similarity.recallAtK(truth,
+        Similarity.ivfTrainedTopK(e, q, "vec_id", "embedding", k = 3,
+          nCentroids = 16, nProbe = 4, iters = 3))
+      .withColumnRenamed("recall", "recall_trained")
+      .join(Similarity.recallAtK(truth,
+          Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
+            nCentroids = 16, nProbe = 4))
+          .withColumnRenamed("recall", "recall_sampled"),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
   /** PQ-compressed ANN top-3 for queries 0-4: the corpus is scanned as
     * 8 codebook indices per vector (never the floats), distances are
     * ADC table walks — the memory/scan tier a billion-vector serving
@@ -1299,6 +1323,7 @@ object PipelineQueries {
     "v25_ivf_filtered" -> v25IvfFiltered,
     "v26_bq_rerank" -> v26BqRerank,
     "v27_bq_recall" -> v27BqRecall,
+    "v28_ivf_trained" -> v28IvfTrained,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -1874,16 +1899,22 @@ object PipelineQueries {
        |FROM b JOIN p USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  private lazy val v19OracleSql: String = {
-    val dim = 64; val k = 8; val iters = 2
-    def assignCte(a: String, cent: String) = {
-      val sim = s"COALESCE(list_dot_product(cn.v, ct.cv) / NULLIF(cn.vn * ct.ccn, 0.0), -2.0)"
-      s"""$a AS (
-         |  SELECT id, v, cid, sim FROM (
-         |    SELECT cn.id, cn.v, ct.cid, ROUND($sim, 6) AS sim,
-         |      row_number() OVER (PARTITION BY cn.id ORDER BY $sim DESC, ct.cid) AS rn
-         |    FROM cn, $cent ct) WHERE rn = 1)""".stripMargin
-    }
+  /** The iteration-exact k-means CTE chain (the v19 arithmetic:
+    * md5-seeded cent0, ROUND(sim, 6) assignment ties to smallest cid,
+    * 6dp decimal-exact means, empty centroids keep position) —
+    * parameterized so v19's fit report and v28's trained-IVF gate
+    * replay the SAME Lloyd loop from one definition. Emits `c`, `cn`,
+    * `cent0` … `cent$iters` (cid, cv, ccn). */
+  private def kmeansAssignCte(a: String, cent: String): String = {
+    val sim = s"COALESCE(list_dot_product(cn.v, ct.cv) / NULLIF(cn.vn * ct.ccn, 0.0), -2.0)"
+    s"""$a AS (
+       |  SELECT id, v, cid, sim FROM (
+       |    SELECT cn.id, cn.v, ct.cid, ROUND($sim, 6) AS sim,
+       |      row_number() OVER (PARTITION BY cn.id ORDER BY $sim DESC, ct.cid) AS rn
+       |    FROM cn, $cent ct) WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
     def updateCtes(i: Int) = {
       val means = (1 to dim).map(j =>
         s"ROUND(CAST(SUM(CAST(ROUND(v[$j], 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m_$j")
@@ -1896,19 +1927,77 @@ object PipelineQueries {
          |    FROM cent${i - 1} p LEFT JOIN m$i m USING (cid)))""".stripMargin
     }
     val iterCtes = (1 to iters)
-      .map(i => assignCte(s"a$i", s"cent${i - 1}") + ",\n" + updateCtes(i))
+      .map(i => kmeansAssignCte(s"a$i", s"cent${i - 1}") + ",\n" + updateCtes(i))
       .mkString(",\n")
-    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM c),
        |cent0 AS (SELECT id AS cid, v AS cv, vn AS ccn FROM cn
-       |          ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k),
-       |$iterCtes,
-       |${assignCte("af", s"cent$iters")},
+       |          ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)${if (iters > 0) ",\n" + iterCtes else ""}""".stripMargin
+  }
+
+  private lazy val v19OracleSql: String = {
+    val dim = 64; val k = 8; val iters = 2
+    s"""WITH ${kmeansOracleCtes(k, iters, dim)},
+       |${kmeansAssignCte("af", s"cent$iters")},
        |r AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
        |  ROUND(CAST(SUM(CAST(sim AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS mean_sim
        |  FROM af GROUP BY cid)
        |SELECT ct.cid, CAST(COALESCE(r.n, 0) AS BIGINT) AS n, r.mean_sim
        |FROM cent$iters ct LEFT JOIN r USING (cid) ORDER BY cid""".stripMargin
+  }
+
+  /** v28 replays the trained-centroid IVF against the sampled-centroid
+    * IVF on the same corpus and query set: the kmeans CTE chain
+    * (16 centroids, 3 Lloyd iterations) feeds the probed search as
+    * `cent3`, `cent0` doubles as the md5-sampled yardstick (the
+    * [[Similarity.ivfTopK]] centroid contract — same md5 order, same
+    * LIMIT), and both recalls come from one brute-force truth. */
+  private lazy val v28OracleSql: String = {
+    val k = 16; val iters = 3; val nProbe = 4; val topK = 3; val nQ = 50
+    // the IVF tail vs a given centroid CTE (cid, cv, ccn): assignment,
+    // probes, scored candidates, top-k — the v04 machinery text
+    def ivfApprox(tag: String, cent: String) =
+      s"""assigned$tag AS (
+         |  SELECT neighbor_id, v, vn, cid FROM (
+         |    SELECT cn.id AS neighbor_id, cn.v, cn.vn, ct.cid,
+         |      row_number() OVER (PARTITION BY cn.id
+         |        ORDER BY list_dot_product(cn.v, ct.cv) / NULLIF(cn.vn * ct.ccn, 0.0) DESC, ct.cid) AS rn
+         |    FROM cn, $cent ct) WHERE rn = 1),
+         |probes$tag AS (
+         |  SELECT query_id, qv, qn, cid FROM (
+         |    SELECT qn2.query_id, qn2.qv, qn2.qn, ct.cid,
+         |      row_number() OVER (PARTITION BY qn2.query_id
+         |        ORDER BY list_dot_product(qn2.qv, ct.cv) / NULLIF(qn2.qn * ct.ccn, 0.0) DESC, ct.cid) AS rn
+         |    FROM qn2, $cent ct) WHERE rn <= $nProbe),
+         |approx$tag AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |        list_dot_product(p.qv, a.v) / NULLIF(p.qn * a.vn, 0.0) DESC, a.neighbor_id) AS rank
+         |    FROM probes$tag p JOIN assigned$tag a USING (cid)
+         |    WHERE p.query_id <> a.neighbor_id) WHERE rank <= $topK)""".stripMargin
+    def recall(tag: String, as: String) =
+      s"""r$tag AS (
+         |  SELECT t.query_id,
+         |    ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / COUNT(*), 4) AS $as
+         |  FROM truth t LEFT JOIN approx$tag a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id)""".stripMargin
+    s"""WITH ${kmeansOracleCtes(k, iters, 64)},
+       |qn2 AS (SELECT id AS query_id, v AS qv, vn AS qn FROM cn WHERE id < $nQ),
+       |${ivfApprox("_t", s"cent$iters")},
+       |${ivfApprox("_s", "cent0")},
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qn2.query_id, cn.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qn2.query_id
+       |        ORDER BY list_dot_product(qn2.qv, cn.v) / NULLIF(qn2.qn * cn.vn, 0.0) DESC, cn.id) AS rank
+       |    FROM qn2, cn WHERE qn2.query_id <> cn.id) WHERE rank <= $topK),
+       |${recall("_t", "recall_trained")},
+       |${recall("_s", "recall_sampled")}
+       |SELECT r_t.query_id, r_t.recall_trained, r_s.recall_sampled
+       |FROM r_t JOIN r_s USING (query_id) ORDER BY query_id""".stripMargin
   }
 
   private lazy val t12OracleSql: String =
@@ -2088,6 +2177,7 @@ object PipelineQueries {
     "v25_ivf_filtered" -> v25OracleSql,
     "v26_bq_rerank" -> v26OracleSql,
     "v27_bq_recall" -> v27OracleSql,
+    "v28_ivf_trained" -> v28OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,

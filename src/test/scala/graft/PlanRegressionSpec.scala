@@ -15,10 +15,15 @@ import graft.plans.PlanSnapshots
   *    `SPARK_GRAFT_PLAN_DIR=plans runMain graft.Explain`) — a new
   *    shuffle is a deliberate, reviewed change, not a silent one.
   *
-  * Caveat: the eager dedup/similarity operators (Caches.scoped)
-  * materialize during construction, so their recorded plan is the
-  * checkpoint scan; their internal shape is covered by their own specs
-  * and the bench, not this gate.
+  * The eager dedup/similarity operators (Caches.scoped) materialize
+  * during construction, so their recorded top-level plan is just the
+  * checkpoint scan — for THOSE, the gate additionally captures their
+  * interior physical plans via [[graft.operators.Caches.planProbe]] at
+  * materialization time and applies the same no-cartesian +
+  * shuffle-budget checks to the probed interiors (budget rows keyed
+  * `name#interior` in plans/exchange_budget.tsv, snapshot text in
+  * plans/name.interior.txt). A regression inside cosinePairs or
+  * ivfPqTopK fails here, not just in the bench total.
   */
 class PlanRegressionSpec extends SparkSuite {
 
@@ -44,9 +49,22 @@ class PlanRegressionSpec extends SparkSuite {
     val planBudgetMs = 1500L
     SparkEntry.queries("q01_count_global")(spark, sfDir).queryExecution.executedPlan
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // capture eager operators' interior plans during construction
+      // (AQE off so exchanges are plain nodes, matching how the
+      // budgets were recorded; restored before the top plan evaluates
+      // so declared-plan snapshots/counts are unaffected)
+      val probed = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.SparkPlan]
+      graft.operators.Caches.planProbe.set(probed)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val t0 = System.nanoTime()
-      val plan = PlanSnapshots.normalize(
-        PlanSnapshots.planString(fn(spark, sfDir)))
+      val df =
+        try fn(spark, sfDir)
+        finally {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          graft.operators.Caches.planProbe.remove()
+        }
+      val plan = PlanSnapshots.normalize(PlanSnapshots.planString(df))
       val planMs = (System.nanoTime() - t0) / 1000000L
       // eager operators (Caches.scoped) EXECUTE at sf0.001 during
       // construction — their elapsed time is data work, not planning,
@@ -70,6 +88,25 @@ class PlanRegressionSpec extends SparkSuite {
       budgets.get(name).foreach { budget =>
         if (shuffles > budget)
           offenders += s"$name: $shuffles shuffle exchanges > budget $budget"
+      }
+      // interior gate: every probed (eager) query must have a recorded
+      // interior budget, no interior cartesian, and interior shuffles
+      // within that budget — this is the check the checkpoint scan at
+      // the top level would otherwise hide
+      if (probed.nonEmpty) {
+        if (PlanSnapshots.interiorHasCartesian(probed.toSeq))
+          offenders += s"$name: CartesianProduct in interior (probed) plan"
+        val interior = PlanSnapshots.interiorShuffleCount(probed.toSeq)
+        budgets.get(s"$name#interior") match {
+          case Some(budget) =>
+            if (interior > budget)
+              offenders += s"$name: $interior interior shuffle exchanges" +
+                s" > budget $budget"
+          case None =>
+            offenders += s"$name: eager query with no $name#interior row in" +
+              " plans/exchange_budget.tsv — regenerate with" +
+              " SPARK_GRAFT_PLAN_DIR=plans sbt \"runMain graft.Explain\""
+        }
       }
       spark.catalog.clearCache()
     }

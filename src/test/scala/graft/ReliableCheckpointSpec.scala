@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, PageRank}
+
+/** `spark.graft.checkpoint.mode=reliable` — the fault-tolerant posture
+  * for the iterative/eager operators at cluster scale.
+  *
+  * Default (`local`) pins checkpoint blocks to executor storage with
+  * lineage truncated: fastest, but an executor loss mid-query kills the
+  * job unrecoverably. On a 1000-executor 100 TB run the iterative
+  * operators (pageRank's per-iteration state, kmeansFit, dupClusters
+  * rounds, every Caches.scoped exit) want `reliable` — a
+  * SparkContext-dir checkpoint on fault-tolerant storage that a lost
+  * executor can re-read. Every operator checkpoint funnels through
+  * `Caches.eager`, so ONE conf flips the whole engine; these tests pin
+  * that the mode switch changes durability only, never results. */
+class ReliableCheckpointSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def withReliable[A](body: => A): A = {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+    try body
+    finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+  }
+
+  // declared FIRST: the later tests set the shared context's checkpoint
+  // dir, after which the missing-dir guard is unobservable in this JVM
+  test("reliable mode without a checkpoint dir fails fast with a clear message") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another suite already set a checkpoint dir on the shared context")
+    spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Caches.eager(Seq((1L, "a")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+  }
+
+  test("pageRank in reliable mode is byte-identical to local mode") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (2L, 4L), (4L, 2L)
+    ).toDF("src", "dst")
+    val local = PageRank.pageRank(edges, "src", "dst", iters = 6,
+      damping = 0.85).collect().map(_.toSeq).toSeq
+    val reliable = withReliable {
+      PageRank.pageRank(edges, "src", "dst", iters = 6, damping = 0.85)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(reliable === local)
+  }
+
+  test("dupClusters (iterative connected components) matches across modes") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val docs = (1L to 25L).toDF("doc_id")
+    val local = Dedup.dupClusters(docs, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val reliable = withReliable {
+      Dedup.dupClusters(docs, "doc_id", pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(reliable === local)
+  }
+
+}

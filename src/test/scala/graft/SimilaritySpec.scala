@@ -468,6 +468,18 @@ class SimilaritySpec extends SparkSuite {
     assert(edges === Set((1L, 2L), (2L, 3L)))
   }
 
+  test("ivfTrainedTopK: Lloyd-trained centroids beat the md5 sample on mean recall") {
+    // the whole point of the trained tier — the v28 gate's claim,
+    // asserted in-engine on the real corpus at the v28 parameters
+    val got = graft.queries.PipelineQueries.v28IvfTrained(spark, sf0001)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 50)
+    val meanTrained = got.map(_._1).sum / got.length
+    val meanSampled = got.map(_._2).sum / got.length
+    assert(meanTrained > meanSampled,
+      f"training gained nothing: trained=$meanTrained%.4f sampled=$meanSampled%.4f")
+  }
+
   test("mutualKnnEdges on brute self-kNN: every edge is in both lists") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val topk = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 2)
