@@ -1280,4 +1280,34 @@ object Dedup {
       }
     }
   }
+
+  /** Compact a materialized MinHash index's delta tail: every
+    * [[appendToMinhashIndex]] drops new parquet files into the touched
+    * `bucket_p=`/`id_p=` partition directories, so at continuous-ingest
+    * scale the file count — and with it the probe's open/footer cost —
+    * grows with append count, not data size. This folds each partition
+    * directory back to ~`targetBytes` files via [[Tables.compact]]'s
+    * atomic swap (complete rewrite staged, then renamed — a crash never
+    * loses the partition). Postings/shingle rows are pure per-document
+    * functions of the frozen meta, so compaction is a pure layout
+    * change: probe results are byte-identical before and after
+    * (DedupIndexSpec asserts it). Returns (files before, files after).
+    * Concurrency contract is Tables.compact's: one compactor at a
+    * time, not concurrent with a probe of the same partition. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def partDirs(table: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.toString)
+    }
+    (partDirs("postings") ++ partDirs("shingles"))
+      .map(d => graft.core.Tables.compact(spark, d, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+  }
 }

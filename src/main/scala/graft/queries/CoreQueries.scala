@@ -604,6 +604,29 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Per-type event stats THROUGH THE SALTED PATH
+    * ([[graft.operators.Skew.saltedSumCount]]) — the declared query
+    * that keeps the skew machinery on the driver gate, against the
+    * table's genuinely hot key: `event_type` has 5 values over the
+    * whole events table. Honest scope note: for PURE algebraic
+    * aggregates Spark's map-side combine already collapses each hot
+    * key to one partial per map task, so the unsalted twin is not
+    * wall-clock-bound here — the salted rewrite is the discipline for
+    * the shapes combine can't save (join-then-aggregate on a hot key,
+    * collect/holistic aggregates, combine-hostile cardinalities), and
+    * SkewSpec measures exactly that: per-task shuffle-read rows of the
+    * hot key under the salted vs plain JOIN, where the ratio is real.
+    * Sums are 6dp-decimal-exact so the salted partial order can never
+    * wiggle a double (and DuckDB replays every digit). */
+  def e19SaltedTypeStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(
+        t(s, dir, "events").select(col("event_type"),
+          round(col("value"), 6).cast("decimal(38,6)").as("v")),
+        Seq("event_type"), "v", salts = 16)
+      .select(col("event_type"), col("n"),
+        round(col("sum_v").cast("double"), 4).as("sum_value"))
+      .orderBy("event_type")
+
   /** Markov transition matrix over per-user event sequences: P(next
     * event type | current), the behavioral-model fit every product
     * analytics stack computes. One lead() window per user (key-
@@ -1216,6 +1239,7 @@ object CoreQueries {
     "e16_cusum_shift" -> e16CusumShift,
     "e17_window_load" -> e17WindowLoad,
     "e18_ema_forecast" -> e18EmaForecast,
+    "e19_salted_type_stats" -> e19SaltedTypeStats,
     "e04_funnel" -> e04Funnel,
     "e05_cohorts" -> e05Cohorts,
     "e06_apply_changes" -> e06ApplyChanges,
@@ -1442,6 +1466,10 @@ object CoreQueries {
         |            - MAX(CASE WHEN i.j = t.d THEN i.n END)), 4) AS backtest_abs_err
         |FROM idx i JOIN tops t USING (event_type)
         |GROUP BY i.event_type, t.last_day ORDER BY i.event_type""".stripMargin),
+    "e19_salted_type_stats" ->
+      ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "q47_scd2_merge" -> (q47OracleBody + "\nORDER BY c_custkey, valid_from"),
     "q63_asof_snapshot" ->
       (s"""WITH scd AS ($q47OracleBody)

@@ -103,4 +103,38 @@ class DedupIndexSpec extends SparkSuite {
     assert(chunked === oneShot)
     assert(oneShot.nonEmpty)
   }
+
+  test("compactIndex collapses the append-file pile; probe results identical") {
+    val idx = Files.createTempDirectory("mhidx_c").toString
+    // build + two appends: each append drops its own files into the
+    // touched partition dirs — the delta pile a continuous-ingest index
+    // accumulates
+    Dedup.buildMinhashIndex(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", idx, parts = 4)
+    Dedup.appendToMinhashIndex(spark, idx,
+      docs.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    Dedup.appendToMinhashIndex(spark, idx,
+      docs.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    def probe() = Dedup.probeMinhashIndex(spark, idx, planted,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    def fileCount() = {
+      def count(dir: java.io.File): Int =
+        if (!dir.isDirectory) 0
+        else dir.listFiles().map(f =>
+          if (f.isDirectory) count(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      count(new java.io.File(s"$idx/postings")) +
+        count(new java.io.File(s"$idx/shingles"))
+    }
+    val before = probe()
+    val filesBefore = fileCount()
+    val (nb, na) = Dedup.compactMinhashIndex(spark, idx)
+    assert(nb === filesBefore)
+    assert(na < nb, s"no collapse: $nb -> $na")
+    assert(fileCount() === na)
+    assert(probe() === before, "compaction changed probe results")
+    assert(before.nonEmpty)
+  }
 }

@@ -72,6 +72,91 @@ class SkewSpec extends SparkSuite {
       .toSeq === plain)
   }
 
+  test("salted join caps the hot key's per-task load (max shuffle-read rows)") {
+    // the measurable skew claim: under a plain shuffled join, EVERY row
+    // of the hot key funnels through one reducer task; salted, the hot
+    // key spreads over `salts` reducers. Shuffle-read ROWS per task is
+    // the deterministic proxy for task time (same rows, same work here).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    def maxTaskShuffleRows(job: => Unit): Long = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          synchronized {
+            Option(t.taskMetrics).foreach(m =>
+              rows += m.shuffleReadMetrics.recordsRead)
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        job
+        // the listener bus is async — wait until the event stream drains
+        // (row count stable across a beat), bounded at 10s
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = -1
+        while (listener.synchronized(rows.size) != last &&
+            System.nanoTime() < deadline) {
+          last = listener.synchronized(rows.size)
+          Thread.sleep(200)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      listener.synchronized(rows.max)
+    }
+    val dim = Seq(("hot", "H"), ("cold1", "C1")).toDF("k", "tag")
+      .localCheckpoint() // stats-less: forces the shuffled-join regime
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // at toy scale AQE folds the salted partitions (tiny by bytes) back
+    // into one task, erasing the spread we're measuring; at real scale
+    // partitions are fat and stay separate — pin them here. And with
+    // the suite's 4 shuffle partitions, (key, salt) hash collisions
+    // clump several salts per reducer — measure at 16 partitions, the
+    // many-reducers regime the salting targets.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val plainMax = maxTaskShuffleRows {
+        skewed.join(dim, Seq("k")).write.format("noop")
+          .mode("overwrite").save()
+      }
+      val saltedMax = maxTaskShuffleRows {
+        Skew.saltedJoin(skewed, dim, Seq("k"), salts = 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // hot key = 10000 of 10100 rows: plain reads them in ONE task;
+      // salted spreads over 16 salts across 16 reducers. Require a ≥3x
+      // max-task improvement — well below the ideal 16x (hash
+      // clumping), far above noise.
+      assert(plainMax >= 10000L, s"plain join max-task rows: $plainMax")
+      assert(saltedMax * 3 <= plainMax,
+        s"salting did not spread the hot key: plain=$plainMax salted=$saltedMax")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  test("e19 declared query runs the salted aggregation path and matches the plain twin") {
+    val e19 = graft.queries.CoreQueries.all("e19_salted_type_stats")
+    val df = e19(spark, sf0001)
+    assert(df.queryExecution.optimizedPlan.toString().contains("__salt"),
+      "e19 must aggregate through the salted two-phase path")
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val plain = events
+      .select(col("event_type"), round(col("value"), 6)
+        .cast("decimal(38,6)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("v").cast("double"), 4).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(df.collect().toSeq === plain)
+  }
+
   test("t10 salient attach join is broadcast-or-salted in both regimes") {
     val t10 = graft.queries.PipelineQueries.all("t10_salient")
     assertBroadcastOrSalted(t10(spark, sf0001), "token")
