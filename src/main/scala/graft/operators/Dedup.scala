@@ -688,13 +688,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // carry the pre-update label through the checkpoint so the
+      // convergence check is a scan of the materialized state, not a
+      // second join job per round
+      val next = labels.select(col("id"), col("label").as("__old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__old"), coalesce(col("nmin"), col("__old"))).as("label"))
         .eagerCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select("id", "label")
       round += 1
     }
     if (!converged)
@@ -737,6 +740,7 @@ object Dedup {
     var edges = undirect(pairs.select(col("id_a").as("src"),
       col("id_b").as("dst"))).eagerCheckpoint()
     var prev = canon(edges).eagerCheckpoint()
+    var prevCount = prev.count()
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
@@ -746,21 +750,27 @@ object Dedup {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"),
           least(col("src"), col("nmin")).as("dst"))
-      val afterLarge = undirect(large).eagerCheckpoint()
-      // small-star: for (x, y<x) emit (y, m) and (x, m), m = min(y's)
-      val small = afterLarge.filter(col("dst") < col("src"))
-      val sMins = small.groupBy("src").agg(min("dst").as("nmin"))
-      val afterSmall = canon(
-        small.join(sMins, "src")
-          .select(col("dst").as("src"), col("nmin").as("dst"))
-          .unionByName(sMins.select(col("src"), col("nmin").as("dst"))))
-        .eagerCheckpoint()
-      // both sides are distinct() sets, so |A| = |B| ∧ A\B = ∅ ⇒ equal —
-      // one except job per round, not two
-      converged = afterSmall.count() == prev.count() &&
-        afterSmall.exceptAll(prev).isEmpty
-      prev = afterSmall
-      edges = undirect(afterSmall).eagerCheckpoint()
+      // round-local intermediate with two consumers — persist (lazy,
+      // materialized inside the afterSmall job, dropped at round end)
+      // rather than a checkpoint job of its own
+      val afterLarge = undirect(large).persist()
+      try {
+        // small-star: for (x, y<x) emit (y, m) and (x, m), m = min(y's)
+        val small = afterLarge.filter(col("dst") < col("src"))
+        val sMins = small.groupBy("src").agg(min("dst").as("nmin"))
+        val afterSmall = canon(
+          small.join(sMins, "src")
+            .select(col("dst").as("src"), col("nmin").as("dst"))
+            .unionByName(sMins.select(col("src"), col("nmin").as("dst"))))
+          .eagerCheckpoint()
+        // both sides are distinct() sets, so |A| = |B| ∧ A\B = ∅ ⇒
+        // equal — and the except job only runs once counts agree
+        val n = afterSmall.count()
+        converged = n == prevCount && afterSmall.exceptAll(prev).isEmpty
+        prev = afterSmall
+        prevCount = n
+        edges = undirect(afterSmall).eagerCheckpoint()
+      } finally afterLarge.unpersist()
       round += 1
     }
     if (!converged)

@@ -43,9 +43,12 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .eagerCheckpoint()
+        // visited is a LAZY union over the (already checkpointed)
+        // frontiers — depth is bounded by maxHops, so there is no
+        // lineage blow-up to truncate, and each hop saves one
+        // materialization job
         visited = visited
           .unionByName(frontier.withColumn("hop", lit(hop)))
-          .eagerCheckpoint()
       }
       visited
     }

@@ -60,10 +60,15 @@ object PageRank {
         "pageRank: dangling node (dst with no out-edges); " +
           "symmetrize the edge list or drop sink nodes first")
 
-      val nTab = deg.agg(count(lit(1)).as("__n"))
-      var r = deg.crossJoin(broadcast(nTab))
-        .select(col("node"), col("deg"),
-          round(lit(1.0) / col("__n"), 12).as("r"))
+      // n is ONE number for the whole fit — collect it once (bounded:
+      // a 1-row aggregate) instead of re-broadcasting a 1-row table
+      // into every iteration's plan (measured: one broadcast exchange
+      // + crossJoin dropped from each of `iters` per-iteration jobs).
+      // Long→double is exact below 2^53 nodes; the arithmetic is
+      // bit-identical to the previous column division.
+      val n = deg.count().toDouble
+      var r = deg.select(col("node"), col("deg"),
+        round(lit(1.0 / n), 12).as("r"))
       for (_ <- 1 to iters) {
         val contrib = r.select(col("node").as("src"),
           round(col("r") / col("deg"), 13).cast("decimal(38,13)").as("__c"))
@@ -75,9 +80,8 @@ object PageRank {
         // 14.4 s -> lower cold cost at sf0.1 purely from avoiding the
         // nested-plan analysis/codegen blow-up
         r = deg.join(inflow, Seq("node"), "left")
-          .crossJoin(broadcast(nTab))
           .select(col("node"), col("deg"),
-            round(lit(1.0 - damping) / col("__n") +
+            round(lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
               12).as("r"))
           .eagerCheckpoint()
