@@ -160,6 +160,26 @@ object Tables {
     (before.length, parquetFiles.length)
   }
 
+  /** [[compact]] for a possibly-partitioned parquet table: each
+    * `key=value` partition directory is compacted individually (the
+    * layout-preserving discipline [[compact]] itself enforces); a flat
+    * directory is compacted directly. Pure layout change — append-mode
+    * writers pile files per partition, this folds the pile. Returns
+    * (files before, files after) summed over partitions. Same
+    * concurrency contract as [[compact]]: one compactor, not
+    * concurrent with readers of the same partition. */
+  def compactTable(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return (0, 0)
+    val partDirs = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.isEmpty) compact(spark, dir, targetBytes)
+    else partDirs.map(d => compact(spark, d.getPath.toString, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+  }
+
   /** Marker file carrying a summary table's last refresh epoch-millis —
     * underscore-prefixed so parquet readers skip it; written inside
     * [[replaceAtomic]]'s pre-swap tmp dir so it commits atomically WITH

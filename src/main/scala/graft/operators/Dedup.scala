@@ -1306,18 +1306,9 @@ object Dedup {
     * time, not concurrent with a probe of the same partition. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def partDirs(table: String): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
-      val fs = root.getFileSystem(conf)
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(_.getPath.toString)
-    }
-    (partDirs("postings") ++ partDirs("shingles"))
-      .map(d => graft.core.Tables.compact(spark, d, targetBytes))
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    Seq("postings", "shingles")
+      .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
+        targetBytes))
       .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
-  }
 }

@@ -1308,4 +1308,26 @@ object Similarity {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     }
   }
+
+  /** Compact the growable tables of any materialized ANN index
+    * (LSH `bucketed`, IVF `assigned`, PQ / IVF-PQ `codes`): every
+    * append drops new files into the touched partition (or flat)
+    * directory, so at continuous-ingest scale the file count — and the
+    * serve path's open/footer cost — grows with append count. This
+    * folds each back to ~target-size files via
+    * [[graft.core.Tables.compactTable]]'s staged-rewrite-then-rename
+    * swap (a crash never loses a partition). Pure layout change:
+    * served results are identical before and after
+    * (IndexCompactionSpec asserts it per family). The frozen
+    * `meta`/`centroids`/`codebook` yardsticks are overwrite-only and
+    * never pile up — untouched. Returns (files before, files after).
+    * One compactor at a time, not concurrent with a serve of the same
+    * partition — [[graft.core.Tables.compact]]'s contract. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    Seq("bucketed", "assigned", "codes")
+      .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
+        targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Index compaction parity across the ANN index families: every append
+  * piles files into the growable table (LSH `bucketed`, IVF `assigned`,
+  * PQ / IVF-PQ `codes`); `Similarity.compactIndex` must collapse the
+  * pile WITHOUT changing a single served row — compaction is a layout
+  * concern, never a semantic one. (The MinHash family's twin lives in
+  * DedupIndexSpec.) */
+class IndexCompactionSpec extends SparkSuite {
+
+  private def emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def fileCount(dir: String): Int = {
+    def count(f: java.io.File): Int =
+      if (!f.isDirectory) 0
+      else f.listFiles().map(x =>
+        if (x.isDirectory) count(x)
+        else if (x.getName.endsWith(".parquet")) 1 else 0).sum
+    count(new java.io.File(dir))
+  }
+
+  /** Build on one slice, append the other two — then serve, compact,
+    * re-serve, and require byte-equal rows plus a real file collapse. */
+  private def checkFamily(tag: String,
+      build: (DataFrame, String) => Unit,
+      append: (SparkSession, String, DataFrame) => Unit,
+      serve: (SparkSession, String) => DataFrame): Unit = {
+    val idx = Files.createTempDirectory(s"compact_$tag").toString
+    build(emb.filter(col("vec_id") % 3 === 0), idx)
+    append(spark, idx, emb.filter(col("vec_id") % 3 === 1))
+    append(spark, idx, emb.filter(col("vec_id") % 3 === 2))
+    def served() = serve(spark, idx).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val before = served()
+    val filesBefore = fileCount(idx)
+    val (nb, na) = Similarity.compactIndex(spark, idx)
+    assert(na < nb, s"$tag: no collapse ($nb -> $na)")
+    assert(fileCount(idx) === filesBefore - nb + na)
+    assert(served() === before, s"$tag: compaction changed served results")
+    assert(before.nonEmpty, s"$tag: vacuous check")
+  }
+
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  test("LSH index: compacted ≡ uncompacted serve, files collapse") {
+    checkFamily("lsh",
+      (c, d) => Similarity.buildLshIndex(c, "vec_id", "embedding", d),
+      (s, d, n) => Similarity.appendToLshIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.lshServeTopK(s, d, queries, "vec_id", "embedding",
+        k = 3))
+  }
+
+  test("IVF index: compacted ≡ uncompacted serve, files collapse") {
+    checkFamily("ivf",
+      (c, d) => Similarity.buildIvfIndex(c, "vec_id", "embedding", d),
+      (s, d, n) => Similarity.appendToIvfIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.ivfServeTopK(s, d, queries, "vec_id", "embedding",
+        k = 3))
+  }
+
+  test("PQ index: compacted ≡ uncompacted serve, files collapse") {
+    checkFamily("pq",
+      (c, d) => Similarity.buildPqIndex(c, "vec_id", "embedding", d),
+      (s, d, n) => Similarity.appendToPqIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.pqServeTopK(s, d, queries, "vec_id", "embedding",
+        k = 3))
+  }
+
+  test("IVF-PQ index: compacted ≡ uncompacted serve, files collapse") {
+    checkFamily("ivfpq",
+      (c, d) => Similarity.buildIvfPqIndex(c, "vec_id", "embedding", d),
+      (s, d, n) =>
+        Similarity.appendToIvfPqIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.ivfPqServeTopK(s, d, queries, "vec_id",
+        "embedding", k = 3))
+  }
+}
