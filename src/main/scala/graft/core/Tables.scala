@@ -180,6 +180,75 @@ object Tables {
       .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
   }
 
+  /** Physically delete the rows of a parquet table whose `idColName`
+    * appears in `ids` — the purge half of a tombstone-delete protocol
+    * (the read half is [[antiTombstones]]). Cost ∝ AFFECTED partitions:
+    * for a `key=value`-partitioned layout one column-pruned semi-join
+    * scan finds the partitions that actually hold victim rows, and only
+    * those directories are rewritten (each via [[replaceAtomic]]'s
+    * staged-write-then-rename swap — a crash never loses a partition);
+    * untouched partitions keep their files byte-identical. A flat
+    * directory is rewritten whole, but only if it holds victims at all.
+    * At 100 TB with rare deletes (the GDPR/right-to-be-forgotten shape)
+    * this touches a handful of directories, never the corpus.
+    * Concurrency contract: one purger, not concurrent with readers of
+    * the affected partitions ([[replaceAtomic]]'s contract). */
+  def purgeRows(spark: SparkSession, dir: String, idColName: String,
+      ids: DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val victims = broadcast(
+      ids.select(col(ids.columns.head).as(idColName)).distinct())
+    val partDirs = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.isEmpty) {
+      if (!spark.read.parquet(dir)
+          .join(victims, Seq(idColName), "left_semi").isEmpty)
+        replaceAtomic(spark, dir,
+          spark.read.parquet(dir).join(victims, Seq(idColName), "left_anti"))
+    } else {
+      val partCol = partDirs.head.getPath.getName.split("=", 2)(0)
+      val affected = spark.read.parquet(dir)
+        .join(victims, Seq(idColName), "left_semi")
+        .select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)) // bounded by the partition count
+      affected.foreach { v =>
+        val pd = s"$dir/$partCol=$v"
+        // the partition column lives in the path, not the files — the
+        // anti-join below only touches real file columns
+        replaceAtomic(spark, pd,
+          spark.read.parquet(pd).join(victims, Seq(idColName), "left_anti"))
+      }
+    }
+  }
+
+  /** The read half of the tombstone-delete protocol: drop the rows of
+    * `df` whose `idColName` is tombstoned in `tombDir` (a one-column
+    * parquet table of deleted ids). No tombstone table → `df`
+    * unchanged, zero plan overhead — the common case pays one
+    * existence probe. Tombstones broadcast: deletes are rare relative
+    * to the corpus by construction (bulk removal is a rebuild, not a
+    * delete stream). */
+  def antiTombstones(spark: SparkSession, tombDir: String,
+      df: DataFrame, idColName: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) df
+    else df.join(
+      broadcast(spark.read.parquet(tombDir)
+        .select(col("id").as(idColName)).distinct()),
+      Seq(idColName), "left_anti")
+  }
+
+  /** Append deleted ids to `tombDir` — the write half of the tombstone
+    * protocol. One small file per delete batch; [[purgeRows]]-based
+    * purge clears the directory once the rows are physically gone. */
+  def appendTombstones(spark: SparkSession, tombDir: String,
+      ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombDir)
+
   /** Marker file carrying a summary table's last refresh epoch-millis —
     * underscore-prefixed so parquet readers skip it; written inside
     * [[replaceAtomic]]'s pre-swap tmp dir so it commits atomically WITH

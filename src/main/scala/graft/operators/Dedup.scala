@@ -1258,8 +1258,14 @@ object Dedup {
       // bucket → bucket_p is functional, so the pruned scan still holds
       // EVERY index row of each probed bucket: the per-bucket population
       // below is exact, not clipped by the pruning
-      val postings = spark.read.parquet(s"$indexDir/postings")
-        .filter(col("bucket_p").isin(ps.toSeq: _*))
+      // tombstoned docs drop BEFORE the bucket-size window, so the
+      // hot-bucket population and representative are computed over the
+      // live index only — a tombstoned probe is exactly a probe of the
+      // index rebuilt without the deleted docs (IndexDeleteSpec)
+      val postings = graft.core.Tables.antiTombstones(spark,
+          s"$indexDir/tombstones",
+          spark.read.parquet(s"$indexDir/postings")
+            .filter(col("bucket_p").isin(ps.toSeq: _*)), "id")
       val w = Window.partitionBy("band", "bucket")
       val sized = postings
         .withColumn("__bsz", count(lit(1)).over(w))
@@ -1311,4 +1317,39 @@ object Dedup {
       .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
         targetBytes))
       .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+
+  /** Delete documents from a materialized MinHash index WITHOUT a
+    * rebuild — the right-to-be-forgotten path at continuous-ingest
+    * scale: ids land in a small `tombstones` table (cost ∝ the delete
+    * batch), and every subsequent [[probeMinhashIndex]] drops them
+    * before candidate generation AND before the hot-bucket population
+    * count, so a tombstoned index probes exactly like one rebuilt
+    * without the deleted docs (IndexDeleteSpec asserts equality).
+    * Physical removal is deferred to [[purgeMinhashTombstones]].
+    * Delete is terminal for an id until a purge: re-appending a
+    * tombstoned id does not resurrect it (purge first, then append). */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame): Unit =
+    graft.core.Tables.appendTombstones(spark, s"$indexDir/tombstones", ids)
+
+  /** Physically remove tombstoned documents' rows from the postings
+    * and shingle tables, then clear the tombstone table — cost ∝ the
+    * AFFECTED partition directories ([[graft.core.Tables.purgeRows]]'s
+    * pruned rewrite), not the index. Probe results are identical
+    * before and after (the tombstone anti-join was already hiding the
+    * rows); what a purge buys is scan bytes and an empty tombstone
+    * broadcast. Same concurrency contract as compaction: one
+    * maintainer, not concurrent with probes of the affected
+    * partitions. */
+  def purgeMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val tomb = s"$indexDir/tombstones"
+    val path = new org.apache.hadoop.fs.Path(tomb)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val ids = spark.read.parquet(tomb) // read lazily; dir cleared only after
+    graft.core.Tables.purgeRows(spark, s"$indexDir/postings", "id", ids)
+    graft.core.Tables.purgeRows(spark, s"$indexDir/shingles", "id", ids)
+    fs.delete(path, true)
+  }
 }

@@ -272,11 +272,13 @@ object Similarity {
         m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
       .eagerCheckpoint()
     val buckets = probes.select("bucket").distinct().collect().map(_.get(0))
-    val bucketed = spark.read.parquet(s"$indexDir/bucketed")
-      .filter(col("bucket").isin(buckets.toSeq: _*))
-      // partition-column inference may narrow the written long; restore
-      // the join key's type
-      .withColumn("bucket", col("bucket").cast("long"))
+    val bucketed = graft.core.Tables.antiTombstones(spark,
+      s"$indexDir/tombstones",
+      spark.read.parquet(s"$indexDir/bucketed")
+        .filter(col("bucket").isin(buckets.toSeq: _*))
+        // partition-column inference may narrow the written long; restore
+        // the join key's type
+        .withColumn("bucket", col("bucket").cast("long")), "neighbor_id")
     lshSearch(bucketed, probes, k)
   }
 
@@ -481,9 +483,12 @@ object Similarity {
     // the index bytes and row-group-skips off-attr rows — never
     // post-filters a scored candidate set
     val assigned0 = spark.read.parquet(s"$indexDir/assigned")
-    val assigned = where.fold(assigned0)(assigned0.filter)
-      .filter(col("cid").isin(cids.toSeq: _*))
-      .select(col("neighbor_id"), col("v"), col("vn"), col("cid"))
+    val assigned = graft.core.Tables.antiTombstones(spark,
+      s"$indexDir/tombstones",
+      where.fold(assigned0)(assigned0.filter)
+        .filter(col("cid").isin(cids.toSeq: _*))
+        .select(col("neighbor_id"), col("v"), col("vn"), col("cid")),
+      "neighbor_id")
     ivfSearch(probes, assigned, k)
   }
 
@@ -945,7 +950,9 @@ object Similarity {
       k: Int): DataFrame = {
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val (m, dsub, nCodes) = pqMeta(codebook)
-    pqAdcSearch(spark.read.parquet(s"$indexDir/codes"),
+    pqAdcSearch(
+      graft.core.Tables.antiTombstones(spark, s"$indexDir/tombstones",
+        spark.read.parquet(s"$indexDir/codes"), "id"),
       pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes), k, m, nCodes)
   }
 
@@ -1078,9 +1085,11 @@ object Similarity {
     val probes = ivfProbes(centroids, queries, idCol, vecCol, nProbe)
       .eagerCheckpoint()
     val cids = probes.select("cid").distinct().collect().map(_.get(0))
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("cid").isin(cids.toSeq: _*))
-      .select(col("id"), col("codes"), col("cid"))
+    val codes = graft.core.Tables.antiTombstones(spark,
+      s"$indexDir/tombstones",
+      spark.read.parquet(s"$indexDir/codes")
+        .filter(col("cid").isin(cids.toSeq: _*))
+        .select(col("id"), col("codes"), col("cid")), "id")
     ivfPqSearch(codes, probes,
       pqLuts(queries, codebook, idCol, vecCol, m, dsub, nCodes),
       k, m, nCodes)
@@ -1330,4 +1339,40 @@ object Similarity {
       .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
         targetBytes))
       .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+
+  /** Delete vectors from any materialized ANN index (LSH / IVF / PQ /
+    * IVF-PQ) WITHOUT a rebuild — the right-to-be-forgotten path: ids
+    * land in a small `tombstones` table and every serve drops them
+    * before scoring, so a tombstoned index serves exactly like one
+    * whose deleted vectors were never appended (IndexDeleteSpec asserts
+    * per-family equality — exact because the centroid/codebook/plane
+    * yardsticks are frozen at build time and never derived from the
+    * deleted rows' presence). Physical removal is deferred to
+    * [[purgeIndexTombstones]]; delete is terminal for an id until a
+    * purge (re-append after purge to resurrect). */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame): Unit =
+    graft.core.Tables.appendTombstones(spark, s"$indexDir/tombstones", ids)
+
+  /** Physically remove tombstoned vectors from whichever growable
+    * table this index family has (`bucketed`/`assigned` key on
+    * `neighbor_id`, `codes` on `id`), then clear the tombstone table —
+    * cost ∝ the affected partition directories
+    * ([[graft.core.Tables.purgeRows]]), not the index. Serve results
+    * are identical before and after; the purge buys back scan bytes.
+    * One maintainer at a time, not concurrent with serves of the
+    * affected partitions. */
+  def purgeIndexTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val tomb = s"$indexDir/tombstones"
+    val path = new org.apache.hadoop.fs.Path(tomb)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val ids = spark.read.parquet(tomb) // read lazily; dir cleared only after
+    Seq("bucketed" -> "neighbor_id", "assigned" -> "neighbor_id",
+        "codes" -> "id")
+      .foreach { case (t, idc) =>
+        graft.core.Tables.purgeRows(spark, s"$indexDir/$t", idc, ids) }
+    fs.delete(path, true)
+  }
 }

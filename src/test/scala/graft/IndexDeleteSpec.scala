@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Tombstone deletes across the materialized index families — the
+  * right-to-be-forgotten contract: after `deleteFrom*`, a tombstoned
+  * index must serve EXACTLY like an index whose deleted rows were never
+  * appended (exact for every family because the centroid / codebook /
+  * hyperplane yardsticks are frozen at build time over the CORE slice,
+  * which both scenarios share); a physical purge must not change a
+  * single served row, must clear the tombstone table, and must leave
+  * unaffected partitions' files untouched. */
+class IndexDeleteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select("vec_id", "embedding")
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select("doc_id", "text")
+
+  /** Build on the core slice, append slices A and B, tombstone B —
+    * then require serve ≡ the never-appended-B twin, purge, and
+    * require byte-identical serve + cleared tombstones. */
+  private def checkFamily(tag: String, idCol: String, base: DataFrame,
+      build: (DataFrame, String) => Unit,
+      append: (SparkSession, String, DataFrame) => Unit,
+      serve: (SparkSession, String) => DataFrame): Unit = {
+    val full = Files.createTempDirectory(s"del_${tag}_full").toString
+    val twin = Files.createTempDirectory(s"del_${tag}_twin").toString
+    val core = base.filter(col(idCol) % 3 === 0)
+    val sliceA = base.filter(col(idCol) % 3 === 1)
+    val sliceB = base.filter(col(idCol) % 3 === 2)
+    build(core, full); append(spark, full, sliceA); append(spark, full, sliceB)
+    build(core, twin); append(spark, twin, sliceA)
+    def served(d: String) = serve(spark, d).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val before = served(full)
+    Similarity.deleteFromIndex(spark, full, sliceB.select(idCol))
+    val tombstoned = served(full)
+    assert(tombstoned === served(twin),
+      s"$tag: tombstoned serve differs from the never-appended twin")
+    assert(tombstoned !== before, s"$tag: delete was a vacuous no-op")
+    Similarity.purgeIndexTombstones(spark, full)
+    assert(served(full) === tombstoned, s"$tag: purge changed served rows")
+    assert(!new java.io.File(s"$full/tombstones").exists,
+      s"$tag: purge left the tombstone table behind")
+    // purged physical state serves identically with no tombstone join
+    assert(tombstoned.nonEmpty, s"$tag: vacuous check")
+  }
+
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  test("LSH index: delete ≡ never-appended; purge is serve-invariant") {
+    checkFamily("lsh", "vec_id", emb,
+      (c, d) => Similarity.buildLshIndex(c, "vec_id", "embedding", d),
+      (s, d, n) => Similarity.appendToLshIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.lshServeTopK(s, d, queries, "vec_id", "embedding",
+        k = 3))
+  }
+
+  test("IVF index: delete ≡ never-appended; purge is serve-invariant") {
+    checkFamily("ivf", "vec_id", emb,
+      (c, d) => Similarity.buildIvfIndex(c, "vec_id", "embedding", d),
+      (s, d, n) => Similarity.appendToIvfIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.ivfServeTopK(s, d, queries, "vec_id", "embedding",
+        k = 3))
+  }
+
+  test("PQ index: delete ≡ never-appended; purge is serve-invariant") {
+    checkFamily("pq", "vec_id", emb,
+      (c, d) => Similarity.buildPqIndex(c, "vec_id", "embedding", d),
+      (s, d, n) => Similarity.appendToPqIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.pqServeTopK(s, d, queries, "vec_id", "embedding",
+        k = 3))
+  }
+
+  test("IVF-PQ index: delete ≡ never-appended; purge is serve-invariant") {
+    checkFamily("ivfpq", "vec_id", emb,
+      (c, d) => Similarity.buildIvfPqIndex(c, "vec_id", "embedding", d),
+      (s, d, n) =>
+        Similarity.appendToIvfPqIndex(s, d, n, "vec_id", "embedding"),
+      (s, d) => Similarity.ivfPqServeTopK(s, d, queries, "vec_id",
+        "embedding", k = 3))
+  }
+
+  test("MinHash index: delete ≡ never-appended under hot-bucket " +
+      "capping; purge is probe-invariant") {
+    val full = Files.createTempDirectory("del_mh_full").toString
+    val twin = Files.createTempDirectory("del_mh_twin").toString
+    val core = docs.filter($"doc_id" % 3 === 0)
+    val sliceA = docs.filter($"doc_id" % 3 === 1)
+    val sliceB = docs.filter($"doc_id" % 3 === 2)
+    // near-dup copies of core docs in BOTH kept and deleted slices, so
+    // the delete genuinely changes the probe result
+    val probe = docs.filter($"doc_id" < 8)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", concat($"text", lit(" tail")))
+    Dedup.buildMinhashIndex(core, "doc_id", "text", full, parts = 8)
+    Dedup.appendToMinhashIndex(spark, full, sliceA, "doc_id", "text")
+    Dedup.appendToMinhashIndex(spark, full, sliceB, "doc_id", "text")
+    Dedup.buildMinhashIndex(core, "doc_id", "text", twin, parts = 8)
+    Dedup.appendToMinhashIndex(spark, twin, sliceA, "doc_id", "text")
+    // tight maxBucket so the bucket-population window MATTERS: counting
+    // tombstoned rows in __bsz would flip capping verdicts vs the twin
+    def probed(d: String) = Dedup.probeMinhashIndex(spark, d, probe,
+        "doc_id", "text", threshold = 0.4, maxBucket = 3).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val before = probed(full)
+    Dedup.deleteFromMinhashIndex(spark, full, sliceB.select("doc_id"))
+    val tombstoned = probed(full)
+    assert(tombstoned === probed(twin),
+      "tombstoned probe differs from the never-appended twin")
+    assert(tombstoned !== before, "delete was a vacuous no-op")
+    Dedup.purgeMinhashTombstones(spark, full)
+    assert(probed(full) === tombstoned, "purge changed probe rows")
+    assert(!new java.io.File(s"$full/tombstones").exists,
+      "purge left the tombstone table behind")
+    assert(spark.read.parquet(s"$full/postings")
+      .join(sliceB.select($"doc_id".as("id")), Seq("id"), "left_semi")
+      .isEmpty, "purge left deleted docs' postings rows on disk")
+    assert(tombstoned.nonEmpty, "vacuous check")
+  }
+
+  test("purge rewrites only the partitions that hold victim rows") {
+    val idx = Files.createTempDirectory("del_prune").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    val assignedDir = new java.io.File(s"$idx/assigned")
+    // victims = one centroid list's members → exactly one cid= dir moves
+    val victimCid = spark.read.parquet(s"$idx/assigned")
+      .select("cid").distinct().orderBy("cid")
+      .head.getAs[Number](0).longValue // partition col re-inferred as Int
+    val victims = spark.read.parquet(s"$idx/assigned")
+      .filter(col("cid") === victimCid).select("neighbor_id")
+    val mtimes = assignedDir.listFiles.filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles.map(_.lastModified).max).toMap
+    Similarity.deleteFromIndex(spark, idx, victims)
+    Similarity.purgeIndexTombstones(spark, idx)
+    val after = assignedDir.listFiles.filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles.map(_.lastModified).max).toMap
+    val untouched = mtimes.keys.filter(_ != s"cid=$victimCid")
+    assert(untouched.nonEmpty)
+    untouched.foreach(p =>
+      assert(after(p) === mtimes(p), s"purge rewrote unaffected $p"))
+    assert(after(s"cid=$victimCid") > mtimes(s"cid=$victimCid"),
+      "affected partition was not rewritten")
+  }
+}
