@@ -25,6 +25,49 @@ object Sampling {
       when(b < 230, lit("train")).when(b < 243, lit("val")).otherwise(lit("test"))
     })
 
+  /** Leakage-free train/val/test split: assignment keys on the NEAR-DUP
+    * CLUSTER id, not the document id, so every document of a connected
+    * near-dup component lands in the same split — the eval-contamination
+    * guard a per-doc hash split cannot give (a near-copy of a training
+    * doc in the test set is a leak; at sf0.01 four of the corpus's own
+    * clusters straddle the naive t05 split). Takes the (id, cluster)
+    * frame a dedup-cluster pass produces ([[graft.operators.Dedup
+    * .collapsedDupClusters]]); the assignment itself is a PURE PROJECTION
+    * of the cluster id — no join, no shuffle, stable across runs,
+    * shards, and engines like every md5 split here. Singleton clusters
+    * (cluster_id = doc_id) reproduce [[withSplit]] exactly, so the two
+    * splits agree wherever there is nothing to protect. */
+  def withLeakFreeSplit(clusters: DataFrame, clusterCol: String,
+      as: String = "split"): DataFrame =
+    withSplit(clusters, clusterCol, as)
+
+  /** Temperature-scaled mixture weights over corpus strata (the
+    * multilingual/domain rebalance rule, e.g. XLM-R's p_i^α): sampling
+    * weight w_i ∝ p_i^(1/T) renormalized, plus the per-stratum boost
+    * w_i/p_i that [[replicateByWeight]] consumes as epochs. T=1 is
+    * proportional, T→∞ uniform; rare strata upsample, dominant ones
+    * downweigh. One map-side-combinable count per stratum, then
+    * arithmetic over the (bounded) stratum table — nothing
+    * corpus-sized shuffles. T=2 computes via sqrt (correctly-rounded
+    * IEEE half-power, engine-exact for the DuckDB oracle); other
+    * temperatures via pow. */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+    val total = sum(col("n_docs")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val p = col("n_docs").cast("double") / total
+    val scaled = if (temperature == 2.0) sqrt(p) else pow(p, 1.0 / temperature)
+    val wNorm = col("__s") / sum(col("__s")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    counts.withColumn("p", p).withColumn("__s", scaled)
+      .withColumn("w", wNorm)
+      .select(col(stratumCol), col("n_docs"), round(col("p"), 4).as("p"),
+        round(col("w"), 4).as("w"),
+        round(col("w") / col("p"), 4).as("boost"))
+  }
+
   /** Keep ~`permille`/1000 of rows: 4 hex digits → [0, 65536) compared
     * against permille·65536/1000 (an exact integer threshold so both
     * engines make the identical cut). */

@@ -255,6 +255,35 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Leakage-free train/val/test split ([[Sampling.withLeakFreeSplit]]):
+    * d05's near-dup clusters with the split keyed on the CLUSTER id, so
+    * a connected near-dup component can never straddle train and test —
+    * the eval-contamination guard the per-doc t05 split cannot give (at
+    * sf0.01 four of the corpus's own clusters straddle t05's
+    * assignment). The cluster pass is exactly d05's (exact-pre-collapsed,
+    * hot-bucket guarded); the split itself adds a pure projection of the
+    * cluster id — no join, no new shuffle. Oracled end to end: the
+    * DuckDB twin replays the recursive closure over brute-force pairs,
+    * then the same md5-digit cut on cluster_id. */
+  def t41LeakfreeSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.withLeakFreeSplit(
+        Dedup.collapsedDupClusters(docs(s, dir), "doc_id", "text",
+          threshold = 0.5), "cluster_id")
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+
+  /** Temperature-scaled corpus mixture weights at T=2
+    * ([[Sampling.temperatureWeights]]) — the p_i^(1/T) rebalance rule
+    * (XLM-R / multilingual-LM mixing): per-source sampling weight and
+    * the boost factor [[Sampling.replicateByWeight]] consumes as
+    * epochs — keyed on LANGUAGE, the skewed stratum (en is ~44% of the
+    * corpus; sources are uniform by construction, so a source mix would
+    * be vacuous). One map-side-combinable count per stratum, then
+    * arithmetic over the bounded stratum table. */
+  def t42TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(docs(s, dir), "lang", temperature = 2.0)
+      .orderBy("lang")
+
   /** Subword segmentation of the corpus with the t32-learned vocab
     * ([[Bpe.encode]]) — the BPE APPLY step: per-doc subword counts and
     * tokens-per-word ratio, one corpus join against the |vocab|-row
@@ -1319,6 +1348,8 @@ object PipelineQueries {
     "t38_pmi_collocations" -> (t38PmiCollocations(_, _)),
     "t39_domain_kl" -> t39DomainKl,
     "t40_zipf_slope" -> (t40ZipfSlope(_, _)),
+    "t41_leakfree_split" -> t41LeakfreeSplit,
+    "t42_temperature_mix" -> t42TemperatureMix,
     "v24_filtered_knn" -> v24FilteredKnn,
     "v25_ivf_filtered" -> v25IvfFiltered,
     "v26_bq_rerank" -> v26BqRerank,
@@ -2567,6 +2598,26 @@ object PipelineQueries {
         |  ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) + 0.0 AS zipf_slope
         |FROM rk WHERE rnk <= 32
         |GROUP BY source ORDER BY source""".stripMargin),
+    "t41_leakfree_split" ->
+      (s"""WITH c AS ($d05OracleSql)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) AS b
+        |  FROM c)
+        |ORDER BY doc_id""".stripMargin),
+    "t42_temperature_mix" ->
+      ("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |p AS (SELECT lang, n_docs,
+        |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p FROM c),
+        |s AS (SELECT lang, n_docs, p, sqrt(p) AS sc FROM p),
+        |w AS (SELECT lang, n_docs, p, sc / SUM(sc) OVER () AS w FROM s)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  ROUND(p, 4) + 0.0 AS p, ROUND(w, 4) + 0.0 AS w,
+        |  ROUND(w / p, 4) + 0.0 AS boost
+        |FROM w ORDER BY lang""".stripMargin),
     "v24_filtered_knn" ->
       ("""WITH q AS (SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 5),

@@ -28,6 +28,40 @@ class SamplingSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("leak-free split: whole clusters co-travel; singletons match withSplit") {
+    // docs 0-9 in one cluster (rep 0), 10-19 singletons
+    val clustered = (0L until 20L).toList
+      .toDF("doc_id").withColumn("cluster_id",
+        when(col("doc_id") < 10, lit(0L)).otherwise(col("doc_id")))
+    val out = Sampling.withLeakFreeSplit(clustered, "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the whole cluster shares rep 0's split
+    assert((0L until 10L).map(out).toSet.size === 1)
+    // singleton assignments coincide with the naive per-doc split
+    val naive = Sampling.withSplit(clustered.filter(col("doc_id") >= 10)
+        .select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (10L until 20L).foreach(i => assert(out(i) === naive(i)))
+  }
+
+  test("temperatureWeights: hand-computed T=2 mix; T→∞ flattens, T=1 is proportional") {
+    // strata 90/10: p = .9/.1, sqrt = .9487/.3162, w = .75/.25
+    val d = (0L until 100L).toDF("id")
+      .withColumn("s", when(col("id") < 90, "big").otherwise("small"))
+    val w = Sampling.temperatureWeights(d, "s", temperature = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(w("big") === ((90L, 0.9, 0.75, 0.8333)))
+    assert(w("small") === ((10L, 0.1, 0.25, 2.5)))
+    val t1 = Sampling.temperatureWeights(d, "s", temperature = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(t1("big") === 0.9 && t1("small") === 0.1)
+    val flat = Sampling.temperatureWeights(d, "s", temperature = 1e6)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(flat("big") - 0.5) < 0.001)
+    assert(math.abs(flat("small") - 0.5) < 0.001)
+  }
+
   test("stratified sample applies per-stratum rates; strata stay consistent with the flat cut") {
     val d = ids.withColumn("grp",
       when(col("id") % 2 === 0, "a").otherwise("b"))
