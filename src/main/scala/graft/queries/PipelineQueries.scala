@@ -954,6 +954,21 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** D4-style prototype pruning ([[Similarity.protoPrune]], Sorscher
+    * '22 / Tirumala '23): the corpus clustered by the v19 Lloyd fit
+    * (8 centroids, 2 iterations), each vector scored by cosine to its
+    * own trained centroid, and the most prototypical 25% of every
+    * cluster marked for dropping — the redundancy screen that composes
+    * with SemDeDup (v09 drops near-duplicates, this drops the
+    * over-represented cluster cores) into the full D4 recipe. Oracled
+    * iteration-exactly: the DuckDB twin replays the kmeans CTE chain,
+    * the final assignment, and the per-cluster prototypicality window. */
+  def v29ProtoPrune(s: SparkSession, dir: String): DataFrame =
+    Similarity.protoPrune(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, pruneFrac = 0.25)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
   /** PQ-compressed ANN top-3 for queries 0-4: the corpus is scanned as
     * 8 codebook indices per vector (never the floats), distances are
     * ADC table walks — the memory/scan tier a billion-vector serving
@@ -1355,6 +1370,7 @@ object PipelineQueries {
     "v26_bq_rerank" -> v26BqRerank,
     "v27_bq_recall" -> v27BqRecall,
     "v28_ivf_trained" -> v28IvfTrained,
+    "v29_proto_prune" -> v29ProtoPrune,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -2031,6 +2047,24 @@ object PipelineQueries {
        |FROM r_t JOIN r_s USING (query_id) ORDER BY query_id""".stripMargin
   }
 
+  /** v29 replays the v19 kmeans chain (8 centroids, 2 iterations), the
+    * final 6dp assignment, and the per-cluster prototypicality window —
+    * rank on the ROUNDED sim (both engines order the identical 6dp
+    * value, id tie-break), prune cut at floor(0.25·n). */
+  private lazy val v29OracleSql: String = {
+    val k = 8; val iters = 2; val pruneFrac = 0.25
+    s"""WITH ${kmeansOracleCtes(k, iters, 64)},
+       |${kmeansAssignCte("af", s"cent$iters")},
+       |sz AS (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid),
+       |rk AS (SELECT id, cid, sim,
+       |  row_number() OVER (PARTITION BY cid ORDER BY sim DESC, id) AS rank
+       |  FROM af)
+       |SELECT rk.id AS vec_id, rk.cid, rk.sim + 0.0 AS proto_sim,
+       |  CAST(rank AS BIGINT) AS rank,
+       |  CAST(rank > CAST(floor($pruneFrac * sz.n) AS BIGINT) AS INT) AS keep
+       |FROM rk JOIN sz USING (cid) ORDER BY vec_id""".stripMargin
+  }
+
   private lazy val t12OracleSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
@@ -2209,6 +2243,7 @@ object PipelineQueries {
     "v26_bq_rerank" -> v26OracleSql,
     "v27_bq_recall" -> v27OracleSql,
     "v28_ivf_trained" -> v28OracleSql,
+    "v29_proto_prune" -> v29OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,

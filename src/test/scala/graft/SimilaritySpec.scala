@@ -480,6 +480,30 @@ class SimilaritySpec extends SparkSuite {
       f"training gained nothing: trained=$meanTrained%.4f sampled=$meanSampled%.4f")
   }
 
+  test("protoPrune: floor(frac·n) most-prototypical rows drop per cluster") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Similarity.protoPrune(e, "vec_id", "embedding",
+        k = 4, iters = 1, pruneFrac = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    assert(out.length === e.count())
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      val n = rows.length
+      val pruned = rows.filter(_._5 === 0)
+      assert(pruned.length === math.floor(0.25 * n).toInt,
+        s"cluster $cid: wrong prune count")
+      // the dropped rows are exactly the top-prototypicality ranks, and
+      // no kept row is MORE prototypical than a dropped one
+      assert(pruned.map(_._4).sorted.toSeq === (1 to pruned.length).map(_.toLong))
+      if (pruned.nonEmpty)
+        assert(pruned.map(_._3).min >= rows.filter(_._5 === 1).map(_._3).max
+          - 1e-12, s"cluster $cid: kept a more prototypical row than a dropped one")
+    }
+    // ranks are a permutation within each cluster
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq) }
+  }
+
   test("mutualKnnEdges on brute self-kNN: every edge is in both lists") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val topk = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 2)
