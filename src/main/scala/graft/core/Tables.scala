@@ -223,6 +223,44 @@ object Tables {
     }
   }
 
+  /** Enforce the one-maintainer-at-a-time contract that compaction and
+    * purge document: an atomic-create lock file BESIDE `dir` (sibling
+    * suffix like the `__swap_*` dirs — never inside, where a
+    * [[replaceAtomic]] swap would move it). A second maintainer fails
+    * fast with remediation instead of silently racing the rename dance.
+    * The lock guards MAINTAINERS against each other; readers are not
+    * blocked (maintainer-vs-reader safety comes from the per-partition
+    * atomic swaps plus the caller's own not-while-serving discipline).
+    * A maintainer that crashes leaves the lock behind — deliberate:
+    * an operator inspects (the file carries the acquire time) and
+    * clears it with [[breakMaintenanceLock]]; auto-expiry would let a
+    * slow-but-alive compactor be stomped. */
+  def withMaintenanceLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(dir + "__maintenance_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"maintenance lock held at $lock — another compact/purge is " +
+            "running (or crashed; inspect the lock's timestamp and clear " +
+            "it with Tables.breakMaintenanceLock)")
+      }
+    try out.write(System.currentTimeMillis().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Clear a maintenance lock left by a CRASHED maintainer — an
+    * operator decision, never automatic (see [[withMaintenanceLock]]).
+    * Returns whether a lock was actually cleared. */
+  def breakMaintenanceLock(spark: SparkSession, dir: String): Boolean = {
+    val lock = new org.apache.hadoop.fs.Path(dir + "__maintenance_lock")
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
+  }
+
   /** The read half of the tombstone-delete protocol: drop the rows of
     * `df` whose `idColName` is tombstoned in `tombDir` (a one-column
     * parquet table of deleted ids). No tombstone table → `df`

@@ -1308,15 +1308,18 @@ object Dedup {
     * functions of the frozen meta, so compaction is a pure layout
     * change: probe results are byte-identical before and after
     * (DedupIndexSpec asserts it). Returns (files before, files after).
-    * Concurrency contract is Tables.compact's: one compactor at a
-    * time, not concurrent with a probe of the same partition. */
+    * The one-compactor contract is ENFORCED by
+    * [[graft.core.Tables.withMaintenanceLock]] (a second maintainer
+    * fails fast); not concurrent with a probe of the same partition. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    Seq("postings", "shingles")
-      .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
-        targetBytes))
-      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      Seq("postings", "shingles")
+        .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
+          targetBytes))
+        .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+    }
 
   /** Delete documents from a materialized MinHash index WITHOUT a
     * rebuild — the right-to-be-forgotten path at continuous-ingest
@@ -1338,18 +1341,20 @@ object Dedup {
     * pruned rewrite), not the index. Probe results are identical
     * before and after (the tombstone anti-join was already hiding the
     * rows); what a purge buys is scan bytes and an empty tombstone
-    * broadcast. Same concurrency contract as compaction: one
-    * maintainer, not concurrent with probes of the affected
-    * partitions. */
+    * broadcast. The one-maintainer contract is enforced by the same
+    * maintenance lock compaction takes; not concurrent with probes of
+    * the affected partitions. */
   def purgeMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val tomb = s"$indexDir/tombstones"
     val path = new org.apache.hadoop.fs.Path(tomb)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
-    val ids = spark.read.parquet(tomb) // read lazily; dir cleared only after
-    graft.core.Tables.purgeRows(spark, s"$indexDir/postings", "id", ids)
-    graft.core.Tables.purgeRows(spark, s"$indexDir/shingles", "id", ids)
-    fs.delete(path, true)
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      val ids = spark.read.parquet(tomb) // read lazily; dir cleared after
+      graft.core.Tables.purgeRows(spark, s"$indexDir/postings", "id", ids)
+      graft.core.Tables.purgeRows(spark, s"$indexDir/shingles", "id", ids)
+      fs.delete(path, true)
+    }
   }
 }

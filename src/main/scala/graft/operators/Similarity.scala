@@ -1368,15 +1368,18 @@ object Similarity {
     * (IndexCompactionSpec asserts it per family). The frozen
     * `meta`/`centroids`/`codebook` yardsticks are overwrite-only and
     * never pile up — untouched. Returns (files before, files after).
-    * One compactor at a time, not concurrent with a serve of the same
-    * partition — [[graft.core.Tables.compact]]'s contract. */
+    * The one-compactor contract is enforced by
+    * [[graft.core.Tables.withMaintenanceLock]] (a second maintainer
+    * fails fast); not concurrent with a serve of the same partition. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    Seq("bucketed", "assigned", "codes")
-      .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
-        targetBytes))
-      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      Seq("bucketed", "assigned", "codes")
+        .map(t => graft.core.Tables.compactTable(spark, s"$indexDir/$t",
+          targetBytes))
+        .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+    }
 
   /** Delete vectors from any materialized ANN index (LSH / IVF / PQ /
     * IVF-PQ) WITHOUT a rebuild — the right-to-be-forgotten path: ids
@@ -1398,19 +1401,21 @@ object Similarity {
     * cost ∝ the affected partition directories
     * ([[graft.core.Tables.purgeRows]]), not the index. Serve results
     * are identical before and after; the purge buys back scan bytes.
-    * One maintainer at a time, not concurrent with serves of the
-    * affected partitions. */
+    * The one-maintainer contract is enforced by the maintenance lock;
+    * not concurrent with serves of the affected partitions. */
   def purgeIndexTombstones(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val tomb = s"$indexDir/tombstones"
     val path = new org.apache.hadoop.fs.Path(tomb)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
-    val ids = spark.read.parquet(tomb) // read lazily; dir cleared only after
-    Seq("bucketed" -> "neighbor_id", "assigned" -> "neighbor_id",
-        "codes" -> "id")
-      .foreach { case (t, idc) =>
-        graft.core.Tables.purgeRows(spark, s"$indexDir/$t", idc, ids) }
-    fs.delete(path, true)
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      val ids = spark.read.parquet(tomb) // read lazily; dir cleared after
+      Seq("bucketed" -> "neighbor_id", "assigned" -> "neighbor_id",
+          "codes" -> "id")
+        .foreach { case (t, idc) =>
+          graft.core.Tables.purgeRows(spark, s"$indexDir/$t", idc, ids) }
+      fs.delete(path, true)
+    }
   }
 }

@@ -74,6 +74,35 @@ class IndexCompactionSpec extends SparkSuite {
         k = 3))
   }
 
+  test("maintenance lock: second maintainer fails fast, lock released " +
+      "after body and after a crash-throwing body; breakLock clears stale") {
+    import graft.core.Tables
+    val idx = Files.createTempDirectory("mlock").toString
+    val lockFile = new java.io.File(idx + "__maintenance_lock")
+    // concurrent maintainer conflicts, with remediation in the message
+    val got = Tables.withMaintenanceLock(spark, idx) {
+      assert(lockFile.exists)
+      val e = intercept[IllegalStateException] {
+        Tables.withMaintenanceLock(spark, idx)(fail("body must not run"))
+      }
+      assert(e.getMessage.contains("breakMaintenanceLock"))
+      42
+    }
+    assert(got === 42)
+    assert(!lockFile.exists, "lock not released after body")
+    // a throwing body still releases
+    intercept[RuntimeException] {
+      Tables.withMaintenanceLock(spark, idx)(
+        throw new RuntimeException("maintainer died"))
+    }
+    assert(!lockFile.exists, "lock not released after throwing body")
+    // a stale lock (crashed JVM) is cleared by the operator override
+    assert(lockFile.createNewFile())
+    assert(Tables.breakMaintenanceLock(spark, idx))
+    assert(!lockFile.exists)
+    assert(!Tables.breakMaintenanceLock(spark, idx)) // nothing to clear
+  }
+
   test("IVF-PQ index: compacted ≡ uncompacted serve, files collapse") {
     checkFamily("ivfpq",
       (c, d) => Similarity.buildIvfPqIndex(c, "vec_id", "embedding", d),
