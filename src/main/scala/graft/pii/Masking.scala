@@ -90,6 +90,43 @@ object Masking {
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
   }
 
+  /** G13 subject erasure (right to be forgotten) END TO END: one
+    * request physically removes the subject's rows from the corpus
+    * table ([[graft.core.Tables.purgeRows]] — only the affected
+    * partition directories rewrite) and tombstones the same ids in
+    * every DERIVED index handed in
+    * ([[graft.operators.Dedup.deleteFromMinhashIndex]] /
+    * [[graft.operators.Similarity.deleteFromIndex]] — serves exclude
+    * them immediately; the physical index purge is the owner's next
+    * maintenance window, `purge*Tombstones`). Erasure that stops at
+    * the base table is not erasure: the dedup postings and ANN lists
+    * still carry the subject's fingerprints, and a probe would keep
+    * surfacing the deleted ids. Returns a one-row audit report
+    * (request size, corpus rows removed, indexes tombstoned) for the
+    * caller's erasure ledger. */
+  def forgetDocuments(spark: SparkSession, ids: DataFrame,
+      idColName: String, corpusDir: Option[String],
+      minhashIndexDirs: Seq[String] = Nil,
+      annIndexDirs: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val victims = ids.select(col(ids.columns.head).as(idColName)).distinct()
+    val nRequested = victims.count()
+    val corpusRemoved = corpusDir.map { d =>
+      val hit = spark.read.parquet(d)
+        .join(broadcast(victims), Seq(idColName), "left_semi").count()
+      graft.core.Tables.purgeRows(spark, d, idColName, ids)
+      hit
+    }.getOrElse(0L)
+    minhashIndexDirs.foreach(d =>
+      graft.operators.Dedup.deleteFromMinhashIndex(spark, d, ids))
+    annIndexDirs.foreach(d =>
+      graft.operators.Similarity.deleteFromIndex(spark, d, ids))
+    Seq((nRequested, corpusRemoved,
+        minhashIndexDirs.size.toLong, annIndexDirs.size.toLong))
+      .toDF("n_requested", "corpus_rows_removed",
+        "minhash_indexes_tombstoned", "ann_indexes_tombstoned")
+  }
+
   /** Laplace-mechanism noisy counts (Dwork et al., TCC'06): grouped
     * counts released with Laplace(1/ε) noise — sensitivity 1 for a
     * count query, so ε-DP *in mechanism shape*. The noise here is

@@ -126,6 +126,44 @@ class IndexDeleteSpec extends SparkSuite {
     assert(tombstoned.nonEmpty, "vacuous check")
   }
 
+  test("forgetDocuments erases end to end: corpus rows gone, derived " +
+      "indexes stop serving the subject") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("forget_corpus").toString
+    val mhIdx = Files.createTempDirectory("forget_mh").toString
+    val annIdx = Files.createTempDirectory("forget_ann").toString
+    docs.write.mode("overwrite").parquet(corpusDir)
+    Dedup.buildMinhashIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", mhIdx, parts = 8)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", annIdx)
+    // near-dup copies of the forgotten docs still probe the index —
+    // before erasure they must hit, after they must not
+    val victims = docs.filter($"doc_id" < 3)
+    val probe = victims.withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", concat($"text", lit(" tail")))
+    assert(Dedup.probeMinhashIndex(spark, mhIdx, probe, "doc_id", "text",
+      threshold = 0.4).count() > 0, "planted dups must hit before erasure")
+    val report = graft.pii.Masking.forgetDocuments(spark,
+        victims.select("doc_id"), "doc_id", Some(corpusDir),
+        minhashIndexDirs = Seq(mhIdx)).head
+    assert(report.getLong(0) === 3 && report.getLong(1) === 3)
+    assert(spark.read.parquet(corpusDir).filter($"doc_id" < 3).isEmpty,
+      "corpus still holds forgotten rows")
+    assert(Dedup.probeMinhashIndex(spark, mhIdx, probe, "doc_id", "text",
+        threshold = 0.4)
+      .filter(col("index_id") < 3).isEmpty,
+      "index still serves forgotten docs")
+    // the ANN leg: forgotten vec_ids drop from every serve
+    val vq = emb.filter(col("vec_id") >= 5).limit(5)
+    graft.pii.Masking.forgetDocuments(spark,
+      emb.filter(col("vec_id") < 3).select("vec_id"), "vec_id", None,
+      annIndexDirs = Seq(annIdx))
+    assert(Similarity.ivfServeTopK(spark, annIdx, vq, "vec_id", "embedding",
+        k = 5)
+      .filter(col("neighbor_id") < 3).isEmpty,
+      "ANN index still serves forgotten vectors")
+  }
+
   test("purge rewrites only the partitions that hold victim rows") {
     val idx = Files.createTempDirectory("del_prune").toString
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
