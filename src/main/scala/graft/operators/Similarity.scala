@@ -694,6 +694,49 @@ object Similarity {
     ivfSearch(ivfProbes(cents, queries, idCol, vecCol, nProbe), assigned, k)
   }
 
+  /** IVF-PQ with TRAINED list centroids — the canonical production
+    * vector-index build completed: [[ivfPqTopK]]'s list-pruned ADC
+    * search with the inverted lists assigned to a [[kmeansCentroids]]
+    * Lloyd fit (md5-seeded, engine-replayable) instead of the raw
+    * sample, exactly how FAISS trains an IVF-PQ coarse quantizer. The
+    * PQ codebook stays the md5-sampled yardstick (subspace-codebook
+    * training is an independent k-means per subspace — a different
+    * knob; the lists are what the Lloyd fit tightens). Same scale
+    * shape as [[ivfPqTopK]]: the corpus pays one encode pass and one
+    * assignment pass per Lloyd iteration + 1, the search scans
+    * nProbe lists of m-byte codes.
+    *
+    * Honest measurement note: list training improves CANDIDATE
+    * quality (the v28 gate shows the gain on the uncompressed tier,
+    * where ranking is exact); at a coarse codebook the FINAL top-k is
+    * ADC-noise-dominated, so end-to-end recall can move either way —
+    * SimilaritySpec pins the invariants that do hold (pair scores
+    * identical to the unrestricted ADC scan; lists genuinely moved). */
+  def ivfPqTrainedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      m: Int = 8, dsub: Int = 8, nCodes: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val cPrep = Caches.spreadByKey(
+      requirePqDim(corpus, vecCol, m, dsub), col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
+    val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
+    val codebook = pqCodebook(cPrep.select(col("id"), col("v")), m, dsub,
+      nCodes)
+    val codes = pqEncodeAgainst(cPrep.select(col("id"), col("v")),
+        codebook, m, dsub)
+      .join(assignToCentroids(
+          cPrep.select(col("id").as("neighbor_id"), col("v"), col("vn")),
+          cents)
+        .select(col("neighbor_id").as("id"), col("cid")), "id")
+    val (_, _, nActual) = pqMeta(codebook) // dense stride, see pqTopK
+    ivfPqSearch(codes,
+      ivfProbes(cents, queries, idCol, vecCol, nProbe),
+      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nActual),
+      k, m, nActual)
+  }
+
   /** Product-quantization (PQ) codebook: the md5-sampled corpus rows'
     * subvectors, one `nCodes`-entry codebook per `m` subspace (Jégou et
     * al., "Product quantization for nearest neighbor search", TPAMI

@@ -969,6 +969,22 @@ object PipelineQueries {
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
 
+  /** Trained-centroid IVF-PQ top-3 for queries 0-4
+    * ([[Similarity.ivfPqTrainedTopK]]) — the canonical production
+    * vector index completed: v16's list-pruned ADC search with the
+    * inverted lists assigned to the v19 Lloyd fit (16 centroids, 3
+    * iterations) instead of the raw md5 sample, exactly how FAISS
+    * trains an IVF-PQ coarse quantizer. The PQ codebook stays the
+    * md5-sampled yardstick. Oracled iteration-exactly: the DuckDB twin
+    * composes the kmeans CTE chain with the verbatim v14/v16 PQ
+    * machinery. */
+  def v30IvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqTrainedTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** PQ-compressed ANN top-3 for queries 0-4: the corpus is scanned as
     * 8 codebook indices per vector (never the floats), distances are
     * ADC table walks — the memory/scan tier a billion-vector serving
@@ -1371,6 +1387,7 @@ object PipelineQueries {
     "v27_bq_recall" -> v27BqRecall,
     "v28_ivf_trained" -> v28IvfTrained,
     "v29_proto_prune" -> v29ProtoPrune,
+    "v30_ivfpq_trained" -> v30IvfPqTrained,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
     "t20_classifier" -> t20Classifier,
@@ -1775,6 +1792,41 @@ object PipelineQueries {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** v30 composes the v19 kmeans chain (16 centroids, 3 iterations)
+    * with the VERBATIM v14/v16 PQ machinery: list assignment and
+    * probes run against the trained `cent3`, while the PQ codebook's
+    * `cent` stays the md5 sample `cent0` (the [[Similarity
+    * .ivfPqTrainedTopK]] contract — training tightens the lists, the
+    * codebook is a separate knob). */
+  private lazy val v30OracleSql: String = {
+    val iters = 3; val nProbe = 4
+    s"""WITH ${kmeansOracleCtes(pqNCodes, iters, 64)},
+       |assigned AS (SELECT id, cid FROM (
+       |  SELECT cn.id, ct.cid,
+       |    row_number() OVER (PARTITION BY cn.id
+       |      ORDER BY list_dot_product(cn.v, ct.cv) / NULLIF(cn.vn * ct.ccn, 0.0) DESC, ct.cid) AS rn
+       |  FROM cn, cent$iters ct) WHERE rn = 1),
+       |q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+       |qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnn FROM q),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT qn.query_id, ct.cid,
+       |    row_number() OVER (PARTITION BY qn.query_id
+       |      ORDER BY list_dot_product(qn.qv, ct.cv) / NULLIF(qn.qnn * ct.ccn, 0.0) DESC, ct.cid) AS rn
+       |  FROM qn, cent$iters ct) WHERE rn <= $nProbe),
+       |cent AS (SELECT cid, cv FROM cent0),
+       |$pqMachineryCtes,
+       |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $pqAdcSqlExpr AS adist
+       |  FROM codes cd
+       |  JOIN assigned a ON cd.id = a.id
+       |  JOIN probes p ON p.cid = a.cid
+       |  JOIN lut l ON l.query_id = p.query_id
+       |  WHERE l.query_id <> cd.id)
+       |SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, neighbor_id) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** v17 replays the v14 shortlist at size 20 and re-ranks it with the
     * exact cosine (the v01 sim), top-3. */
@@ -2244,6 +2296,7 @@ object PipelineQueries {
     "v27_bq_recall" -> v27OracleSql,
     "v28_ivf_trained" -> v28OracleSql,
     "v29_proto_prune" -> v29OracleSql,
+    "v30_ivfpq_trained" -> v30OracleSql,
     "v09_semdedup" -> v09OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,

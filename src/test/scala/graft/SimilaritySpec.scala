@@ -480,6 +480,35 @@ class SimilaritySpec extends SparkSuite {
       f"training gained nothing: trained=$meanTrained%.4f sampled=$meanSampled%.4f")
   }
 
+  test("ivfPqTrainedTopK: same ADC geometry as full PQ, lists genuinely " +
+      "retrained") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val trained = Similarity.ivfPqTrainedTopK(e, q, "vec_id", "embedding",
+        k = 3).collect()
+    // restriction property: the codebook is the SAME md5 sample as full
+    // PQ's, so every (query, neighbor) v30 scores must carry exactly the
+    // adist the unrestricted ADC scan assigns that pair — training moves
+    // WHICH candidates are scanned, never how a pair is scored
+    val fullAdc = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 499)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(trained.nonEmpty)
+    trained.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(fullAdc(key) === r.getDouble(2),
+        s"pair $key scored differently than the full ADC scan")
+    }
+    // and the training is non-vacuous: the probed candidate sets differ
+    // from the sampled-centroid index somewhere in the top-3
+    val sampled = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val trainedSet = trained.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(trainedSet !== sampled,
+      "Lloyd training left every probed list identical to the md5 sample")
+  }
+
   test("protoPrune: floor(frac·n) most-prototypical rows drop per cluster") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.protoPrune(e, "vec_id", "embedding",
