@@ -349,13 +349,31 @@ object Dedup {
     Caches.scoped(sh) {
       val ev = sh.filter(col("is_eval"))
         .select(col("s"), col("id").as("eval_id"))
+      // shingles are distinct per doc, but one train shingle can meet
+      // several eval docs — distinct counts on both axes, reshaped
+      // unpivot-first + ONE distinct (the g11 lesson): a
+      // multi-count-distinct plans an Expand whose group order follows
+      // the session-global expression-id counter and re-dirties plan
+      // snapshots whenever unrelated queries move the counter. Axis 0 =
+      // shared shingle, 1 = eval doc; same two exchanges either way.
+      // the unpivoted value stays the NATIVE key type — 8-byte longs on
+      // the hashed path (ShuffleWidthSpec gates the distinct exchange's
+      // width; stringifying would fatten every row); only the unhashed
+      // debug variant pays a string lane
+      val unify: Column => Column =
+        if (hashed) identity else (_.cast("string"))
       prefilter(ev, sh.filter(!col("is_eval")))
         .join(ev, "s")
+        .select(col("id"), explode(array(
+            struct(lit(0).as("axis"), unify(col("s")).as("value")),
+            struct(lit(1).as("axis"),
+              unify(col("eval_id")).as("value")))).as("kv"))
+        .select(col("id"), col("kv.axis").as("axis"),
+          col("kv.value").as("value"))
+        .distinct()
         .groupBy(col("id").as(idCol))
-        // shingles are distinct per doc, but one train shingle can meet
-        // several eval docs — count distinct on both axes
-        .agg(countDistinct(col("s")).as("n_shared_shingles"),
-          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .agg(count(when(col("axis") === 0, lit(1))).as("n_shared_shingles"),
+          count(when(col("axis") === 1, lit(1))).as("n_eval_docs"))
         .filter(col("n_shared_shingles") >= minShared)
     }
   }

@@ -98,6 +98,55 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual fingerprint (dHash) per asset over the stub decode:
+    * bit d is the comparison of ADJACENT stripe accumulators
+    * (`acc_d > acc_{d+1}`) — the classic difference-hash shape, with
+    * the stub accumulators standing in for the downscaled-pixel grid a
+    * real dHash compares (swap [[stubAccumulators]] for a decode +
+    * 8×8 luma grid and nothing else changes). 65 stripes → a 64-bit
+    * fingerprint, emitted as the four 16-bit chunks
+    * [[graft.operators.Dedup.simhashPairsFromChunks]] consumes. Like
+    * [[decodeFeatures]], the per-byte fold runs in the typed
+    * mapPartitions decode pass (per-task decoder init amortized over
+    * the split); every integer is modular and engine-replayable, so
+    * the DuckDB oracle replays the exact fingerprint. */
+  def phashChunks(assets: DataFrame, dims: Int = 65): DataFrame = {
+    require(dims >= 2 && dims <= 65,
+      s"dims ($dims) must be in [2, 65] — 64 fingerprint bits max")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    Caches.spreadByKey(assets, col("asset_id"))
+      .select(col("asset_id").cast("long"), col("data").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val acc = stubAccumulators(bytes, dims)
+          var h = 0L
+          var d = 0
+          while (d < dims - 1) {
+            if (acc(d) > acc(d + 1)) h |= (1L << d)
+            d += 1
+          }
+          (id, h & 0xFFFFL, (h >>> 16) & 0xFFFFL,
+            (h >>> 32) & 0xFFFFL, (h >>> 48) & 0xFFFFL)
+        }
+      }
+      .toDF("id", "c0", "c1", "c2", "c3")
+  }
+
+  /** Near-dup IMAGE pairs by perceptual hash — the multimodal member
+    * of the dedup family: assets whose fingerprints sit within
+    * `maxHamming` bits pair up, exact copies at hamming 0, small
+    * corruptions (a re-encode, an appended trailer) within a few bits.
+    * Pair generation, pigeonhole blocking (EXACT for maxHamming ≤ 3),
+    * and the hot-bucket representative-star cap are
+    * [[graft.operators.Dedup.simhashPairsFromChunks]] VERBATIM — one
+    * pair algebra for text SimHash and image dHash, two fingerprint
+    * sources. Returns (id_a, id_b, hamming). */
+  def phashPairs(assets: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.simhashPairsFromChunks(phashChunks(assets), maxHamming, maxBucket)
+
   private def withFrameBytes(assets: DataFrame, nFrames: Int): DataFrame =
     assets
       .withColumn("frame_idx",

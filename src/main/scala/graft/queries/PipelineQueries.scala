@@ -1349,6 +1349,28 @@ object PipelineQueries {
       .orderBy("frame_md5")
   }
 
+  /** Perceptual-hash near-dup detection over the asset corpus
+    * ([[Multimodal.phashPairs]]) — exact re-uploads (planted copies of
+    * assets 0-9) pair at hamming 0, lightly-corrupted re-encodes (the
+    * same assets with a one-byte trailer — one stripe accumulator
+    * moves, ≤ 2 fingerprint bits) pair within the hamming-3 gate; the
+    * pair algebra and hot-bucket cap are d03's SimHash machinery
+    * verbatim. The oracle replays the stripe folds, the 64 dHash bits,
+    * and the all-pairs hamming join. */
+  def m06PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 10)
+    Multimodal.phashPairs(Multimodal.syntheticAssets(
+        base
+          .unionByName(planted
+            .withColumn("doc_id", col("doc_id") + 100000L))
+          .unionByName(planted
+            .withColumn("doc_id", col("doc_id") + 200000L)
+            .withColumn("text", concat(col("text"), lit("!")))),
+        "doc_id", "text"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_tokens" -> t01Tokens,
     "t02_quality" -> t02Quality,
@@ -1443,6 +1465,7 @@ object PipelineQueries {
     "m03_frame_sample" -> m03FrameSample,
     "m04_frame_dedup" -> m04FrameDedup,
     "m05_resize" -> m05Resize,
+    "m06_phash_pairs" -> m06PhashPairs,
   )
 
   /** DuckDB twin of [[Dedup.withSimhashChunks]] + brute-force all-pairs
@@ -2917,6 +2940,43 @@ object PipelineQueries {
         |  CAST(GREATEST(FLOOR(h0 * sc), 1.0) AS INT) AS height,
         |  CAST(CEIL(len0 * sc * sc) AS BIGINT) AS byte_len
         |FROM s ORDER BY asset_id""".stripMargin),
+    // replays the 65 stripe folds, the 64 dHash comparisons, and the
+    // all-pairs hamming-<=3 join over corpus + planted copies/corruptions
+    // — brute force where Spark blocks by pigeonhole (exact at <= 3)
+    "m06_phash_pairs" -> {
+      val dims = 65
+      def stripe(d: Int) =
+        s"(CASE WHEN length(text) > $d THEN list_reduce(" +
+          s"[ascii(substr(text, p + 1, 1)) for p in range($d, length(text), $dims)], " +
+          "(acc, x) -> (acc * 31 + x) % 1000003) ELSE 0 END)"
+      val stripeCols = (0 until dims).map(d => s"${stripe(d)} AS s$d")
+        .mkString(",\n    ")
+      val chunkCols = (0 until 4).map { j =>
+        (0 until 16).map { t =>
+          val b = 16 * j + t
+          s"(CASE WHEN s$b > s${b + 1} THEN CAST(${1L << t} AS BIGINT) ELSE 0 END)"
+        }.mkString(" + ") + s" AS c$j"
+      }.mkString(",\n    ")
+      val hamming = (0 until 4)
+        .map(j => s"bit_count(xor(a.c$j, b.c$j))").mkString(" + ")
+      s"""WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 100000 AS BIGINT), text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 200000 AS BIGINT), text || '!' FROM documents WHERE doc_id < 10),
+        |st AS (SELECT id,
+        |    $stripeCols
+        |  FROM base),
+        |ch AS (SELECT id,
+        |    $chunkCols
+        |  FROM st)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST($hamming AS BIGINT) AS hamming
+        |FROM ch a JOIN ch b ON a.id < b.id
+        |WHERE $hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    },
     // replays Multimodal.stubAccumulators per stripe: fold over the bytes
     // at positions ≡ d (mod 16) with (acc*31 + byte) % 1000003 — documents
     // are ASCII so ascii(char) == byte value. Exact-integer checksum.

@@ -37,6 +37,40 @@ class MultimodalSpec extends SparkSuite {
     assert(perAsset === Set(4L))
   }
 
+  test("phashPairs: exact copy at hamming 0, trailer corruption within " +
+      "2 bits, distinct payloads far apart; blocked join ≡ brute force") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" < 5)
+        .withColumn("doc_id", $"doc_id" + 1000000L)) // exact re-uploads
+      .unionByName(base.filter($"doc_id" < 5)
+        .withColumn("doc_id", $"doc_id" + 2000000L)
+        .withColumn("text", concat($"text", lit("!")))) // 1-byte trailer
+    val assets = Multimodal.syntheticAssets(corpus, "doc_id", "text")
+    val pairs = Multimodal.phashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 5L).foreach { d =>
+      assert(pairs((d, d + 1000000L)) === 0L, s"exact copy of $d not at 0")
+      assert(pairs((d, d + 2000000L)) <= 2L, s"trailer copy of $d too far")
+    }
+    // blocked pigeonhole join returns EXACTLY the brute-force answer
+    val fp = Multimodal.phashChunks(assets).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = fp(ids(i)); b = fp(ids(j))
+      h = java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4)
+      if h <= 3
+    } yield (ids(i), ids(j)) -> h.toLong).toMap
+    assert(pairs === brute)
+  }
+
   test("resizeAssets caps the long edge, preserves aspect, shrinks bytes") {
     val a = Multimodal.syntheticAssets(docs, "doc_id", "text")
     val before = a.select("asset_id", "meta.width", "meta.height", "data")

@@ -137,10 +137,17 @@ class ShuffleWidthSpec extends SparkSuite {
   }
 
   test("t15 contamination (hashed form) shuffles 8-byte grams only") {
-    assertOnlySpreadIsText(probeExchanges {
+    val (text, _) = probeExchanges {
       Dedup.contaminatedDocs(docsDf, "doc_id", "text",
         evalPred = col("doc_id") < 50, k = 5, hashed = true).count()
-    })
+    }
+    // since the unpivot-first reshape, the distinct and the final agg
+    // both reuse the spread's id-partitioning (ClusteredDistribution on
+    // a superset of the spread key), so the raw-doc spread is the ONLY
+    // exchange — the invariant stays: no gram STRING ever rides one
+    assert(text.size === 1 && text.head.output.exists(_.name == "text"),
+      text.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+        .mkString(", ")).mkString("\n"))
   }
 
   test("spreadByKey skips the raw-text shuffle once the scan is wide enough") {
