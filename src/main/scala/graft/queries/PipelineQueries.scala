@@ -1371,6 +1371,38 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Transitive near-dup reach on the Spark 4 `WITH RECURSIVE` SQL
+    * surface (the declarative recursion operator whose procedural twin
+    * is e13's frontier BFS): hop distance from a flagged seed set
+    * (the five lowest-id docs that near-dup anything — guaranteed
+    * non-vacuous at every SF) through chains of d02 near-dup edges — "if these
+    * documents are contaminated, how far does contamination propagate
+    * through near-duplicates". Spark's recursion contract is UNION ALL
+    * + an explicit bound (UNION dedup is not yet supported), so the
+    * walk re-emits visited nodes and the MIN-hop aggregate collapses
+    * them — exact BFS because near-dup components are tiny (the walk
+    * count is bounded by cluster_size^maxHop, and clusters are a
+    * handful of docs); a dense graph would use the e13 operator tier
+    * instead. The edge set is the exact-verified d02 pair table, so
+    * the DuckDB twin replays brute-force pairs + the same recursion. */
+  def d17DupReach(s: SparkSession, dir: String): DataFrame = {
+    Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").createOrReplaceTempView("__d17_edges")
+    s.sql("""WITH RECURSIVE
+      |e AS (SELECT id_a AS src, id_b AS dst FROM __d17_edges
+      |      UNION SELECT id_b, id_a FROM __d17_edges),
+      |seeds AS (SELECT DISTINCT id_a AS doc_id FROM __d17_edges
+      |          ORDER BY doc_id LIMIT 5),
+      |walk(doc_id, hop) AS (
+      |  SELECT doc_id, 0 AS hop FROM seeds
+      |  UNION ALL
+      |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.doc_id
+      |  WHERE w.hop < 3)
+      |SELECT doc_id, CAST(MIN(hop) AS INT) AS hop
+      |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_tokens" -> t01Tokens,
     "t02_quality" -> t02Quality,
@@ -1466,6 +1498,7 @@ object PipelineQueries {
     "m04_frame_dedup" -> m04FrameDedup,
     "m05_resize" -> m05Resize,
     "m06_phash_pairs" -> m06PhashPairs,
+    "d17_dup_reach" -> d17DupReach,
   )
 
   /** DuckDB twin of [[Dedup.withSimhashChunks]] + brute-force all-pairs
@@ -2709,6 +2742,19 @@ object PipelineQueries {
         |  ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) + 0.0 AS zipf_slope
         |FROM rk WHERE rnk <= 32
         |GROUP BY source ORDER BY source""".stripMargin),
+    "d17_dup_reach" ->
+      (s"""WITH RECURSIVE $dupPairsCtes,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |seeds AS (SELECT DISTINCT id_a AS doc_id FROM pairs
+        |          ORDER BY doc_id LIMIT 5),
+        |walk(doc_id, hop) AS (
+        |  SELECT doc_id, 0 AS hop FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.doc_id
+        |  WHERE w.hop < 3)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(MIN(hop) AS INT) AS hop
+        |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t41_leakfree_split" ->
       (s"""WITH c AS ($d05OracleSql)
         |SELECT doc_id, cluster_id,
