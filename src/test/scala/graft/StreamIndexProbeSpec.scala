@@ -56,6 +56,42 @@ class StreamIndexProbeSpec extends SparkSuite {
       s"planted pair missing from $ledger")
   }
 
+  test("a tombstone landing mid-stream stops the probe surfacing the " +
+      "deleted doc — continuous erasure with no stream restart") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val idx = Files.createTempDirectory("sip_tomb_idx").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx, parts = 16)
+    val arrivals = corpus.filter($"doc_id" < 4)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", concat($"text", lit(" tail")))
+      .collect().map(r => ArrivingDoc(r.getLong(0), r.getString(1)))
+    val out = Files.createTempDirectory("sip_tomb_out").toString
+    val ckpt = Files.createTempDirectory("sip_tomb_ckpt").toString
+    val stream = MemoryStream[ArrivingDoc]
+    val q = StreamIndexProbe.start(stream.toDF(), idx, out, ckpt,
+      "doc_id", "text", threshold = 0.5)
+    try {
+      stream.addData(arrivals.take(2).toIndexedSeq)
+      q.processAllAvailable()
+      // the erasure request arrives BETWEEN micro-batches: docs 2 and 3
+      // are forgotten from the index while the stream keeps running
+      Dedup.deleteFromMinhashIndex(spark, idx,
+        Seq(2L, 3L).toDF("doc_id"))
+      stream.addData(arrivals.drop(2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ledger = spark.read.parquet(out)
+      .select("probe_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pre-erasure batches keep their (already served) rows ...
+    assert(ledger.contains((100000L, 0L)) && ledger.contains((100001L, 1L)))
+    // ... but no post-erasure batch may surface the forgotten docs
+    assert(!ledger.exists(p => p._1 >= 100002L && (p._2 == 2L || p._2 == 3L)),
+      s"erased docs still served after deletion: $ledger")
+  }
+
   test("mid-batch kill: the uncommitted epoch replays, rewrites its ledger dir, no duplicates") {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text")
