@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SearchIndex
+
+/** Materialized BM25 search index: serve ≡ the inline t17 BM25 over the
+  * same corpus, append ≡ one-shot build (no drifting yardstick — df and
+  * N/avgdl recompute at serve time), the serve scan partition-prunes to
+  * the query terms' tok_p directories, and compaction collapses the
+  * append pile without changing a served row. */
+class Bm25IndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select("doc_id", "text")
+  private val terms = Seq("spark", "vector")
+
+  private def served(idx: String) =
+    SearchIndex.bm25Serve(spark, idx, terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+  test("serve ≡ inline t17 BM25, byte for byte") {
+    val idx = Files.createTempDirectory("bm25").toString
+    SearchIndex.buildBm25Index(docs, "doc_id", "text", idx, parts = 16)
+    val inline = graft.queries.PipelineQueries.t17Bm25(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served(idx) === inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("append ≡ one-shot build; compaction collapses files, serve fixed") {
+    val oneShot = Files.createTempDirectory("bm25_one").toString
+    val grown = Files.createTempDirectory("bm25_grow").toString
+    SearchIndex.buildBm25Index(docs, "doc_id", "text", oneShot, parts = 8)
+    SearchIndex.buildBm25Index(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", grown, parts = 8)
+    SearchIndex.appendToBm25Index(spark, grown,
+      docs.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    SearchIndex.appendToBm25Index(spark, grown,
+      docs.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    val expect = served(oneShot)
+    assert(served(grown) === expect)
+    val (before, after) = SearchIndex.compactBm25Index(spark, grown)
+    assert(after < before, s"no collapse ($before -> $after)")
+    assert(served(grown) === expect, "compaction changed served rows")
+  }
+
+  test("the serve scan partition-prunes to the query terms' tok_p dirs") {
+    val idx = Files.createTempDirectory("bm25_prune").toString
+    SearchIndex.buildBm25Index(docs, "doc_id", "text", idx, parts = 16)
+    val plan = SearchIndex.bm25Serve(spark, idx, terms, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tok_p"),
+      s"no tok_p partition filter:\n${plan.take(2000)}")
+  }
+}
