@@ -758,8 +758,13 @@ object PipelineQueries {
     * query terms only (two index probes, not a corpus scan at serving
     * time if the postings are materialized); top-k via ORDER BY+LIMIT
     * plans as TakeOrderedAndProject. */
-  def t17Bm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "vector")
+  def t17Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir, Seq("spark", "vector"), 10)
+
+  /** The t17 scoring parameterized by top-k — shared with the v31
+    * fusion so the lexical leg cannot fork from the gated t17 text. */
+  private def bm25Ranked(s: SparkSession, dir: String,
+      terms: Seq[String], topK: Int): DataFrame = {
     val k1 = 1.2; val b = 0.75
     val d = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
@@ -781,7 +786,41 @@ object PipelineQueries {
       .groupBy("doc_id")
       .agg(round(sum("term_score"), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
-      .orderBy(desc("score"), col("doc_id")).limit(10)
+      .orderBy(desc("score"), col("doc_id")).limit(topK)
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. '09):
+    * fuse the BM25 lexical top-100 (t17's exact scoring) with the
+    * dense cosine top-100 against query vector 0 as
+    * Σ 1/(60 + rank) — the standard lexical⊕dense ensemble a
+    * retrieval-augmented pipeline serves, with each leg ranked on its
+    * ROUNDED score (engine-exact ordering, id tie-break). Both legs
+    * are bounded top-k lists (TakeOrderedAndProject), so the fusion
+    * windows run over ≤100 rows — rank-fusing full corpus lists would
+    * be the anti-pattern at scale. */
+  def v31HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val kList = 100; val kRrf = 60
+    val wL = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Ranked(s, dir, Seq("spark", "vector"), kList)
+      .select(col("doc_id"), col("score"))
+      .withColumn("lrank", row_number().over(wL))
+    val e = emb(s, dir)
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(kList)
+      .withColumn("drank", row_number().over(wD))
+    lex.select("doc_id", "lrank")
+      .join(dense.select("doc_id", "drank"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("drank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
   }
 
   /** Per-source corpus profile — the split-by-provenance report every
@@ -1499,6 +1538,7 @@ object PipelineQueries {
     "m05_resize" -> m05Resize,
     "m06_phash_pairs" -> m06PhashPairs,
     "d17_dup_reach" -> d17DupReach,
+    "v31_hybrid_rrf" -> v31HybridRrf,
   )
 
   /** DuckDB twin of [[Dedup.withSimhashChunks]] + brute-force all-pairs
@@ -2742,6 +2782,36 @@ object PipelineQueries {
         |  ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) + 0.0 AS zipf_slope
         |FROM rk WHERE rnk <= 32
         |GROUP BY source ORDER BY source""".stripMargin),
+    "v31_hybrid_rrf" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS len, unnest(tk) AS token FROM toks),
+        |f AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, any_value(len) AS len
+        |      FROM dd WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
+        |       FROM documents),
+        |dfx AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM f GROUP BY token),
+        |lex0 AS (SELECT doc_id,
+        |    ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))), 4) AS score
+        |  FROM f JOIN dfx USING (token) CROSS JOIN st
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 100),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM lex0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+        |dense0 AS (SELECT vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(qv, v), 4) AS sim
+        |  FROM c, q WHERE vec_id <> 0 ORDER BY sim DESC, doc_id LIMIT 100),
+        |dense AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY sim DESC, doc_id) AS drank FROM dense0),
+        |fused AS (SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, lrank, drank
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+        |SELECT doc_id, CAST(lrank AS INT) AS lrank, CAST(drank AS INT) AS drank,
+        |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + lrank AS DOUBLE), 0.0) +
+        |        COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + drank AS DOUBLE), 0.0), 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     "d17_dup_reach" ->
       (s"""WITH RECURSIVE $dupPairsCtes,
         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
