@@ -96,9 +96,11 @@ object SearchIndex {
     val ps = terms.toDF("t")
       .select(pmod(xxhash64(col("t")), lit(parts.toLong)))
       .distinct().collect().map(_.getLong(0)) // bounded by |terms|
-    val tf = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("tok_p").isin(ps.toSeq: _*))
-      .filter(col("token").isin(terms: _*))
+    val tf = graft.core.Tables.antiTombstones(spark,
+        s"$indexDir/tombstones",
+        spark.read.parquet(s"$indexDir/postings")
+          .filter(col("tok_p").isin(ps.toSeq: _*))
+          .filter(col("token").isin(terms: _*)), "doc_id")
       .select(col("doc_id"), col("token"),
         col("tf").cast("double").as("tf"), col("dl").cast("double").as("len"))
     val stats = spark.read.parquet(s"$indexDir/stats")
@@ -118,6 +120,49 @@ object SearchIndex {
       .agg(round(sum("term_score"), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(desc("score"), col("doc_id")).limit(k)
+  }
+
+  /** Delete documents from the index WITHOUT a rebuild — the
+    * [[Dedup.deleteFromMinhashIndex]] contract for the lexical tier:
+    * ids land in the `tombstones` table (every serve anti-joins it),
+    * and because N/avgdl live in ADDITIVE stats partials, the delete
+    * also appends one NEGATIVE partial holding exactly the victims'
+    * (count, Σdl) — computed from their own postings rows, so a
+    * tombstoned index serves exactly like one whose deleted docs were
+    * never appended (Bm25IndexSpec asserts it; df needs no adjustment,
+    * it is recomputed from the anti-joined rows). The victim scan is
+    * postings-wide but column-pruned (doc_id, dl) — deletes are rare
+    * by contract. Terminal until [[purgeBm25Tombstones]]. */
+  def deleteFromBm25Index(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit = {
+    val victims = broadcast(
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct())
+    spark.read.parquet(s"$indexDir/postings")
+      .join(victims, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).groupBy("doc_id")
+      .agg(first("dl").as("dl"))
+      .agg((-count(lit(1))).as("n_docs"), (-sum("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$indexDir/stats")
+    graft.core.Tables.appendTombstones(spark, s"$indexDir/tombstones", ids)
+  }
+
+  /** Physically drop tombstoned docs' postings rows and clear the
+    * tombstone table. The stats NEGATIVES stay — they are the lasting
+    * correct adjustment, not a tombstone artifact. Victims spread
+    * across token partitions, so unlike the id-partitioned indexes the
+    * rewrite typically touches most tok_p directories
+    * ([[graft.core.Tables.purgeRows]] still skips untouched ones);
+    * serves are identical before and after. */
+  def purgeBm25Tombstones(spark: SparkSession, indexDir: String): Unit = {
+    val tomb = s"$indexDir/tombstones"
+    val path = new org.apache.hadoop.fs.Path(tomb)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      graft.core.Tables.purgeRows(spark, s"$indexDir/postings", "doc_id",
+        spark.read.parquet(tomb))
+      fs.delete(path, true)
+    }
   }
 
   /** Fold the append-file pile back to target-size files per tok_p

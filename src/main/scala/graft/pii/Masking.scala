@@ -107,7 +107,8 @@ object Masking {
   def forgetDocuments(spark: SparkSession, ids: DataFrame,
       idColName: String, corpusDir: Option[String],
       minhashIndexDirs: Seq[String] = Nil,
-      annIndexDirs: Seq[String] = Nil): DataFrame = {
+      annIndexDirs: Seq[String] = Nil,
+      bm25IndexDirs: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val victims = ids.select(col(ids.columns.head).as(idColName)).distinct()
     val nRequested = victims.count()
@@ -121,10 +122,13 @@ object Masking {
       graft.operators.Dedup.deleteFromMinhashIndex(spark, d, ids))
     annIndexDirs.foreach(d =>
       graft.operators.Similarity.deleteFromIndex(spark, d, ids))
-    Seq((nRequested, corpusRemoved,
-        minhashIndexDirs.size.toLong, annIndexDirs.size.toLong))
+    bm25IndexDirs.foreach(d =>
+      graft.operators.SearchIndex.deleteFromBm25Index(spark, d, ids))
+    Seq((nRequested, corpusRemoved, minhashIndexDirs.size.toLong,
+        annIndexDirs.size.toLong, bm25IndexDirs.size.toLong))
       .toDF("n_requested", "corpus_rows_removed",
-        "minhash_indexes_tombstoned", "ann_indexes_tombstoned")
+        "minhash_indexes_tombstoned", "ann_indexes_tombstoned",
+        "bm25_indexes_tombstoned")
   }
 
   /** Laplace-mechanism noisy counts (Dwork et al., TCC'06): grouped

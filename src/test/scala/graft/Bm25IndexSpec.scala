@@ -48,6 +48,32 @@ class Bm25IndexSpec extends SparkSuite {
     assert(served(grown) === expect, "compaction changed served rows")
   }
 
+  test("delete ≡ never-appended (stats negatives land exactly); purge " +
+      "serve-invariant and clears tombstones") {
+    val full = Files.createTempDirectory("bm25_del").toString
+    val twin = Files.createTempDirectory("bm25_twin").toString
+    val core = docs.filter($"doc_id" % 3 === 0)
+    val sliceA = docs.filter($"doc_id" % 3 === 1)
+    val sliceB = docs.filter($"doc_id" % 3 === 2)
+    SearchIndex.buildBm25Index(core, "doc_id", "text", full, parts = 8)
+    SearchIndex.appendToBm25Index(spark, full, sliceA, "doc_id", "text")
+    SearchIndex.appendToBm25Index(spark, full, sliceB, "doc_id", "text")
+    SearchIndex.buildBm25Index(core, "doc_id", "text", twin, parts = 8)
+    SearchIndex.appendToBm25Index(spark, twin, sliceA, "doc_id", "text")
+    val before = served(full)
+    SearchIndex.deleteFromBm25Index(spark, full, sliceB.select("doc_id"))
+    val tombstoned = served(full)
+    assert(tombstoned === served(twin),
+      "tombstoned serve differs from the never-appended twin")
+    assert(tombstoned !== before, "delete was a vacuous no-op")
+    SearchIndex.purgeBm25Tombstones(spark, full)
+    assert(served(full) === tombstoned, "purge changed served rows")
+    assert(!new java.io.File(s"$full/tombstones").exists)
+    assert(spark.read.parquet(s"$full/postings")
+      .join(sliceB.select($"doc_id"), Seq("doc_id"), "left_semi").isEmpty,
+      "purge left deleted docs' postings rows")
+  }
+
   test("the serve scan partition-prunes to the query terms' tok_p dirs") {
     val idx = Files.createTempDirectory("bm25_prune").toString
     SearchIndex.buildBm25Index(docs, "doc_id", "text", idx, parts = 16)
