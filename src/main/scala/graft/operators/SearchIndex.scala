@@ -135,15 +135,25 @@ object SearchIndex {
     * by contract. Terminal until [[purgeBm25Tombstones]]. */
   def deleteFromBm25Index(spark: SparkSession, indexDir: String,
       ids: DataFrame): Unit = {
-    val victims = broadcast(
-      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct())
+    // already-tombstoned ids must not subtract their stats AGAIN — their
+    // postings rows are still physically present until a purge, so a
+    // repeated delete would double-count the negative partial; the
+    // anti-join makes deletion idempotent (Bm25IndexSpec asserts it)
+    // materialized BEFORE any write: the filtered set both feeds an
+    // append INTO the tombstone table it reads and is scanned twice
+    import graft.operators.Caches.EagerOps
+    val victims = broadcast(graft.core.Tables.antiTombstones(spark,
+      s"$indexDir/tombstones",
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct(),
+      "doc_id").eagerCheckpoint())
     spark.read.parquet(s"$indexDir/postings")
       .join(victims, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl")).groupBy("doc_id")
       .agg(first("dl").as("dl"))
       .agg((-count(lit(1))).as("n_docs"), (-sum("dl")).as("sum_dl"))
       .coalesce(1).write.mode("append").parquet(s"$indexDir/stats")
-    graft.core.Tables.appendTombstones(spark, s"$indexDir/tombstones", ids)
+    graft.core.Tables.appendTombstones(spark, s"$indexDir/tombstones",
+      victims)
   }
 
   /** Physically drop tombstoned docs' postings rows and clear the

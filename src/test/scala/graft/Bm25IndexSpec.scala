@@ -66,6 +66,10 @@ class Bm25IndexSpec extends SparkSuite {
     assert(tombstoned === served(twin),
       "tombstoned serve differs from the never-appended twin")
     assert(tombstoned !== before, "delete was a vacuous no-op")
+    // deletion is idempotent: repeating the request must not subtract
+    // the victims' stats partial a second time
+    SearchIndex.deleteFromBm25Index(spark, full, sliceB.select("doc_id"))
+    assert(served(full) === tombstoned, "double delete skewed the stats")
     SearchIndex.purgeBm25Tombstones(spark, full)
     assert(served(full) === tombstoned, "purge changed served rows")
     assert(!new java.io.File(s"$full/tombstones").exists)
