@@ -1357,6 +1357,78 @@ object Similarity {
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
   }
 
+  /** Margin-based cross-corpus pair mining (Artetxe & Schwenk, ACL'19 —
+    * the bitext-mining score behind the LASER/CCMatrix pipelines):
+    * margin(x, y) = cos(x, y) / ((avg cos of x's kNN in `tgt` + avg cos
+    * of y's kNN in `src`) / 2), computed over the LSH multi-probe
+    * candidate tier in BOTH directions ([[lshTopK]] twice — bucket-
+    * bounded, never |src|·|tgt|), keeping per src vector its single
+    * best-margin tgt match at `threshold` or above. The ratio margin
+    * normalizes away hubness: a pair only mines when it is mutually
+    * exceptional relative to each side's own neighborhood density,
+    * which plain cosine thresholds get wrong in high dimensions.
+    *
+    * Determinism discipline: the kNN sims enter the denominators
+    * 4dp-rounded (exactly [[cosineRank]]'s output) and are summed as
+    * DECIMAL(38,4) — an exact, order-free sum — so the rounded margin
+    * is a pure IEEE function of bit-identical operands on any partition
+    * layout and in the DuckDB oracle alike. Ranking is on the ROUNDED
+    * margin with a tgt-id tie-break for the same reason. */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double, numPlanes: Int = 8,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val fwd = lshTopK(tgt, src, idCol, vecCol, k, numPlanes, dim, seed)
+    val bwd = lshTopK(src, tgt, idCol, vecCol, k, numPlanes, dim, seed)
+    // both deg computations ride the query_id partitioning the rank
+    // window inside lshTopK just established: the fwd average attaches
+    // as a whole-partition window (no exchange, no self-join) and the
+    // bwd groupBy reuses its partitioning, so the only new exchange in
+    // the whole margin stage is re-keying the fwd pairs by tgt_id
+    val wq = Window.partitionBy("query_id")
+    val fwdDeg = fwd.withColumn("deg_src",
+      sum(col("sim").cast("decimal(38,4)")).over(wq).cast("double") /
+        count(lit(1)).over(wq))
+    val bwdDeg = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg((sum(col("sim").cast("decimal(38,4)")).cast("double") /
+        count(lit(1))).as("deg_tgt"))
+    val scored = fwdDeg
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("sim"), col("deg_src"))
+      .join(bwdDeg, "tgt_id")
+      .withColumn("margin", round(col("sim") /
+        nullif((col("deg_src") + col("deg_tgt")) / 2.0, lit(0.0)), 4))
+    val best = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    scored.withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+  }
+
+  /** Per-vector kNN label agreement (the confident-learning label-noise
+    * audit, Northcutt '21 flavor): each vector's purity is the fraction
+    * of its k nearest neighbors sharing its label — purity near the
+    * random baseline 1/|labels| means the labels carry no embedding-
+    * space signal; an isolated low-purity vector in an otherwise pure
+    * corpus is a mislabeling candidate. Neighbor lists come from the
+    * LSH multi-probe tier (bucket-bounded self-kNN — the only scalable
+    * shape, per [[mutualKnnEdges]]'s rationale); labels attach by two
+    * id-keyed equi-joins that shuffle (id, label) pairs only, never
+    * vectors. purity = same/|nbrs| is integer math, engine-exact. */
+  def knnLabelAgreement(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val labels = vecs.select(col(idCol).as("__lid"), col(labelCol).as("__l"))
+    lshTopK(vecs, vecs, idCol, vecCol, k, numPlanes, dim, seed)
+      .join(labels.select(col("__lid").as("query_id"), col("__l").as("label")),
+        "query_id")
+      .join(labels.select(col("__lid").as("neighbor_id"),
+        col("__l").as("nbr_label")), "neighbor_id")
+      .groupBy(col("query_id").as("id"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        round(sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("purity"))
+  }
+
   /** Embedding near-dup pairs via one LSH bucket self-join, with the
     * same hot-bucket guard as the text dedups ([[Dedup.withBucketStats]]
     * rationale): a bucket holding more than `maxBucket` vectors (a

@@ -1107,6 +1107,36 @@ object PipelineQueries {
       .select("vec_id", "cluster_id", "comp_size").orderBy("vec_id")
   }
 
+  /** Margin-based pair mining across the label-split halves of the
+    * embedding corpus ([[Similarity.marginMining]] — Artetxe & Schwenk
+    * ratio margin, LSH-tier candidates both directions): per label<5
+    * vector, its best label≥5 match where the pair is mutually
+    * exceptional against each side's own kNN density. The bitext-mining
+    * primitive (mine translation pairs from two monolingual embedding
+    * spaces), declared on v02's exact LSH parameters so the oracle
+    * replays every candidate and every denominator digit. */
+  def v32MarginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.marginMining(e.filter(col("label") < 5),
+        e.filter(col("label") >= 5), "vec_id", "embedding",
+        k = 4, threshold = 1.05, numPlanes = 6, dim = 64)
+      .orderBy("src_id")
+  }
+
+  /** Per-vector kNN label purity ([[Similarity.knnLabelAgreement]]):
+    * the label-noise audit over the embedding corpus — purity is the
+    * fraction of each vector's LSH-tier 4-NN sharing its label. On this
+    * synthetic corpus labels are geometry-free, so the report's mean
+    * sits at the 1/10 random baseline — which is exactly the reading
+    * the audit exists to produce (labels carry no signal ⇒ don't train
+    * a classifier on them). */
+  def v33LabelPurity(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelAgreement(emb(s, dir), "vec_id", "embedding",
+        "label", k = 4, numPlanes = 6, dim = 64)
+      .select(col("id").as("vec_id"), col("label"), col("n_nbrs"),
+        col("purity"))
+      .orderBy("vec_id")
+
   /** Per-label embedding centroid norms — the first pass of
     * centroid-based dataset cleaning (a vector far from its label's
     * centroid is a labeling-error candidate). One grouped aggregate,
@@ -1483,6 +1513,8 @@ object PipelineQueries {
     "v30_ivfpq_trained" -> v30IvfPqTrained,
     "v22_rand_proj" -> v22RandProj,
     "v23_knn_graph" -> v23KnnGraph,
+    "v32_margin_mining" -> v32MarginMining,
+    "v33_label_purity" -> v33LabelPurity,
     "t20_classifier" -> t20Classifier,
     "t21_heavy_hitters" -> t21HeavyHitters,
     "t22_winnow" -> t22Winnow,
@@ -1606,6 +1638,62 @@ object PipelineQueries {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The v02 oracle's LSH-multi-probe top-k pipeline as a reusable CTE
+    * block, parameterized by corpus/query predicates so the two mining
+    * directions (and the self-kNN case) replay the IDENTICAL candidate
+    * arithmetic. `top_<side>` carries the 4dp-rounded sim — exactly
+    * what the Spark `cosineRank` emits — ranked on the raw sim with the
+    * neighbor-id tie-break. */
+  private def lshTopCte(side: String, corpusPred: String,
+      queryPred: String, k: Int): String = {
+    val probes = (Seq(0L) ++ (0 until 6).map(i => 1L << i)).mkString(", ")
+    s"""c_$side AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $corpusPred),
+       |cb_$side AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v", annPlanes)} AS bucket FROM c_$side),
+       |q_$side AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE $queryPred),
+       |qb_$side AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn, ${bucketSql("qv", annPlanes)} AS bucket0 FROM q_$side),
+       |qp_$side AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket FROM qb_$side, (SELECT unnest([$probes]) AS m)),
+       |cand_$side AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn FROM qp_$side JOIN cb_$side USING (bucket) WHERE query_id <> neighbor_id),
+       |scored_$side AS (SELECT query_id, neighbor_id, list_dot_product(qv, v) / NULLIF(qn * vn, 0.0) AS sim FROM cand_$side),
+       |top_$side AS (SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim4, rank FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored_$side) WHERE rank <= $k)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.marginMining]]: the LSH top-k block in
+    * both directions, kNN-average denominators summed as DECIMAL(38,4)
+    * (exact — the same order-free discipline as the Spark side), margin
+    * ranked rounded with the tgt-id tie-break. */
+  private lazy val v32OracleSql: String =
+    s"""WITH ${lshTopCte("f", "label >= 5", "label < 5", 4)},
+       |${lshTopCte("b", "label < 5", "label >= 5", 4)},
+       |den_f AS (SELECT query_id AS src_id,
+       |    CAST(SUM(CAST(sim4 AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS deg_src
+       |  FROM top_f GROUP BY query_id),
+       |den_b AS (SELECT query_id AS tgt_id,
+       |    CAST(SUM(CAST(sim4 AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS deg_tgt
+       |  FROM top_b GROUP BY query_id),
+       |m AS (SELECT t.query_id AS src_id, t.neighbor_id AS tgt_id, t.sim4 AS sim,
+       |    ROUND(t.sim4 / NULLIF((f.deg_src + b.deg_tgt) / 2.0, 0.0), 4) AS margin
+       |  FROM top_f t JOIN den_f f ON t.query_id = f.src_id
+       |  JOIN den_b b ON t.neighbor_id = b.tgt_id)
+       |SELECT src_id, tgt_id, sim, margin FROM (
+       |  SELECT src_id, tgt_id, sim, margin,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+       |  FROM m)
+       |WHERE rn = 1 AND margin >= 1.05 ORDER BY src_id""".stripMargin
+
+  /** DuckDB twin of [[Similarity.knnLabelAgreement]]: the self-kNN LSH
+    * block, labels attached by id, purity as exact integer ratio. */
+  private lazy val v33OracleSql: String =
+    s"""WITH ${lshTopCte("s", "1 = 1", "1 = 1", 4)},
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT t.query_id AS vec_id, ql.label, CAST(count(*) AS BIGINT) AS n_nbrs,
+       |  ROUND(CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS purity
+       |FROM top_s t JOIN lab ql ON t.query_id = ql.vec_id
+       |JOIN lab nl ON t.neighbor_id = nl.vec_id
+       |GROUP BY t.query_id, ql.label ORDER BY vec_id""".stripMargin
 
   /** DuckDB twin of [[Similarity.semDedup]]: the v04 oracle's centroid
     * sample + rn=1 assignment CTEs, then the within-cluster dup scan. */
@@ -2394,6 +2482,8 @@ object PipelineQueries {
     "v29_proto_prune" -> v29OracleSql,
     "v30_ivfpq_trained" -> v30OracleSql,
     "v09_semdedup" -> v09OracleSql,
+    "v32_margin_mining" -> v32OracleSql,
+    "v33_label_purity" -> v33OracleSql,
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,
     "v12_hard_negatives" ->

@@ -546,4 +546,44 @@ class SimilaritySpec extends SparkSuite {
       lists.contains((a, b)) && lists.contains((b, a)) })
     assert(edges.distinct.length === edges.length)
   }
+
+  test("marginMining: best-margin tgt mined per src, threshold gates") {
+    // src s1=(1,0,0,0); tgt t1=(.9,.1,0,0) cos=.9939, t2=(.5,.5,0,0)
+    // cos=.7071. deg_src=(.9939+.7071)/2=.8505; deg_tgt(t1)=.9939,
+    // deg_tgt(t2)=.7071. margin(s1,t1)=.9939/((.8505+.9939)/2)=1.0778;
+    // margin(s1,t2)=.7071/((.8505+.7071)/2)=.9079 — t1 wins.
+    // numPlanes=1 so multi-probe covers both buckets: candidates exact.
+    val src = vecs(10L -> Seq(1f, 0f, 0f, 0f))
+    val tgt = vecs(20L -> Seq(0.9f, 0.1f, 0f, 0f),
+      21L -> Seq(0.5f, 0.5f, 0f, 0f))
+    val mined = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 1.0, numPlanes = 1, dim = 4).collect()
+    assert(mined.length === 1)
+    val r = mined(0)
+    assert(r.getLong(0) === 10L && r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 0.9939)
+    assert(math.abs(r.getDouble(3) - 1.0778) < 5e-4)
+    val strict = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 1.2, numPlanes = 1, dim = 4).collect()
+    assert(strict.isEmpty, "threshold 1.2 should mine nothing here")
+  }
+
+  test("knnLabelAgreement: purity is the same-label fraction of the kNN") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1f, 0f), "A"), (1L, Seq(0.99f, 0.01f), "A"),
+      (2L, Seq(0f, 1f), "B"), (3L, Seq(0.01f, 0.99f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    // k=1: each vector's nearest neighbor is its same-label partner
+    val k1 = Similarity.knnLabelAgreement(d, "vec_id", "embedding",
+        "label", k = 1, numPlanes = 1, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(k1.length === 4)
+    assert(k1.forall { case (_, n, p) => n === 1L && p === 1.0 })
+    // k=3: the other three neighbors hold exactly one same-label vector
+    val k3 = Similarity.knnLabelAgreement(d, "vec_id", "embedding",
+        "label", k = 3, numPlanes = 1, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(k3.forall { case (_, n, p) => n === 3L && p === 0.3333 })
+  }
 }
