@@ -250,13 +250,21 @@ object Similarity {
     * union, always. */
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Unit = {
-    val m = spark.read.parquet(s"$indexDir/meta").head()
-    lshBucketed(newVecs, idCol, vecCol,
-        m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
+      vecCol: String): Unit =
+    bucketWithFrozenMeta(spark, indexDir, newVecs, idCol, vecCol)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/bucketed")
+
+  /** Bucket vectors with an EXISTING index's frozen (num_planes, dim,
+    * seed) — the shared step behind [[appendToLshIndex]] and the
+    * streaming delta writer ([[graft.streaming.StreamIndexAppend]]). */
+  private[graft] def bucketWithFrozenMeta(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    lshBucketed(newVecs, idCol, vecCol,
+      m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
   }
 
   /** Serve ANN queries from a [[buildLshIndex]]-materialized index —
@@ -272,15 +280,67 @@ object Similarity {
         m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
       .eagerCheckpoint()
     val buckets = probes.select("bucket").distinct().collect().map(_.get(0))
-    val bucketed = graft.core.Tables.antiTombstones(spark,
-      s"$indexDir/tombstones",
-      spark.read.parquet(s"$indexDir/bucketed")
+    def bucketRows(path: String) =
+      spark.read.parquet(path)
         .filter(col("bucket").isin(buckets.toSeq: _*))
         // partition-column inference may narrow the written long; restore
         // the join key's type
-        .withColumn("bucket", col("bucket").cast("long")), "neighbor_id")
+        .select(col("neighbor_id"), col("v"), col("vn"),
+          col("bucket").cast("long").as("bucket"))
+    // merge-on-read over the streaming delta tail
+    // ([[graft.streaming.StreamIndexAppend]]'s batch=<id> epochs): delta
+    // rows are the same pure per-vector function as the base, so the
+    // union serves exactly like a one-shot build over everything
+    // ingested — and an id present in both tiers collapses in
+    // lshSearch's candidate dedup. Probed-bucket partition pruning
+    // applies to both trees.
+    val deltasPath = new org.apache.hadoop.fs.Path(s"$indexDir/deltas")
+    val fs = deltasPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (fs.exists(deltasPath))
+        bucketRows(s"$indexDir/bucketed")
+          .unionByName(bucketRows(s"$indexDir/deltas"))
+      else bucketRows(s"$indexDir/bucketed")
+    val bucketed = graft.core.Tables.antiTombstones(spark,
+      s"$indexDir/tombstones", rows, "neighbor_id")
     lshSearch(bucketed, probes, k)
   }
+
+  /** Fold the streaming delta tail ([[graft.streaming.StreamIndexAppend]])
+    * into the settled `bucketed` tree: read base ∪ deltas, rewrite the
+    * base COMPLETE to a temp sibling, atomically swap it over, then drop
+    * the delta tree — the [[graft.operators.TokenIndex.compact]]
+    * crash-safety discipline (the settled dir is never truncated before
+    * its replacement exists). Served results are identical before and
+    * after (LshIndexSpec asserts it); compaction buys back the per-probe
+    * delta-tree listing cost, which is the read amplification continuous
+    * ingest accumulates. One-maintainer contract via the lock. */
+  def compactLshDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      val deltas = new org.apache.hadoop.fs.Path(s"$indexDir/deltas")
+      val target = new org.apache.hadoop.fs.Path(s"$indexDir/bucketed")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/bucketed.compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/bucketed.old")
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(deltas)) {
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        def rows(p: org.apache.hadoop.fs.Path) = spark.read.parquet(p.toString)
+          .select(col("neighbor_id"), col("v"), col("vn"),
+            col("bucket").cast("long").as("bucket"))
+        rows(target).unionByName(rows(deltas))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        fs.rename(target, old)
+        if (!fs.rename(tmp, target)) {
+          fs.rename(old, target) // roll back — the settled tree survives
+          throw new java.io.IOException(s"compact swap failed for $target")
+        }
+        fs.delete(old, true)
+        fs.delete(deltas, true)
+      }
+    }
 
   /** IVF (inverted-file) ANN — the other classic scale path beside LSH.
     *
