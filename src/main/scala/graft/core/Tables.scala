@@ -125,6 +125,19 @@ object Tables {
     fs.delete(bak, true)
   }
 
+  /** Recover from a temp-and-swap crash that landed between the two
+    * renames (settled dir missing, backup present): restore the backup.
+    * Call at the entry of any hand-rolled swap maintenance op —
+    * [[replaceAtomic]] performs the equivalent itself — so a crashed
+    * compact heals on its next run instead of failing unrecoverably on
+    * the missing settled table. */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      backup: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      throw new java.io.IOException(
+        s"swap recovery failed: could not restore $backup to $target")
+
   /** Stage `next` (and an optional marker file) into `tmp` — the shared
     * pre-swap step of [[replaceAtomic]] and the summary-table first
     * materialization; one copy so crash-posture fixes can't diverge. */

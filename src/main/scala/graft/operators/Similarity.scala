@@ -323,12 +323,20 @@ object Similarity {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/bucketed.compacting")
       val old = new org.apache.hadoop.fs.Path(s"$indexDir/bucketed.old")
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a crash between the two renames left no settled tree — restore
+      // the backup and fold again (the staged tmp is discarded below)
+      graft.core.Tables.recoverSwap(fs, target, old)
       if (fs.exists(deltas)) {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         def rows(p: org.apache.hadoop.fs.Path) = spark.read.parquet(p.toString)
           .select(col("neighbor_id"), col("v"), col("vn"),
             col("bucket").cast("long").as("bucket"))
+        // dropDuplicates makes the fold idempotent: a crash after the
+        // swap but before the delta delete re-folds rows the new base
+        // already holds (ids are unique by the append contract, so the
+        // dedup can never merge two genuinely different vectors)
         rows(target).unionByName(rows(deltas))
+          .dropDuplicates("neighbor_id")
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
         if (fs.exists(old)) fs.delete(old, true)

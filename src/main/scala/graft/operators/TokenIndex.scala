@@ -68,6 +68,9 @@ object TokenIndex {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.compacting")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between the two renames left no settled table — restore
+    // the backup and re-merge (a re-run is a pure re-merge, idempotent)
+    graft.core.Tables.recoverSwap(fs, target, old)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     tokenStats(spark, indexDir).write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)

@@ -111,4 +111,78 @@ class IndexCompactionSpec extends SparkSuite {
       (s, d) => Similarity.ivfPqServeTopK(s, d, queries, "vec_id",
         "embedding", k = 3))
   }
+
+  test("delta compaction heals a crash between the two swap renames") {
+    val idx = Files.createTempDirectory("crash_swap").toString
+    Similarity.buildLshIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", idx)
+    Similarity.bucketWithFrozenMeta(spark, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$idx/deltas/batch=0")
+    def served() = Similarity.lshServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val want = served()
+    // simulate the crash window: settled tree moved aside, staged tmp
+    // present, replacement never renamed in
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/bucketed"),
+      new org.apache.hadoop.fs.Path(s"$idx/bucketed.old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/bucketed.compacting"))
+    Similarity.compactLshDeltas(spark, idx)
+    assert(served() === want, "post-recovery serve moved rows")
+    assert(!new java.io.File(s"$idx/deltas").exists)
+    assert(!new java.io.File(s"$idx/bucketed.old").exists)
+  }
+
+  test("delta compaction re-run after a crash past the swap is idempotent") {
+    val idx = Files.createTempDirectory("crash_postswap").toString
+    Similarity.buildLshIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", idx)
+    Similarity.bucketWithFrozenMeta(spark, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$idx/deltas/batch=0")
+    def served() = Similarity.lshServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val want = served()
+    Similarity.compactLshDeltas(spark, idx)
+    // crash after the swap but before the delta delete: the folded base
+    // is live and the consumed deltas reappear — a re-run must not
+    // double-post them into the base
+    Similarity.bucketWithFrozenMeta(spark, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$idx/deltas/batch=0")
+    Similarity.compactLshDeltas(spark, idx)
+    assert(served() === want, "re-folded deltas changed served rows")
+    val base = spark.read.parquet(s"$idx/bucketed")
+    assert(base.groupBy("neighbor_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "re-folded deltas duplicated postings rows in the base")
+  }
+
+  test("token-stats compaction heals the same crash window") {
+    import graft.operators.TokenIndex
+    val dir = Files.createTempDirectory("crash_tok").toString
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+      .limit(50)
+    TokenIndex.buildTokenStats(docs, "doc_id", "text", "source", dir)
+    def served() = TokenIndex.tokenStats(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val want = served()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/token_stats"),
+      new org.apache.hadoop.fs.Path(s"$dir/token_stats.old")))
+    TokenIndex.compact(spark, dir)
+    assert(served() === want, "post-recovery token stats moved rows")
+    assert(!new java.io.File(s"$dir/token_stats.old").exists)
+  }
 }
