@@ -88,6 +88,62 @@ object SearchIndex {
     * slivers of the postings, never the corpus; df comes exactly from
     * the pruned rows, N/avgdl from the stats partials. Top-k plans as
     * TakeOrderedAndProject. */
+  /** Marker file inside `stats` recording the tombstone-set signature
+    * whose negative partial the table already absorbed (written
+    * atomically WITH the folded data by [[purgeBm25Tombstones]]'s
+    * replaceAtomic) — how a serve in a crashed-purge window knows not
+    * to subtract the same victims twice. Underscore-prefixed so the
+    * parquet reader skips it. */
+  private val FoldedMarker = "_folded_tombstones"
+
+  /** Deterministic signature of a tombstone set: (count, Σ xxhash64(id))
+    * — the hash sum as an exact decimal (a long sum can overflow under
+    * ANSI arithmetic). */
+  private def tombSig(toms: DataFrame): String = {
+    val r = toms.agg(count(lit(1)),
+      sum(xxhash64(col("id")).cast("decimal(38,0)"))).head
+    s"${r.getLong(0)}:${r.get(1)}"
+  }
+
+  private def readFoldedMarker(spark: SparkSession,
+      statsDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(statsDir, FoldedMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Corpus-level (N, Σdl) as a 1-row frame: the additive stats
+    * partials, MINUS the live tombstones' contribution — unless the
+    * stats table already absorbed exactly this tombstone set
+    * ([[FoldedMarker]]), which is the crashed-purge window where
+    * subtracting again would double-correct. */
+  private def liveStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs"), col("sum_dl"))
+    val tombP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withCorrection =
+      if (!fs.exists(tombP)) base
+      else {
+        val toms = spark.read.parquet(tombP.toString)
+        if (readFoldedMarker(spark, s"$indexDir/stats")
+            .contains(tombSig(toms))) base
+        else base.unionByName(toms.agg(
+          (-count(lit(1))).as("n_docs"), (-sum("dl")).as("sum_dl")))
+      }
+    withCorrection
+      .agg(sum("n_docs").as("__n"), sum("sum_dl").as("__s"))
+      .select(col("__n").cast("double").as("n_docs"),
+        (col("__s").cast("double") / col("__n")).as("avg_len"))
+  }
+
   def bm25Serve(spark: SparkSession, indexDir: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Serve needs at least one term")
@@ -103,10 +159,7 @@ object SearchIndex {
           .filter(col("token").isin(terms: _*)), "doc_id")
       .select(col("doc_id"), col("token"),
         col("tf").cast("double").as("tf"), col("dl").cast("double").as("len"))
-    val stats = spark.read.parquet(s"$indexDir/stats")
-      .agg(sum("n_docs").as("__n"), sum("sum_dl").as("__s"))
-      .select(col("__n").cast("double").as("n_docs"),
-        (col("__s").cast("double") / col("__n")).as("avg_len"))
+    val stats = liveStats(spark, indexDir)
     val dfreq = tf.groupBy("token")
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) +
@@ -123,55 +176,93 @@ object SearchIndex {
   }
 
   /** Delete documents from the index WITHOUT a rebuild — the
-    * [[Dedup.deleteFromMinhashIndex]] contract for the lexical tier:
-    * ids land in the `tombstones` table (every serve anti-joins it),
-    * and because N/avgdl live in ADDITIVE stats partials, the delete
-    * also appends one NEGATIVE partial holding exactly the victims'
-    * (count, Σdl) — computed from their own postings rows, so a
-    * tombstoned index serves exactly like one whose deleted docs were
-    * never appended (Bm25IndexSpec asserts it; df needs no adjustment,
-    * it is recomputed from the anti-joined rows). The victim scan is
-    * postings-wide but column-pruned (doc_id, dl) — deletes are rare
-    * by contract. Terminal until [[purgeBm25Tombstones]]. */
+    * [[Dedup.deleteFromMinhashIndex]] contract for the lexical tier.
+    * ONE atomic write: the victims land in the `tombstones` table as
+    * (id, dl) rows — dl read from their own postings — and every serve
+    * both anti-joins the ids out of the postings AND derives the
+    * N/avgdl correction from the very same rows ([[liveStats]]). A
+    * single job commit means a crash mid-delete leaves NOTHING visible
+    * (the earlier two-write shape could crash between its stats append
+    * and its tombstone append, permanently double-subtracting stats on
+    * retry); the anti-join on the existing tombstones makes a repeat
+    * request a no-op, and an all-already-tombstoned request skips the
+    * write entirely — no garbage files, and a purged index's tombstone
+    * dir is not resurrected by a vacuous delete. The victim scan is
+    * postings-wide but column-pruned (doc_id, dl) — deletes are rare by
+    * contract, and serialize against purge/compact via the maintenance
+    * lock. Terminal until [[purgeBm25Tombstones]]. */
   def deleteFromBm25Index(spark: SparkSession, indexDir: String,
-      ids: DataFrame): Unit = {
-    // already-tombstoned ids must not subtract their stats AGAIN — their
-    // postings rows are still physically present until a purge, so a
-    // repeated delete would double-count the negative partial; the
-    // anti-join makes deletion idempotent (Bm25IndexSpec asserts it)
-    // materialized BEFORE any write: the filtered set both feeds an
-    // append INTO the tombstone table it reads and is scanned twice
-    import graft.operators.Caches.EagerOps
-    val victims = broadcast(graft.core.Tables.antiTombstones(spark,
-      s"$indexDir/tombstones",
-      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct(),
-      "doc_id").eagerCheckpoint())
-    spark.read.parquet(s"$indexDir/postings")
-      .join(victims, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("dl")).groupBy("doc_id")
-      .agg(first("dl").as("dl"))
-      .agg((-count(lit(1))).as("n_docs"), (-sum("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("append").parquet(s"$indexDir/stats")
-    graft.core.Tables.appendTombstones(spark, s"$indexDir/tombstones",
-      victims)
-  }
+      ids: DataFrame): Unit =
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      // materialized BEFORE the write: the row set feeds an append INTO
+      // the tombstone table its anti-join reads. The emptiness guard is
+      // on the POSTINGS-resident victims — ids never indexed, already
+      // tombstoned, or already purged are all fully vacuous and must
+      // not write (a purged index's tombstone dir stays gone)
+      import graft.operators.Caches.EagerOps
+      val victims = broadcast(graft.core.Tables.antiTombstones(spark,
+        s"$indexDir/tombstones",
+        ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+          .distinct(), "doc_id"))
+      val victimRows = spark.read.parquet(s"$indexDir/postings")
+        .join(victims, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(first("dl").as("dl"))
+        .select(col("doc_id").as("id"), col("dl"))
+        .eagerCheckpoint()
+      if (!victimRows.isEmpty) {
+        victimRows.coalesce(1).write.mode("append")
+          .parquet(s"$indexDir/tombstones")
+      }
+    }
 
-  /** Physically drop tombstoned docs' postings rows and clear the
-    * tombstone table. The stats NEGATIVES stay — they are the lasting
-    * correct adjustment, not a tombstone artifact. Victims spread
-    * across token partitions, so unlike the id-partitioned indexes the
-    * rewrite typically touches most tok_p directories
-    * ([[graft.core.Tables.purgeRows]] still skips untouched ones);
-    * serves are identical before and after. */
+  /** Physically drop tombstoned docs' postings rows, fold their
+    * (count, Σdl) correction into the stats table as a lasting negative
+    * partial, and clear the tombstone table — in an order where EVERY
+    * crash window serves correctly and a re-run converges:
+    *  1. the stats fold commits atomically WITH a [[FoldedMarker]]
+    *     carrying the tombstone set's signature ([[replaceAtomic]]), so
+    *     a serve between the fold and the tombstone delete sees the
+    *     marker match and skips its usual live correction (no double
+    *     subtraction), and a re-run purge skips the fold;
+    *  2. the postings purge is idempotent ([[graft.core.Tables
+    *     .purgeRows]] — absent victims rewrite nothing); victims spread
+    *     across token partitions, so unlike the id-partitioned indexes
+    *     the rewrite typically touches most tok_p directories;
+    *  3. the tombstone dir is deleted last — until then serves keep
+    *     anti-joining ids that may or may not still have postings rows,
+    *     which is correct either way.
+    * Serves are identical before, during (any window), and after.
+    * Deletes take the same maintenance lock, so no new tombstones can
+    * slip between the signature read and the fold. */
   def purgeBm25Tombstones(spark: SparkSession, indexDir: String): Unit = {
     val tomb = s"$indexDir/tombstones"
     val path = new org.apache.hadoop.fs.Path(tomb)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
     graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      foldTombstonesIntoStats(spark, indexDir)
       graft.core.Tables.purgeRows(spark, s"$indexDir/postings", "doc_id",
-        spark.read.parquet(tomb))
+        spark.read.parquet(tomb).select(col("id")))
       fs.delete(path, true)
+    }
+  }
+
+  /** Step 1 of [[purgeBm25Tombstones]], visible to the crash-window
+    * spec: fold the live tombstones' negative partial into stats,
+    * committing the set signature atomically with the data. Skips when
+    * the marker says this exact set is already absorbed (the re-run /
+    * crashed-purge path). */
+  private[graft] def foldTombstonesIntoStats(spark: SparkSession,
+      indexDir: String): Unit = {
+    val toms = spark.read.parquet(s"$indexDir/tombstones")
+    val sig = tombSig(toms)
+    if (!readFoldedMarker(spark, s"$indexDir/stats").contains(sig)) {
+      val folded = spark.read.parquet(s"$indexDir/stats")
+        .select(col("n_docs"), col("sum_dl"))
+        .unionByName(toms.agg((-count(lit(1))).as("n_docs"),
+          (-sum("dl")).as("sum_dl")))
+      graft.core.Tables.replaceAtomic(spark, s"$indexDir/stats", folded,
+        marker = Some(FoldedMarker -> sig))
     }
   }
 

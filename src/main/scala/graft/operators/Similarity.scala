@@ -293,28 +293,46 @@ object Similarity {
     // union serves exactly like a one-shot build over everything
     // ingested — and an id present in both tiers collapses in
     // lshSearch's candidate dedup. Probed-bucket partition pruning
-    // applies to both trees.
+    // applies to both trees. The delta read carries an EXPLICIT schema:
+    // a deltas dir whose only epoch crashed mid-write (nothing but
+    // _temporary inside) must serve as zero delta rows, not kill every
+    // serve with a schema-inference failure.
     val deltasPath = new org.apache.hadoop.fs.Path(s"$indexDir/deltas")
     val fs = deltasPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaRows(path: String) =
+      spark.read.schema(LshBucketedSchema).parquet(path)
+        .filter(col("bucket").isin(buckets.toSeq: _*))
+        .select(col("neighbor_id"), col("v"), col("vn"), col("bucket"))
     val rows =
       if (fs.exists(deltasPath))
         bucketRows(s"$indexDir/bucketed")
-          .unionByName(bucketRows(s"$indexDir/deltas"))
+          .unionByName(deltaRows(s"$indexDir/deltas"))
       else bucketRows(s"$indexDir/bucketed")
     val bucketed = graft.core.Tables.antiTombstones(spark,
       s"$indexDir/tombstones", rows, "neighbor_id")
     lshSearch(bucketed, probes, k)
   }
 
+  /** The bucketed/delta row schema, explicit so reads of a dir holding
+    * only uncommitted write leftovers return zero rows instead of
+    * failing schema inference. `bucket` doubles as the partition
+    * column. */
+  private val LshBucketedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "neighbor_id LONG, v ARRAY<DOUBLE>, vn DOUBLE, bucket LONG, batch LONG")
+
   /** Fold the streaming delta tail ([[graft.streaming.StreamIndexAppend]])
     * into the settled `bucketed` tree: read base ∪ deltas, rewrite the
     * base COMPLETE to a temp sibling, atomically swap it over, then drop
-    * the delta tree — the [[graft.operators.TokenIndex.compact]]
+    * the delta epochs — the [[graft.operators.TokenIndex.compact]]
     * crash-safety discipline (the settled dir is never truncated before
-    * its replacement exists). Served results are identical before and
-    * after (LshIndexSpec asserts it); compaction buys back the per-probe
-    * delta-tree listing cost, which is the read amplification continuous
-    * ingest accumulates. One-maintainer contract via the lock. */
+    * its replacement exists). Only the epochs LISTED AT ENTRY are folded
+    * and deleted: a live streaming writer may commit new epochs during
+    * the fold, and deleting the whole tree would silently drop them
+    * forever (their checkpoint already advanced, so they never replay).
+    * Served results are identical before and after (LshIndexSpec asserts
+    * it); compaction buys back the per-probe delta-tree listing cost,
+    * which is the read amplification continuous ingest accumulates.
+    * One-maintainer contract via the lock. */
   def compactLshDeltas(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit =
     graft.core.Tables.withMaintenanceLock(spark, indexDir) {
@@ -326,27 +344,39 @@ object Similarity {
       // a crash between the two renames left no settled tree — restore
       // the backup and fold again (the staged tmp is discarded below)
       graft.core.Tables.recoverSwap(fs, target, old)
-      if (fs.exists(deltas)) {
+      val epochs =
+        if (!fs.exists(deltas)) Array.empty[org.apache.hadoop.fs.Path]
+        else fs.listStatus(deltas).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("batch="))
+      if (epochs.nonEmpty) {
         if (fs.exists(tmp)) fs.delete(tmp, true)
-        def rows(p: org.apache.hadoop.fs.Path) = spark.read.parquet(p.toString)
+        val base = spark.read.parquet(target.toString)
           .select(col("neighbor_id"), col("v"), col("vn"),
             col("bucket").cast("long").as("bucket"))
+        val tail = spark.read.schema(LshBucketedSchema)
+          .parquet(deltas.toString)
+          .filter(col("batch").isin(
+            epochs.map(_.getName.stripPrefix("batch=").toLong).toIndexedSeq: _*))
+          .select(col("neighbor_id"), col("v"), col("vn"), col("bucket"))
         // dropDuplicates makes the fold idempotent: a crash after the
         // swap but before the delta delete re-folds rows the new base
         // already holds (ids are unique by the append contract, so the
         // dedup can never merge two genuinely different vectors)
-        rows(target).unionByName(rows(deltas))
+        base.unionByName(tail)
           .dropDuplicates("neighbor_id")
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
         if (fs.exists(old)) fs.delete(old, true)
-        fs.rename(target, old)
+        if (!fs.rename(target, old))
+          throw new java.io.IOException(
+            s"compact could not move $target aside")
         if (!fs.rename(tmp, target)) {
           fs.rename(old, target) // roll back — the settled tree survives
           throw new java.io.IOException(s"compact swap failed for $target")
         }
         fs.delete(old, true)
-        fs.delete(deltas, true)
+        epochs.foreach(e => fs.delete(e, true))
+        if (fs.listStatus(deltas).isEmpty) fs.delete(deltas, true)
       }
     }
 

@@ -74,7 +74,8 @@ object TokenIndex {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     tokenStats(spark, indexDir).write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(target, old)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"compact could not move $target aside")
     if (!fs.rename(tmp, target)) {
       fs.rename(old, target) // roll back — the settled table survives
       throw new java.io.IOException(s"compact swap failed for $target")

@@ -1622,22 +1622,12 @@ object PipelineQueries {
 
   private lazy val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
 
-  private lazy val v02OracleSql: String = {
-    val probes = (Seq(0L) ++ (0 until 6).map(i => 1L << i)).mkString(", ")
-    s"""WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cb AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v", annPlanes)} AS bucket FROM c),
-       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
-       |qb AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn, ${bucketSql("qv", annPlanes)} AS bucket0 FROM q),
-       |qp AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket
-       |       FROM qb, (SELECT unnest([$probes]) AS m)),
-       |cand AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn
-       |         FROM qp JOIN cb USING (bucket) WHERE query_id <> neighbor_id),
-       |scored AS (SELECT query_id, neighbor_id,
-       |    list_dot_product(qv, v) / NULLIF(qn * vn, 0.0) AS sim FROM cand)
-       |SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
+  /** v02 on the shared [[lshTopCte]] block — ONE copy of the LSH
+    * multi-probe candidate arithmetic gates v02/v32/v33 alike. */
+  private lazy val v02OracleSql: String =
+    s"""WITH ${lshTopCte("s", "1 = 1", "vec_id < 5", 3)}
+       |SELECT query_id, neighbor_id, sim4 AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM top_s ORDER BY query_id, rank""".stripMargin
 
   /** The v02 oracle's LSH-multi-probe top-k pipeline as a reusable CTE
     * block, parameterized by corpus/query predicates so the two mining

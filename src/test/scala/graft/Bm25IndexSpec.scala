@@ -76,6 +76,38 @@ class Bm25IndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$full/postings")
       .join(sliceB.select($"doc_id"), Seq("doc_id"), "left_semi").isEmpty,
       "purge left deleted docs' postings rows")
+    // a delete of already-purged ids is fully vacuous: it must not
+    // resurrect the tombstone dir (which would put every later serve
+    // back on the anti-join path for an empty table)
+    SearchIndex.deleteFromBm25Index(spark, full, sliceB.select("doc_id"))
+    assert(!new java.io.File(s"$full/tombstones").exists,
+      "vacuous delete recreated the tombstone dir")
+    assert(served(full) === tombstoned)
+  }
+
+  test("a purge crashed between the stats fold and the tombstone delete " +
+      "serves correctly and converges on re-run") {
+    val idx = Files.createTempDirectory("bm25_crash").toString
+    val keep = docs.filter($"doc_id" % 3 =!= 2)
+    SearchIndex.buildBm25Index(docs, "doc_id", "text", idx, parts = 8)
+    SearchIndex.deleteFromBm25Index(spark, idx,
+      docs.filter($"doc_id" % 3 === 2).select("doc_id"))
+    val tombstoned = served(idx)
+    // simulate the crash window: the fold committed (marker + folded
+    // stats) but the tombstones were never deleted — a serve here must
+    // NOT subtract the victims a second time
+    SearchIndex.foldTombstonesIntoStats(spark, idx)
+    assert(new java.io.File(s"$idx/tombstones").exists)
+    assert(served(idx) === tombstoned,
+      "serve double-subtracted stats in the crashed-purge window")
+    // the re-run purge skips the fold and completes
+    SearchIndex.purgeBm25Tombstones(spark, idx)
+    assert(served(idx) === tombstoned, "re-run purge changed served rows")
+    assert(!new java.io.File(s"$idx/tombstones").exists)
+    // the end state is the never-appended twin, stats folded once
+    val twin = Files.createTempDirectory("bm25_crash_twin").toString
+    SearchIndex.buildBm25Index(keep, "doc_id", "text", twin, parts = 8)
+    assert(served(idx) === served(twin))
   }
 
   test("the serve scan partition-prunes to the query terms' tok_p dirs") {

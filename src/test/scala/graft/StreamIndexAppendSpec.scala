@@ -20,7 +20,7 @@ case class ArrivingVec(vec_id: Long, embedding: Seq[Float])
 class StreamIndexAppendSpec extends SparkSuite {
   import spark.implicits._
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private def sfDir = sf0001
 
   private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
@@ -80,6 +80,28 @@ class StreamIndexAppendSpec extends SparkSuite {
         "vec_id", "embedding", k = 3)) === afterB2,
         "compaction moved served rows")
     } finally q.stop()
+  }
+
+  test("a deltas tree holding only an uncommitted epoch (crashed first " +
+      "batch) neither breaks serving nor compaction") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = Files.createTempDirectory("lsh_uncommitted").toString
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", idx,
+      numPlanes = 8, dim = 64, seed = 42L)
+    val want = rows(Similarity.lshServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3))
+    // the write job died before the committer renamed anything: the
+    // epoch dir exists but holds only _temporary
+    assert(new java.io.File(s"$idx/deltas/batch=0/_temporary").mkdirs())
+    assert(rows(Similarity.lshServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3)) === want,
+      "an uncommitted epoch changed or broke serving")
+    Similarity.compactLshDeltas(spark, idx)
+    assert(rows(Similarity.lshServeTopK(spark, idx, queries,
+      "vec_id", "embedding", k = 3)) === want,
+      "compacting past an uncommitted epoch changed serving")
+    assert(!new java.io.File(s"$idx/deltas").exists)
   }
 
   test("a replayed epoch overwrites its own delta dir — no double posting") {
