@@ -21,6 +21,13 @@ import scala.jdk.CollectionConverters._
   * the reference's SQLite): high-volume streams belong on
   * [[graft.streaming.PipeStream]], this is the pub/sub control plane.
   */
+object FileTopic {
+  /** The one parse of a part file's sequence number — shared by every
+    * consumer path (and [[TopicSource]]'s micro-batch listing) so the
+    * naming scheme lives in exactly one place. */
+  private[bus] def seqOf(name: String): Int = name.drop(5).take(6).toInt
+}
+
 class FileTopic(root: String) {
 
   private def topicDir(topic: String): Path = Paths.get(root, topic)
@@ -43,20 +50,44 @@ class FileTopic(root: String) {
       .filter(p => p.getFileName.toString.matches("part-\\d{6}\\.jsonl"))
       .sortBy(_.getFileName.toString)
 
-  private def nextSeq(topic: String): Int =
-    partFiles(topic).lastOption
-      .map(p => p.getFileName.toString.drop(5).take(6).toInt + 1)
-      .getOrElse(0)
+  private def seqOf(p: Path): Int = FileTopic.seqOf(p.getFileName.toString)
 
-  /** publish_message (simple_kafka_setup.py:95-112): append one immutable
-    * file per publish batch. */
+  private def nextSeq(topic: String): Int =
+    partFiles(topic).lastOption.map(seqOf(_) + 1).getOrElse(0)
+
+  /** publish_message (simple_kafka_setup.py:95-112): one immutable file
+    * per publish batch, made visible ATOMICALLY AND COMPLETE. A direct
+    * CREATE_NEW write is atomic for the file's EXISTENCE, not its
+    * content — a consumer listing the directory mid-write would read a
+    * half-written batch and commit its offset past the missing tail,
+    * losing it forever. So the batch is staged to a dot-prefixed temp
+    * name (invisible to [[partFiles]]' pattern) and linked into place
+    * with create-exclusive semantics; a concurrent publisher racing to
+    * the same sequence loses the link atomically and retries with the
+    * next one instead of throwing its batch away. */
   def publish(topic: String, messages: Seq[String]): Int = {
     createTopic(topic)
-    val seq = nextSeq(topic)
-    val p = topicDir(topic).resolve(f"part-$seq%06d.jsonl")
-    Files.write(p, messages.asJava, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE_NEW)
-    seq
+    val tmp = Files.createTempFile(topicDir(topic), ".staging-", ".tmp")
+    try {
+      Files.write(tmp, messages.asJava, StandardCharsets.UTF_8,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      var attempts = 0
+      var published = -1
+      while (published < 0) {
+        val seq = nextSeq(topic)
+        try {
+          Files.createLink(topicDir(topic).resolve(f"part-$seq%06d.jsonl"),
+            tmp)
+          published = seq
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1
+            require(attempts < 1000,
+              s"publish: lost the sequence race $attempts times on $topic")
+        }
+      }
+      published
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def offsetFile(topic: String, group: String, consumer: Int): Path =
@@ -74,11 +105,10 @@ class FileTopic(root: String) {
       groupSize: Int = 1): Seq[String] = {
     createTopic(topic)
     val last = committed(topic, group, consumer)
-    val files = partFiles(topic)
-      .filter(_.getFileName.toString.drop(5).take(6).toInt > last)
+    val files = partFiles(topic).filter(seqOf(_) > last)
     val mine = files.flatMap { f =>
       val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
-      val fileSeq = f.getFileName.toString.drop(5).take(6).toInt
+      val fileSeq = seqOf(f)
       lines.zipWithIndex.collect {
         case (m, i) if Math.floorMod(
           scala.util.hashing.byteswap64(fileSeq.toLong << 32 | i), groupSize)
@@ -86,7 +116,7 @@ class FileTopic(root: String) {
       }
     }
     files.lastOption.foreach { f =>
-      val seq = f.getFileName.toString.drop(5).take(6)
+      val seq = f"${seqOf(f)}%06d"
       Files.write(offsetFile(topic, group, consumer), seq.getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
@@ -133,7 +163,7 @@ class FileTopic(root: String) {
     createTopic(topic)
     Files.createDirectories(claimsDir(topic))
     val mine = partFiles(topic).flatMap { f =>
-      val seq = f.getFileName.toString.drop(5).take(6).toInt
+      val seq = seqOf(f)
       val cf = claimFile(topic, group, seq)
       // token fields: owner:timestamp:state:nonce — the nonce
       // disambiguates two claim attempts by the same (owner, timestamp)
@@ -199,14 +229,17 @@ class FileTopic(root: String) {
   def stats(topic: String): Map[String, Long] = {
     createTopic(topic)
     val files = partFiles(topic)
-    val total = files.map(f => Files.readAllLines(f).size().toLong).sum
+    // one read per part file: the per-file line counts feed both the
+    // total and the depth sums (the old shape read every file twice)
+    val lineCounts = files.map(f =>
+      f -> Files.readAllLines(f).size().toLong).toMap
+    val total = lineCounts.valuesIterator.sum
     val offsets = listDir(offsetsDir(topic))
     val minCommitted =
       if (offsets.isEmpty) -1
       else offsets.map(p => new String(Files.readAllBytes(p)).trim.toInt).min
-    val unconsumed = files
-      .filter(_.getFileName.toString.drop(5).take(6).toInt > minCommitted)
-      .map(f => Files.readAllLines(f).size().toLong).sum
+    val unconsumed = files.filter(seqOf(_) > minCommitted)
+      .map(lineCounts).sum
     Map("total_messages" -> total, "n_files" -> files.size.toLong,
       "n_consumers" -> offsets.size.toLong, "queue_depth" -> unconsumed)
   }

@@ -70,7 +70,7 @@ object TopicSource {
     * TopicSourceSpec) yet never run. TopicSourceSpec carries an
     * `assume(kafkaAvailable)`-gated case that exercises it automatically
     * in any deployment that does bundle the connector. */
-  def readStreamAuto(spark: SparkSession, topic: String, root: String,
+  def readStreamAuto(spark: SparkSession, root: String, topic: String,
       kafkaBootstrap: Option[String] = None): DataFrame =
     kafkaBootstrap match {
       case Some(servers) if kafkaAvailable =>
@@ -133,7 +133,7 @@ private[bus] class TopicMicroBatchStream(root: String, topic: String)
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.matches("part-\\d{6}\\.jsonl"))
-        .map(_.drop(5).take(6).toInt)
+        .map(FileTopic.seqOf)
         .foldLeft(-1)(math.max)
       finally s.close()
     }

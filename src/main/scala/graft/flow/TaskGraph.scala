@@ -60,8 +60,17 @@ class TaskGraph(clock: () => Timestamp = () =>
   }
 
   /** ALTER TASK ... RESUME; `system$task_dependents_enable` resumes the
-    * whole subtree (A4:543). */
+    * whole subtree (A4:543). A DailyAt root resumed AFTER today's wall
+    * time waits for the NEXT occurrence (the Snowflake cron semantic) —
+    * seeding lastFire at resume keeps an afternoon resume from firing
+    * the nightly job immediately. Interval (Every) roots keep their
+    * fire-on-first-tick behavior. */
   def resume(name: String, dependents: Boolean = false): Unit = {
+    tasks.get(name).foreach { t =>
+      if (suspended(name) && t.schedule.exists(_.isInstanceOf[DailyAt]) &&
+          !lastFire.contains(name))
+        lastFire(name) = clock().getTime
+    }
     suspended -= name
     if (dependents) children(name).foreach(c => resume(c.name, dependents = true))
   }
@@ -85,17 +94,18 @@ class TaskGraph(clock: () => Timestamp = () =>
   }
 
   /** EXECUTE TASK (A4:405): run one root now, cascading through the DAG
-    * with fan-in barriers. */
+    * with fan-in barriers. Does NOT touch the schedule state — like
+    * Snowflake's EXECUTE TASK, a manual run neither delays nor consumes
+    * the next scheduled fire (only [[tick]] advances lastFire). */
   def executeNow(root: String): Unit = runCycle(root, clock())
 
   /** Scheduler heartbeat: fire every enabled, due root task. */
   def tick(now: Timestamp = clock()): Unit =
     tasks.values.toSeq
       .filter(t => t.schedule.isDefined && !suspended(t.name) && due(t, now))
-      .foreach(t => runCycle(t.name, now))
+      .foreach { t => lastFire(t.name) = now.getTime; runCycle(t.name, now) }
 
   private def runCycle(root: String, scheduled: Timestamp): Unit = {
-    lastFire(root) = scheduled.getTime
     val completed = mutable.Set.empty[String]
     val queue = mutable.Queue(root)
     val enqueued = mutable.Set(root)

@@ -26,7 +26,10 @@ case class LoadRecord(file_name: String, row_count: Long, status: String,
 object CopyInto {
 
   /** LIST @stage (S7): files in the landing dir matching the pattern
-    * (A4:387 `.*cc_txn_.*\.json(\.gz)?$`). */
+    * (A4:387 `.*cc_txn_.*\.json(\.gz)?$`). Full path strings, scheme
+    * included — `toUri.getPath` would strip the scheme/authority and
+    * make a later read resolve the bare path against the session's
+    * DEFAULT filesystem, silently wrong for s3a://bucket stages. */
   def listStage(spark: SparkSession, landingDir: String,
       pattern: String): Seq[String] = {
     val p = new Path(landingDir)
@@ -34,7 +37,7 @@ object CopyInto {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches(pattern))
-      .map(_.getPath.toUri.getPath).sorted
+      .map(_.getPath.toString).sorted
   }
 
   def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
@@ -80,7 +83,15 @@ object CopyInto {
     // ingest I/O at TB-scale landing dirs. Metric-column count scales
     // with the file batch, so very large batches fall back to caching
     // the parsed batch and counting from the cache (source still
-    // scanned once).
+    // scanned once). Counts are keyed by BASENAME in both branches —
+    // input_file_name()'s URI rendering need not equal the listing's.
+    //
+    // Exactly-once caveat: the target append and the ledger append are
+    // two commits; a crash between them re-loads this batch's files on
+    // the next run (at-least-once for the interrupted batch only).
+    // Closing that window needs transactional table metadata bare
+    // parquet does not have; operators resuming after a mid-copy crash
+    // should reconcile the target against the ledger's last rows.
     val counts: Map[String, Long] =
       if (newFiles.size <= 256) {
         val obs = org.apache.spark.sql.Observation()
@@ -92,19 +103,27 @@ object CopyInto {
           .write.mode(SaveMode.Append).parquet(targetDir)
         val m = obs.get
         newFiles.zipWithIndex
-          .map { case (f, i) => f -> m(s"f$i").asInstanceOf[Long] }.toMap
+          .map { case (f, i) =>
+            new Path(f).getName -> m(s"f$i").asInstanceOf[Long] }.toMap
       } else {
-        df.persist()
+        // the filename is captured as a COLUMN before the persist: over
+        // a cached relation input_file_name() evaluates against the
+        // in-memory scan (no file context) and returns "", which would
+        // count every file as 0 and crash the Path parse
+        val withFile = df.withColumn("__src_file", input_file_name())
+        withFile.persist()
         try {
-          df.write.mode(SaveMode.Append).parquet(targetDir)
-          df.groupBy(input_file_name().as("uri"))
+          withFile.drop("__src_file")
+            .write.mode(SaveMode.Append).parquet(targetDir)
+          withFile.groupBy(col("__src_file"))
             .agg(count(lit(1)).as("n")).collect()
-            .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+            .map(r => new Path(r.getString(0)).getName -> r.getLong(1))
             .toMap
-        } finally { df.unpersist(); () }
+        } finally { withFile.unpersist(); () }
       }
     val records = newFiles.map { f =>
-      LoadRecord(f, counts.getOrElse(f, 0L), "LOADED", now())
+      LoadRecord(f, counts.getOrElse(new Path(f).getName, 0L), "LOADED",
+        now())
     }
     spark.createDataset(records).toDF()
       .write.mode(SaveMode.Append).parquet(ledgerDir)

@@ -96,4 +96,41 @@ class FileTopicSpec extends SparkSuite {
     pool.shutdown()
     assert(got.sorted === msgs.sorted) // complete AND duplicate-free
   }
+
+  test("concurrent publishers all land their batches; no staging leftovers") {
+    // the create-exclusive link path: N publishers race for sequence
+    // numbers; every batch must survive under a distinct seq, and the
+    // staged temp files must all be cleaned up (they are invisible to
+    // consumers either way — partFiles' pattern excludes dot names)
+    val root = Files.createTempDirectory("bus_race").toString
+    val b = new FileTopic(root)
+    val nPublishers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nPublishers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val seqs = (0 until nPublishers).map { p =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = { start.await(); b.publish("t", Seq(s"batch-$p")) }
+      })
+    }
+    start.countDown()
+    val landed = seqs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(landed.distinct.length === nPublishers,
+      "two publishers claimed the same sequence")
+    val got = b.poll("t", "g")
+    assert(got.sorted === (0 until nPublishers).map(p => s"batch-$p").sorted,
+      "a racing publisher's batch was lost")
+    val s = Files.list(java.nio.file.Paths.get(root, "t"))
+    val leftovers =
+      try {
+        val it = s.iterator()
+        var acc = List.empty[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith(".staging-")) acc ::= n
+        }
+        acc
+      } finally s.close()
+    assert(leftovers.isEmpty, s"staging files left behind: $leftovers")
+  }
 }

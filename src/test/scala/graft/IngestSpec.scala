@@ -142,4 +142,34 @@ class IngestSpec extends SparkSuite {
     assert(CopyInto.listStage(spark, landing, ".*").isEmpty)
     assert(spark.read.parquet(target).count() === 1)
   }
+
+  test("copyInto >256-file batch: per-file counts come from the cached " +
+      "pass, not input_file_name over the cache") {
+    val landing = tmp("graft_big")
+    val target = tmp("graft_big_t") + "/t"
+    val ledgerDir = tmp("graft_big_l") + "/l"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // 260 files, file i holding (i % 3) + 1 rows — past the observe()
+    // cutoff, so the persist-and-count fallback branch runs
+    (0 until 260).foreach { i =>
+      val rows = (0 to i % 3).map(j => s"""{"id":${i * 10 + j}}""")
+      Files.write(java.nio.file.Paths.get(landing, f"cc_txn_$i%03d.json"),
+        rows.mkString("\n").getBytes)
+    }
+    val recs = CopyInto.copyInto(spark, landing, "cc_txn_.*\\.json$", sch,
+      target, ledgerDir)
+    assert(recs.length === 260)
+    val wantTotal = (0 until 260).map(i => (i % 3) + 1).sum
+    assert(recs.map(_.row_count).sum === wantTotal.toLong,
+      "per-file counts do not sum to the staged rows")
+    recs.foreach { r =>
+      val i = r.file_name.split('/').last.stripPrefix("cc_txn_")
+        .stripSuffix(".json").toInt
+      assert(r.row_count === (i % 3) + 1L,
+        s"wrong count for file $i: ${r.row_count}")
+    }
+    assert(spark.read.parquet(target).count() === wantTotal.toLong)
+  }
 }

@@ -125,4 +125,29 @@ class TaskGraphSpec extends SparkSuite {
     assert(stats(0).getAs[String]("task_name") === "t")
     assert(stats(0).getAs[Long]("n_runs") === 1L)
   }
+
+  test("executeNow does not shift the schedule (EXECUTE TASK semantics)") {
+    var now = ts("2024-01-01 00:00:00")
+    val g = new TaskGraph(() => now)
+    var n = 0
+    g.add(TaskDef("t", Some(Every(3600)), body = () => n += 1))
+    g.resume("t")
+    g.tick(); assert(n === 1)                        // scheduled fire at T
+    now = ts("2024-01-01 00:30:00"); g.executeNow("t")
+    assert(n === 2)                                  // manual run mid-window
+    now = ts("2024-01-01 01:00:00"); g.tick()
+    assert(n === 3, "manual executeNow consumed/delayed the scheduled fire")
+  }
+
+  test("a DailyAt task resumed after today's wall time waits for tomorrow") {
+    var now = ts("2024-01-01 14:00:00") // resumed in the afternoon
+    val g = new TaskGraph(() => now)
+    var n = 0
+    g.add(TaskDef("nightly", Some(DailyAt(2, 0)), body = () => n += 1))
+    g.resume("nightly")
+    g.tick(); assert(n === 0,
+      "nightly job fired in the afternoon it was resumed")
+    now = ts("2024-01-02 02:00:01"); g.tick(); assert(n === 1)
+    now = ts("2024-01-02 09:00:00"); g.tick(); assert(n === 1)
+  }
 }

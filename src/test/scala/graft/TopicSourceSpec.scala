@@ -96,7 +96,7 @@ class TopicSourceSpec extends SparkSuite {
     assert(!TopicSource.kafkaAvailable)
     val root = Files.createTempDirectory("topic_auto").toString
     new FileTopic(root).publish("t", Seq("x"))
-    val df = TopicSource.readStreamAuto(spark, "t", root,
+    val df = TopicSource.readStreamAuto(spark, root, "t",
       kafkaBootstrap = Some("broker:9092"))
     assert(df.isStreaming)
     assert(df.schema.fieldNames.toSeq ===
@@ -112,7 +112,7 @@ class TopicSourceSpec extends SparkSuite {
     assume(TopicSource.kafkaAvailable,
       "spark-sql-kafka connector not on the classpath — branch fenced by " +
         "the fallback guard test above")
-    val df = TopicSource.readStreamAuto(spark, "t", root = "/unused",
+    val df = TopicSource.readStreamAuto(spark, root = "/unused", "t",
       kafkaBootstrap = Some("localhost:9092"))
     assert(df.isStreaming)
     assert(df.schema.fieldNames.toSeq ===
