@@ -96,13 +96,23 @@ object Tables {
     * use it to make a swap idempotent (e.g. [[graft.streaming
     * .StreamRollup]] records the applied micro-batch id: a crash-replayed
     * batch sees its own id already committed and skips). */
+  /** Swap-sibling naming: DOT-prefixed so that when `p` is a
+    * `key=value` partition directory, crash residue (`.key=a__swap_old`)
+    * is invisible to Spark partition discovery and to the partition
+    * filters in [[compactTable]]/[[purgeRows]] — a bare `key=a__swap_old`
+    * sibling would be read back as a real partition with a corrupted
+    * key, duplicating the backup's rows into the table. */
+  private def swapSibling(p: org.apache.hadoop.fs.Path,
+      suffix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}$suffix")
+
   def replaceAtomic(spark: SparkSession, dir: String,
       next: DataFrame, marker: Option[(String, String)] = None): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__swap_tmp")
-    val bak = new org.apache.hadoop.fs.Path(dir + "__swap_old")
+    val tmp = swapSibling(path, "__swap_tmp")
+    val bak = swapSibling(path, "__swap_old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(bak)) {
       if (!fs.exists(path)) {
@@ -137,6 +147,39 @@ object Tables {
     if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
       throw new java.io.IOException(
         s"swap recovery failed: could not restore $backup to $target")
+
+  /** [[recoverSwap]] for a [[replaceAtomic]]-managed directory, by
+    * path: restores `dir` from its swap backup if a crash landed
+    * between the two renames. Call BEFORE reading `dir` in any code
+    * path that may run again after such a crash (the streaming
+    * maintainers [[graft.streaming.StreamRollup]] /
+    * [[graft.streaming.StreamApply]] read the snapshot before their
+    * replaceAtomic would get the chance to self-heal — without this
+    * they crash-loop on the missing directory forever). */
+  def recoverReplaceAtomic(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path, swapSibling(path, "__swap_old"))
+  }
+
+  /** Restore every partition directory under `dir` whose swap crashed
+    * between the two renames (backup residue `.k=v__swap_old` present,
+    * settled dir missing) — the table-level heal [[compactTable]] and
+    * [[purgeRows]] run at entry, so a crashed per-partition swap is
+    * repaired by the next maintenance pass instead of silently serving
+    * the table without that partition's rows. */
+  private def healSwapResidue(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(path))
+      fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith("__swap_old"))
+        .foreach { s =>
+          val target = new org.apache.hadoop.fs.Path(path,
+            s.getPath.getName.stripPrefix(".").stripSuffix("__swap_old"))
+          recoverSwap(fs, target, s.getPath)
+        }
 
   /** Stage `next` (and an optional marker file) into `tmp` — the shared
     * pre-swap step of [[replaceAtomic]] and the summary-table first
@@ -186,8 +229,11 @@ object Tables {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return (0, 0)
+    healSwapResidue(fs, path)
     val partDirs = fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
     if (partDirs.isEmpty) compact(spark, dir, targetBytes)
     else partDirs.map(d => compact(spark, d.getPath.toString, targetBytes))
       .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
@@ -211,10 +257,13 @@ object Tables {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
+    healSwapResidue(fs, path)
     val victims = broadcast(
       ids.select(col(ids.columns.head).as(idColName)).distinct())
     val partDirs = fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
     if (partDirs.isEmpty) {
       if (!spark.read.parquet(dir)
           .join(victims, Seq(idColName), "left_semi").isEmpty)
@@ -225,9 +274,19 @@ object Tables {
       val affected = spark.read.parquet(dir)
         .join(victims, Seq(idColName), "left_semi")
         .select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0)) // bounded by the partition count
-      affected.foreach { v =>
-        val pd = s"$dir/$partCol=$v"
+        .collect().map(r => Option(r.getString(0)))
+        .toSeq // bounded by the partition count
+      affected.foreach { vOpt =>
+        // rebuild the directory name the way the WRITER did: special
+        // characters are Hive-escaped in partition paths and a null
+        // partition value lands in the default-partition dir — a raw
+        // "$partCol=$v" would miss (or crash on) both
+        val leaf = vOpt match {
+          case Some(v) => s"$partCol=" + org.apache.spark.sql.catalyst
+            .catalog.ExternalCatalogUtils.escapePathName(v)
+          case None => s"$partCol=__HIVE_DEFAULT_PARTITION__"
+        }
+        val pd = s"$dir/$leaf"
         // the partition column lives in the path, not the files — the
         // anti-join below only touches real file columns
         replaceAtomic(spark, pd,
@@ -294,17 +353,45 @@ object Tables {
 
   /** Append deleted ids to `tombDir` — the write half of the tombstone
     * protocol. One small file per delete batch; [[purgeRows]]-based
-    * purge clears the directory once the rows are physically gone. */
+    * purge clears the directory once the rows are physically gone.
+    * Rejects non-numeric id columns loudly: the silent long cast would
+    * turn string ids into nulls (or an ANSI cast crash), after which
+    * the anti-join drops nothing and the "deleted" rows keep serving. */
   def appendTombstones(spark: SparkSession, tombDir: String,
-      ids: DataFrame): Unit =
+      ids: DataFrame): Unit = {
+    val f = ids.schema.fields.head
+    require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"appendTombstones: id column '${f.name}' is " +
+        s"${f.dataType.simpleString}; the tombstone protocol keys on " +
+        "numeric ids — surrogate-key string ids first")
     ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(tombDir)
+  }
 
   /** Marker file carrying a summary table's last refresh epoch-millis —
     * underscore-prefixed so parquet readers skip it; written inside
     * [[replaceAtomic]]'s pre-swap tmp dir so it commits atomically WITH
     * the data it stamps. */
   val RefreshMarker = "_refreshed_at"
+
+  /** Read a marker file committed atomically with its table by
+    * [[replaceAtomic]]'s staged write — the ONE copy of the read half
+    * of the marker protocol ([[summaryTable]]'s TTL stamp,
+    * [[graft.streaming.StreamRollup]]'s applied-batch id, the BM25
+    * index's folded-tombstones signature). */
+  def readMarker(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
 
   /** Result-cache tier — the engine analog of the reference dashboard's
     * `st.cache_data(ttl=300)` memoization (assignment5
@@ -333,20 +420,14 @@ object Tables {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
-    val marker = new org.apache.hadoop.fs.Path(dir, RefreshMarker)
-    val fresh = fs.exists(marker) && {
-      val in = fs.open(marker)
-      val ts = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-      now() - ts < ttlSeconds * 1000L
-    }
+    val fresh = readMarker(spark, dir, RefreshMarker)
+      .exists(ts => now() - ts.toLong < ttlSeconds * 1000L)
     if (!fresh) {
       val stamp = Some(RefreshMarker -> now().toString)
       if (fs.exists(path)) replaceAtomic(spark, dir, build, stamp)
       else {
         // first materialization: stage + rename, same crash posture
-        val tmp = new org.apache.hadoop.fs.Path(dir + "__swap_tmp")
+        val tmp = swapSibling(path, "__swap_tmp")
         replaceAtomicFirstWrite(spark, fs, tmp, path, build, stamp)
       }
     }

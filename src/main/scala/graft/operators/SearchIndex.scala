@@ -106,18 +106,8 @@ object SearchIndex {
   }
 
   private def readFoldedMarker(spark: SparkSession,
-      statsDir: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(statsDir, FoldedMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
-    }
-  }
+      statsDir: String): Option[String] =
+    graft.core.Tables.readMarker(spark, statsDir, FoldedMarker)
 
   /** Corpus-level (N, Σdl) as a 1-row frame: the additive stats
     * partials, MINUS the live tombstones' contribution — unless the

@@ -22,30 +22,44 @@ import org.apache.spark.sql.types.StructType
   */
 object PipeStream {
 
-  /** Drain everything currently staged into the target table, then stop
-    * (Trigger.AvailableNow ≡ a manual `ALTER PIPE REFRESH` / task run).
-    * Each row carries the CDC metadata columns `_action` (append-only
-    * source → always INSERT, ST2) and `_batch_id`. */
-  def drain(spark: SparkSession, landingDir: String, schema: StructType,
-      targetDir: String, checkpointDir: String,
-      pattern: Option[String] = None): Unit = {
+  /** The one pipeline both triggers share: watch the landing dir, stamp
+    * the CDC metadata columns, land each micro-batch in its own
+    * `batch=<id>` epoch directory WITH OVERWRITE. foreachBatch is
+    * at-least-once — a crash between the sink write and the checkpoint
+    * commit replays the batch — and a flat-directory append would land
+    * those rows twice; the per-epoch overwrite makes the replay rewrite
+    * its own directory instead (the [[StreamIndexProbe]] /
+    * [[StreamTokenStats]] discipline), keeping the exactly-once-per-file
+    * contract the scaladoc promises end to end, not just at the source. */
+  private def build(spark: SparkSession, landingDir: String,
+      schema: StructType, targetDir: String, checkpointDir: String,
+      trigger: Trigger, pattern: Option[String]) = {
     val reader = spark.readStream.schema(schema)
     pattern.foreach(p => reader.option("pathGlobFilter", p))
-    val src = reader.json(landingDir)
+    reader.json(landingDir)
       .withColumn("_action", lit("INSERT"))
-
-    val q = src.writeStream
+      .writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { // ST6: skip compute on empty micro-batch
           batch.withColumn("_batch_id", lit(batchId))
-            .write.mode(SaveMode.Append).parquet(targetDir)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$targetDir/batch=$batchId")
         }
       }
-      .start()
-    q.awaitTermination()
   }
+
+  /** Drain everything currently staged into the target table, then stop
+    * (Trigger.AvailableNow ≡ a manual `ALTER PIPE REFRESH` / task run).
+    * Each row carries the CDC metadata columns `_action` (append-only
+    * source → always INSERT, ST2) and `_batch_id` (also the epoch
+    * directory's partition value). */
+  def drain(spark: SparkSession, landingDir: String, schema: StructType,
+      targetDir: String, checkpointDir: String,
+      pattern: Option[String] = None): Unit =
+    build(spark, landingDir, schema, targetDir, checkpointDir,
+      Trigger.AvailableNow(), pattern).start().awaitTermination()
 
   /** Continuous form (ST4): same pipeline on a processing-time cadence —
     * the reference's `schedule='3 minute'` loader task (A4:380-388).
@@ -54,20 +68,7 @@ object PipeStream {
   def start(spark: SparkSession, landingDir: String, schema: StructType,
       targetDir: String, checkpointDir: String, cadence: String,
       pattern: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val reader = spark.readStream.schema(schema)
-    pattern.foreach(p => reader.option("pathGlobFilter", p))
-    reader.json(landingDir)
-      .withColumn("_action", lit("INSERT"))
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(cadence))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.withColumn("_batch_id", lit(batchId))
-            .write.mode(SaveMode.Append).parquet(targetDir)
-        }
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    build(spark, landingDir, schema, targetDir, checkpointDir,
+      Trigger.ProcessingTime(cadence), pattern).start()
 }

@@ -36,6 +36,9 @@ object StreamApply {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // heal a crashed prior swap BEFORE reading the snapshot, or
+          // the replayed batch crash-loops on the missing directory
+          Tables.recoverReplaceAtomic(spark, snapshotDir)
           val target = spark.read.parquet(snapshotDir)
           Tables.replaceAtomic(spark, snapshotDir,
             Cdc.applyChanges(target, batch, keyCol, seqCol, actionCol))

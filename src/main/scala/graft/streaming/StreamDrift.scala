@@ -51,9 +51,13 @@ object StreamDrift {
   /** The streaming aggregation: per-(group, bin) running counts of the
     * live side. Attach to `readStream` input and write with
     * outputMode("complete") (or "update" into an upserting sink) — the
-    * result IS the monitor's state, groups × nBins rows. */
+    * result IS the monitor's state, groups × nBins rows. The bin count
+    * comes FROM the yardstick (max bin + 1, one bounded lookup at
+    * setup): a caller-supplied nBins that disagreed with the yard's
+    * would silently misalign every bin and gauge spurious drift. */
   def binnedCounts(stream: DataFrame, yard: DataFrame, groupCol: String,
-      valueCol: String, nBins: Int = 10): DataFrame = {
+      valueCol: String): DataFrame = {
+    val nBins = yard.agg(max(col("__bin"))).head.getInt(0) + 1
     val edges = yard.select(col(groupCol), col("__lo"), col("__hi"))
       .distinct()
     stream.join(broadcast(edges), groupCol)
@@ -69,8 +73,8 @@ object StreamDrift {
     * run it per trigger, per dashboard refresh, or per alert check.
     * Slot-shape-agnostic: works over the numeric yardstick's int bins
     * AND the categorical yardstick's category strings. */
-  def psi(yard: DataFrame, currentCounts: DataFrame, groupCol: String,
-      nBins: Int = 10): DataFrame = {
+  def psi(yard: DataFrame, currentCounts: DataFrame,
+      groupCol: String): DataFrame = {
     val slots = yard.select(col(groupCol), col("__bin"), col("__nb"))
       .join(currentCounts, Seq(groupCol, "__bin"), "left")
       .select(col(groupCol), col("__bin"), col("__nb"),

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -38,18 +36,8 @@ object StreamRollup {
 
   private val MarkerFile = "_applied_batch"
 
-  private[graft] def appliedBatchId(spark: SparkSession, dir: String): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(dir, MarkerFile)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+  private[graft] def appliedBatchId(spark: SparkSession, dir: String): Long =
+    Tables.readMarker(spark, dir, MarkerFile).map(_.toLong).getOrElse(-1L)
 
   /** One batch's merge, exactly once: skips ids at or below the marker
     * (crash replay), otherwise merges and swaps with the new id riding
@@ -59,6 +47,10 @@ object StreamRollup {
       rollup: DataFrame => DataFrame): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // a batch whose swap crashed between the two renames left the
+    // snapshot moved aside; heal BEFORE the marker/snapshot reads or
+    // the replayed batch crash-loops on the missing directory forever
+    Tables.recoverReplaceAtomic(spark, rollupDir)
     if (batchId <= appliedBatchId(spark, rollupDir)) return
     val stored = spark.read.parquet(rollupDir)
     Tables.replaceAtomic(spark, rollupDir,

@@ -27,7 +27,7 @@ object StreamTokenStats {
     * frame. `statsDir/base` may hold a batch-built starting point
     * ([[seedBase]]). */
   def start(docs: DataFrame, statsDir: String, checkpoint: String,
-      idCol: String, textCol: String, srcCol: String): StreamingQuery =
+      textCol: String, srcCol: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -39,7 +39,7 @@ class StreamTokenStatsSpec extends SparkSuite {
 
     val stream = MemoryStream[ArrivingTextDoc]
     val q = StreamTokenStats.start(stream.toDF(), dir, ckpt,
-      "doc_id", "text", "source")
+      "text", "source")
     try {
       stream.addData(docRows(20, 30).toIndexedSeq)
       q.processAllAvailable()
