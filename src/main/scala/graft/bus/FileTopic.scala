@@ -75,9 +75,20 @@ class FileTopic(root: String) {
       var published = -1
       while (published < 0) {
         val seq = nextSeq(topic)
+        val target = topicDir(topic).resolve(f"part-$seq%06d.jsonl")
         try {
-          Files.createLink(topicDir(topic).resolve(f"part-$seq%06d.jsonl"),
-            tmp)
+          try Files.createLink(target, tmp)
+          catch {
+            // filesystems without hard links (SMB/FAT/some FUSE):
+            // degrade to the create-exclusive direct write — existence
+            // stays atomic vs racing publishers; content atomicity
+            // (the reason links are preferred) is lost only where the
+            // filesystem gives us no rename-into-place primitive that
+            // refuses existing targets
+            case _: UnsupportedOperationException =>
+              Files.write(target, messages.asJava, StandardCharsets.UTF_8,
+                StandardOpenOption.CREATE_NEW)
+          }
           published = seq
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>

@@ -108,9 +108,11 @@ object Tables {
 
   def replaceAtomic(spark: SparkSession, dir: String,
       next: DataFrame, marker: Option[(String, String)] = None): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem, not FileSystem.get(new URI(dir)): a raw URI
+    // parse rejects legal path characters (a space in a Hive partition
+    // value reaches here via purgeRows) that Path's own parsing accepts
     val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = swapSibling(path, "__swap_tmp")
     val bak = swapSibling(path, "__swap_old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -197,9 +199,8 @@ object Tables {
 
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     // partitioned layouts (subdirectories) would be flattened by a blind
@@ -228,6 +229,10 @@ object Tables {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a TABLE-level crashed swap first: with the settled dir gone
+    // and only the backup sibling present, the missing-dir early return
+    // below would report success over a vanished table forever
+    recoverSwap(fs, path, swapSibling(path, "__swap_old"))
     if (!fs.exists(path)) return (0, 0)
     healSwapResidue(fs, path)
     val partDirs = fs.listStatus(path).toSeq
@@ -256,6 +261,9 @@ object Tables {
       ids: DataFrame): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same table-level heal as compactTable: purge must restore a
+    // crashed swap, not skip the "missing" table
+    recoverSwap(fs, path, swapSibling(path, "__swap_old"))
     if (!fs.exists(path)) return
     healSwapResidue(fs, path)
     val victims = broadcast(
@@ -271,11 +279,21 @@ object Tables {
           spark.read.parquet(dir).join(victims, Seq(idColName), "left_anti"))
     } else {
       val partCol = partDirs.head.getPath.getName.split("=", 2)(0)
-      val affected = spark.read.parquet(dir)
-        .join(victims, Seq(idColName), "left_semi")
-        .select(col(partCol).cast("string")).distinct()
-        .collect().map(r => Option(r.getString(0)))
-        .toSeq // bounded by the partition count
+      // partition type inference OFF for the discovery read: an
+      // inferred numeric type re-renders the value ("01" reads back as
+      // 1), so the rebuilt leaf would miss the writer's directory —
+      // with inference disabled the value is the path's literal string
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val inferWas = spark.conf.get(inferKey)
+      val affected =
+        try {
+          spark.conf.set(inferKey, "false")
+          spark.read.parquet(dir)
+            .join(victims, Seq(idColName), "left_semi")
+            .select(col(partCol).cast("string")).distinct()
+            .collect().map(r => Option(r.getString(0)))
+            .toSeq // bounded by the partition count
+        } finally spark.conf.set(inferKey, inferWas)
       affected.foreach { vOpt =>
         // rebuild the directory name the way the WRITER did: special
         // characters are Hive-escaped in partition paths and a null
@@ -417,9 +435,8 @@ object Tables {
   def summaryTable(spark: SparkSession, dir: String, ttlSeconds: Long,
       now: () => Long = () => System.currentTimeMillis())
       (build: => DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = readMarker(spark, dir, RefreshMarker)
       .exists(ts => now() - ts.toLong < ttlSeconds * 1000L)
     if (!fresh) {

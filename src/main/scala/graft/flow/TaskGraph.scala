@@ -67,8 +67,11 @@ class TaskGraph(clock: () => Timestamp = () =>
     * fire-on-first-tick behavior. */
   def resume(name: String, dependents: Boolean = false): Unit = {
     tasks.get(name).foreach { t =>
-      if (suspended(name) && t.schedule.exists(_.isInstanceOf[DailyAt]) &&
-          !lastFire.contains(name))
+      // unconditional for DailyAt (not just never-fired): a task that
+      // fired yesterday, was suspended, and resumes this afternoon must
+      // also wait for tomorrow's boundary — its stale lastFire sits
+      // below TODAY's boundary and would fire the nightly job now
+      if (suspended(name) && t.schedule.exists(_.isInstanceOf[DailyAt]))
         lastFire(name) = clock().getTime
     }
     suspended -= name

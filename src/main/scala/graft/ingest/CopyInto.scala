@@ -84,7 +84,10 @@ object CopyInto {
     // with the file batch, so very large batches fall back to caching
     // the parsed batch and counting from the cache (source still
     // scanned once). Counts are keyed by BASENAME in both branches —
-    // input_file_name()'s URI rendering need not equal the listing's.
+    // input_file_name()'s URI rendering need not equal the listing's,
+    // and it is percent-ENCODED (a space renders as %20), so both
+    // branches decode it before matching; '+' is legal raw in a URI
+    // path and must be shielded from the form-decoding '+'→space rule.
     //
     // Exactly-once caveat: the target append and the ledger append are
     // two commits; a crash between them re-loads this batch's files on
@@ -95,8 +98,10 @@ object CopyInto {
     val counts: Map[String, Long] =
       if (newFiles.size <= 256) {
         val obs = org.apache.spark.sql.Observation()
+        val decodedFile = url_decode(
+          regexp_replace(input_file_name(), "\\+", "%2B"))
         val aggs = newFiles.zipWithIndex.map { case (f, i) =>
-          count(when(input_file_name().endsWith("/" + new Path(f).getName),
+          count(when(decodedFile.endsWith("/" + new Path(f).getName),
             lit(1))).as(s"f$i")
         }
         df.observe(obs, aggs.head, aggs.tail: _*)
@@ -117,7 +122,7 @@ object CopyInto {
             .write.mode(SaveMode.Append).parquet(targetDir)
           withFile.groupBy(col("__src_file"))
             .agg(count(lit(1)).as("n")).collect()
-            .map(r => new Path(r.getString(0)).getName -> r.getLong(1))
+            .map(r => decodedBasename(r.getString(0)) -> r.getLong(1))
             .toMap
         } finally { withFile.unpersist(); () }
       }
@@ -135,6 +140,15 @@ object CopyInto {
     }
     records
   }
+
+  /** Filesystem basename of input_file_name()'s URI rendering: strip
+    * to the leaf, shield raw '+' (legal in a URI path) from the
+    * form-decoding '+'→space rule, decode the %XX escapes. */
+  private def decodedBasename(uriString: String): String =
+    java.net.URLDecoder.decode(
+      uriString.substring(uriString.lastIndexOf('/') + 1)
+        .replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   /** copy_history(...) observability queries (A4:706-712, ST11): volume
     * accounting over the ledger. */

@@ -57,7 +57,10 @@ object StreamDrift {
     * would silently misalign every bin and gauge spurious drift. */
   def binnedCounts(stream: DataFrame, yard: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val nBins = yard.agg(max(col("__bin"))).head.getInt(0) + 1
+    // null-safe: an EMPTY yardstick (baseline had no rows yet) must
+    // wire up to an empty-count monitor, not NPE on the null max
+    val maxBin = yard.agg(max(col("__bin"))).head
+    val nBins = (if (maxBin.isNullAt(0)) 0 else maxBin.getInt(0)) + 1
     val edges = yard.select(col(groupCol), col("__lo"), col("__hi"))
       .distinct()
     stream.join(broadcast(edges), groupCol)

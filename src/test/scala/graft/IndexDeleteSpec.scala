@@ -203,6 +203,40 @@ class IndexDeleteSpec extends SparkSuite {
       "victims in escaped/null partitions survived the purge")
   }
 
+  test("purge survives inference-mangled and space-bearing partition values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("purge_mangle").toString + "/t"
+    // "01" reads back as int 1 under partition type inference (leaf
+    // would be rebuilt as k=1); "a b" has a raw space in the dir name
+    Seq((1L, "01"), (2L, "01"), (3L, "a b"), (4L, "zz"))
+      .toDF("id", "k")
+      .write.partitionBy("k").parquet(dir)
+    graft.core.Tables.purgeRows(spark, dir, "id",
+      Seq(1L, 3L).toDF("id"))
+    val left = spark.read.parquet(dir)
+      .select("id", "k").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(left === Seq((2L, "01"), (4L, "zz")),
+      "victims under mangled partition leaves survived the purge")
+  }
+
+  test("maintenance heals a TABLE-level crashed swap, not just partitions") {
+    import spark.implicits._
+    val parent = Files.createTempDirectory("tbl_heal").toString
+    val dir = parent + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(dir)
+    // crash window: whole table moved aside, replacement never renamed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$parent/.t__swap_old")))
+    val (before, after) = graft.core.Tables.compactTable(spark, dir)
+    assert(before > 0, "compactTable skipped the vanished table " +
+      "instead of healing the crashed swap")
+    assert(spark.read.parquet(dir).count() === 2,
+      "table not restored from its swap backup")
+  }
+
   test("maintenance heals a partition dir whose swap crashed mid-rename") {
     import spark.implicits._
     val dir = Files.createTempDirectory("purge_heal").toString + "/t"

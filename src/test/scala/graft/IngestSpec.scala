@@ -126,6 +126,27 @@ class IngestSpec extends SparkSuite {
     assert(h.getAs[Long]("n_rows") === 3L)
   }
 
+  test("copyInto counts rows of files whose names need URI encoding") {
+    val landing = tmp("graft_landing_enc")
+    val target = tmp("graft_target_enc") + "/t"
+    val ledgerDir = tmp("graft_ledger_enc") + "/l"
+    // a space renders as %20 in input_file_name(); '+' stays raw — the
+    // two cases that break naive suffix matching and naive decoding
+    Files.write(java.nio.file.Paths.get(landing, "cc txn sp.json"),
+      """{"id":1,"v":"a"}""".getBytes)
+    Files.write(java.nio.file.Paths.get(landing, "cc+txn+pl.json"),
+      ("""{"id":2,"v":"b"}""" + "\n" + """{"id":3,"v":"c"}""").getBytes)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val r = CopyInto.copyInto(spark, landing, "cc.*\\.json$", sch,
+      target, ledgerDir)
+    assert(r.map(x => (x.file_name.split('/').last, x.row_count)).sorted ===
+      Seq(("cc txn sp.json", 1L), ("cc+txn+pl.json", 2L)))
+  }
+
   test("copyInto purge removes staged files after commit") {
     val landing = tmp("graft_purge")
     val target = tmp("graft_purge_t") + "/t"

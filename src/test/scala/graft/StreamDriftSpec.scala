@@ -102,6 +102,15 @@ class StreamDriftSpec extends SparkSuite {
       assert(g2.head._4 > 0.3, s"novel-class flood scored psi=${g2.head._4}")
     } finally q.stop()
   }
+
+  test("an empty yardstick wires to an empty monitor, not a crash") {
+    val emptyYard = StreamDrift.yardstick(
+      spark.emptyDataset[Obs].toDF(), "k", "v")
+    assert(emptyYard.isEmpty)
+    val counts = StreamDrift.binnedCounts(
+      baseRows.toDF(), emptyYard, "k", "v")
+    assert(counts.isEmpty, "rows counted against a yardstick-less monitor")
+  }
 }
 
 case class Cat(k: String, c: String)

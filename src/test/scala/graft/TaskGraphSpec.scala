@@ -150,4 +150,20 @@ class TaskGraphSpec extends SparkSuite {
     now = ts("2024-01-02 02:00:01"); g.tick(); assert(n === 1)
     now = ts("2024-01-02 09:00:00"); g.tick(); assert(n === 1)
   }
+
+  test("a previously-FIRED DailyAt task suspended + resumed also waits") {
+    var now = ts("2024-01-01 01:00:00") // resumed BEFORE the boundary
+    val g = new TaskGraph(() => now)
+    var n = 0
+    g.add(TaskDef("nightly", Some(DailyAt(2, 0)), body = () => n += 1))
+    g.resume("nightly")
+    now = ts("2024-01-01 02:00:01")
+    g.tick(); assert(n === 1) // fires normally on day 1
+    g.suspend("nightly")
+    now = ts("2024-01-02 15:00:00") // resumed after today's boundary
+    g.resume("nightly")
+    g.tick(); assert(n === 1,
+      "resumed nightly fired immediately off its stale day-1 lastFire")
+    now = ts("2024-01-03 02:00:01"); g.tick(); assert(n === 2)
+  }
 }
