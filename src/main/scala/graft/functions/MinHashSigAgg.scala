@@ -31,6 +31,19 @@ case class MinHashSigAgg(child: Expression, numHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  require(numHashes >= 1, s"minhash_sig: numHashes ($numHashes) must be >= 1")
+
+  // analysis-time gate (same rule as ShingleHashes): without it a
+  // non-bigint child passes analysis and update()'s Long cast throws
+  // ClassCastException per-task mid-job instead
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"minhash_sig expects BIGINT (a 64-bit hash), got ${child.dataType.sql}")
+
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 

@@ -78,6 +78,24 @@ case class RandProjectExpr(child: Expression, signs: Array[Array[Int]],
 
   override protected def withNewChildInternal(newChild: Expression): RandProjectExpr =
     copy(child = newChild)
+
+  // content-based equality: the synthesized case-class equals compares
+  // the int[][] by IDENTITY, so two expressions built from the same
+  // (tag, dims) never compare equal — common-subexpression elimination
+  // and canonicalized-plan matching (exchange/cache reuse) would
+  // recompute the dimIn·dimOut projection per occurrence
+  override def equals(o: Any): Boolean = o match {
+    case r: RandProjectExpr => child == r.child &&
+      java.util.Arrays.deepEquals(signs.asInstanceOf[Array[AnyRef]],
+        r.signs.asInstanceOf[Array[AnyRef]]) &&
+      invRoot == r.invRoot
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(signs.asInstanceOf[Array[AnyRef]])) +
+      invRoot.hashCode()
 }
 
 object RandProjectExpr {

@@ -24,10 +24,17 @@ object SnowFns {
   def dateadd(unit: String, n: Int, ts: Column): Column =
     timestamp_add(normUnit(unit), lit(n), ts)
 
-  /** Snowflake `DATEDIFF(unit, a, b)` = b - a in whole units (A4:703,
-    * 714-728). Matches Snowflake's argument order (start, end). */
-  def datediffUnits(unit: String, start: Column, end: Column): Column =
-    timestamp_diff(normUnit(unit), start, end)
+  /** Snowflake `DATEDIFF(unit, a, b)` (A4:703, 714-728). Matches
+    * Snowflake's argument order (start, end) AND its boundary-crossing
+    * semantics: DATEDIFF counts unit boundaries crossed, not complete
+    * elapsed units — `DATEDIFF(day, '23:00', next day '01:00')` is 1 in
+    * Snowflake though only 2h elapsed. Truncating both sides to the
+    * unit first makes Spark's complete-units diff equal the crossing
+    * count (both stamps are unit-aligned after the trunc). */
+  def datediffUnits(unit: String, start: Column, end: Column): Column = {
+    val u = normUnit(unit)
+    timestamp_diff(u, date_trunc(u, start), date_trunc(u, end))
+  }
 
   private def normUnit(unit: String): String = unit.trim.toUpperCase match {
     case "SECONDS" | "SECOND" | "SEC" | "S" => "SECOND"
@@ -58,9 +65,13 @@ object SnowFns {
   def qualifyRowNumber1(df: DataFrame, partitionBy: Seq[String],
       orderBy: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // collision-proof helper name: a fixed "__rn" would silently
+    // overwrite (and then drop) a caller column of the same name
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Snowflake `UNPIVOT(value FOR name IN (c1, c2, …))` (A4:797-807):
@@ -70,9 +81,14 @@ object SnowFns {
   def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
       nameCol: String = "metric_name",
       valueColName: String = "metric_value"): DataFrame = {
+    // names are interpolated into a SQL string — escape them (quote in
+    // a column name would otherwise break the literal / identifier)
+    def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ident(s: String) = "`" + s.replace("`", "``") + "`"
     val pairs = valueCols
-      .flatMap(c => Seq(s"'$c'", s"`$c`")).mkString(", ")
+      .flatMap(c => Seq(lit(c), ident(c))).mkString(", ")
     df.select((idCols.map(col) :+
-      expr(s"stack(${valueCols.size}, $pairs) as ($nameCol, $valueColName)")): _*)
+      expr(s"stack(${valueCols.size}, $pairs) as " +
+        s"(${ident(nameCol)}, ${ident(valueColName)})")): _*)
   }
 }

@@ -91,8 +91,11 @@ object TextFns {
   /** Context-window chunking: window-`window` token chunks with
     * `overlap` tokens of overlap (stride = window - overlap) — the
     * explode shape embedding/pretraining prep uses. A doc with ≤ window
-    * tokens is one chunk; the last chunk may be short. Pure
-    * per-row expressions: chunking 100 TB is a narrow map, no shuffle. */
+    * tokens is one chunk; the last chunk may be short. A doc with NULL
+    * text has no tokens and emits NO chunks (its id is absent from the
+    * output — filter nulls upstream if a placeholder row is wanted).
+    * Pure per-row expressions: chunking 100 TB is a narrow map, no
+    * shuffle. */
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, window: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
     require(window > 0 && overlap >= 0 && overlap < window,

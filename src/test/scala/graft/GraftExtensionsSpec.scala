@@ -78,4 +78,14 @@ class GraftExtensionsSpec extends SparkSuite {
     // what spark.sql.extensions=graft.functions.GraftExtensions does
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("minhash_sig rejects a non-bigint child at ANALYSIS time") {
+    import spark.implicits._
+    Seq(1, 2).toDF("i").createOrReplaceTempView("mh_bad_input")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(i, 4) FROM mh_bad_input").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("minhash_sig"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
 }
