@@ -24,9 +24,13 @@ object Dedup {
 
   /** Exact dedup: one survivor (min id) per normalized-text fingerprint.
     * Hash-partitioned group-by; partial aggregation makes the shuffle
-    * carry one row per (fingerprint, partition). */
+    * carry one row per (fingerprint, partition). NULL-text docs get a
+    * per-doc sentinel (the [[collapsedDupClusters]] guard): a null
+    * fingerprint would otherwise group every null-text doc into one
+    * fake dup family and "dedup" away unrelated documents. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(TextFns.fingerprint(col(textCol)).as("fp"))
+    docs.groupBy(coalesce(TextFns.fingerprint(col(textCol)),
+        concat(lit("__null__:"), col(idCol).cast("string"))).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   // ---- MinHash + LSH ----
@@ -440,31 +444,11 @@ object Dedup {
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minSpan: Int = 20,
       hotDf: Int = Int.MaxValue): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
-    // <k-token docs produce an EMPTY gram array, not a whole-text
-    // fallback: a fabricated gram would report a span of k tokens from
-    // documents that don't contain k tokens
-    val gramArr = when(size(toks) >= k, gramSeq(toks, k))
-      .otherwise(array().cast("array<string>"))
-    // grams join on their xxhash64, not the string: the inverted-index
-    // shuffle moves 8-byte longs instead of ~25-char text (the d04
-    // hashed-shingle argument — equal up to 64-bit collision odds, and a
-    // colliding gram pair would only ever ADD a spurious 1-gram match on
-    // some diagonal, not break an existing run)
-    val grams = Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol).as("id"), posexplode(gramArr))
-      .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
+    val grams = gramPostings(docs, idCol, textCol, k)
     // the tokenize+posexplode lineage feeds BOTH sides of the self-join —
     // materialize it once for the operator's scope
     Caches.scoped(grams) {
-      val seeds = hotGramFilter(grams, hotDf)
-      // repeated k-grams inside one doc create duplicate (pair, diag, pa)
-      // matches — distinct them or the island row_number miscounts runs
-      val matches = seeds.as("a").join(seeds.as("b"),
-          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
-        .distinct()
+      val matches = gramDiagMatches(grams, hotDf)
       val wIsl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
       matches
         .withColumn("run_id", col("pa") - row_number().over(wIsl))
@@ -498,13 +482,50 @@ object Dedup {
     * same normalization [[TextFns.tokens]] applied on the way in. */
   /** Drop match-seeding grams above the df cap — [[dupSpans]]'s
     * quadratic-join valve; identity at the default (no df pass, plan
-    * unchanged). */
+    * unchanged). df is DOCUMENT frequency (distinct docs containing the
+    * gram — what the D² blowup is actually proportional to), not
+    * occurrence count: a gram repeated 5000× inside ONE repetitive doc
+    * has df 1 and must keep seeding its genuine cross-doc spans. */
+  /** Positional k-gram postings (id, p, g) — the shared front half of
+    * [[dupSpans]] and [[scrubDupSpans]] (one copy so a fix to the match
+    * pipeline can't drift between detector and scrubber). <k-token docs
+    * produce an EMPTY gram array, not a whole-text fallback: a
+    * fabricated gram would report a span of k tokens from documents
+    * that don't contain k tokens. Grams join on their xxhash64, not the
+    * string: the inverted-index shuffle moves 8-byte longs instead of
+    * ~25-char text (the d04 hashed-shingle argument — equal up to
+    * 64-bit collision odds, and a colliding gram pair would only ever
+    * ADD a spurious 1-gram match on some diagonal, not break a run). */
+  private def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val gramArr = when(size(toks) >= k, gramSeq(toks, k))
+      .otherwise(array().cast("array<string>"))
+    Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"), posexplode(gramArr))
+      .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
+  }
+
+  /** Cross-doc gram matches with their diagonal (id_a, id_b, pa, diag) —
+    * the shared middle of [[dupSpans]]/[[scrubDupSpans]]. Repeated
+    * k-grams inside one doc create duplicate (pair, diag, pa) matches —
+    * distinct them or the island row_number miscounts runs. */
+  private def gramDiagMatches(grams: DataFrame, hotDf: Int): DataFrame = {
+    val seeds = hotGramFilter(grams, hotDf)
+    seeds.as("a").join(seeds.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
+      .distinct()
+  }
+
   private def hotGramFilter(grams: DataFrame, hotDf: Int): DataFrame =
     if (hotDf == Int.MaxValue) grams
     else {
       require(hotDf >= 1, s"hotDf ($hotDf) must be >= 1")
       grams.join(
-        grams.groupBy("g").agg(count(lit(1)).as("__df"))
+        grams.select("g", "id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= hotDf).select("g"), "g")
     }
 
@@ -516,18 +537,9 @@ object Dedup {
     require(k >= 1 && minSpan >= k,
       s"minSpan ($minSpan) must be >= k ($k)")
     val toks = TextFns.tokens(col(textCol))
-    val gramArr = when(size(toks) >= k, gramSeq(toks, k))
-      .otherwise(array().cast("array<string>"))
-    val grams = Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol).as("id"), posexplode(gramArr))
-      .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
+    val grams = gramPostings(docs, idCol, textCol, k)
     val merged = Caches.scoped(grams) {
-      val seeds = hotGramFilter(grams, hotDf)
-      val matches = seeds.as("a").join(seeds.as("b"),
-          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
-        .distinct()
+      val matches = gramDiagMatches(grams, hotDf)
       val wIsl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
       val cuts = matches
         .withColumn("run_id", col("pa") - row_number().over(wIsl))
@@ -555,7 +567,11 @@ object Dedup {
           sum(col("e0") - col("s0") + 1).as("tokens_removed"),
           sort_array(collect_list(struct(col("s0"), col("e0")))).as("sp"))
     }
-    docs.join(merged, col(idCol) === merged("id"))
+    // the merged side's key is renamed first: with idCol literally
+    // "id", an unqualified col("id") in the join condition (and the
+    // final select) would be an ambiguous reference and analysis fails
+    docs.join(merged.withColumnRenamed("id", "__scrub_id"),
+        col(idCol) === col("__scrub_id"))
       .withColumn("__toks", toks)
       .withColumn("__kept", filter(
         zip_with(col("__toks"),
@@ -563,7 +579,8 @@ object Dedup {
           (t, i) => struct(t.as("t"), i.as("i"))),
         p => !exists(col("sp"),
           sp => p("i") >= sp("s0") && p("i") <= sp("e0"))))
-      .select(col("id"), col("n_spans"), col("tokens_removed"),
+      .select(col("__scrub_id").as("id"), col("n_spans"),
+        col("tokens_removed"),
         concat_ws(" ", transform(col("__kept"), p => p("t")))
           .as("clean_text"))
   }
@@ -644,30 +661,19 @@ object Dedup {
     * catches every pair with hamming distance ≤ 3), then verify with
     * bit_count(xor). The self-join shuffles on (chunk_idx, chunk). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4-chunk pigeonhole blocking is exact only for maxHamming <= 3 — " +
-        "a larger radius would silently miss pairs differing in every chunk")
-    // cached for the chunk self-join (two probes), released on return
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // delegate to the capped chunk engine: an earlier standalone
+    // implementation here had NO hot-bucket guard, so one
+    // identical-fingerprint boilerplate family (all 4 chunks shared)
+    // made the chunk self-join quadratic — exactly the blowup
+    // [[withBucketStats]] exists to cap. The 4 chunks partition the 64
+    // fp bits, so the chunk-sum hamming equals the full-fp bit_count
+    // and honest buckets emit identical pairs.
     val withFp = withSimhash(docs, idCol, textCol)
-    Caches.scoped(withFp) {
-      val chunkCols = (0 until 4).map(i =>
-        struct(lit(i).as("chunk_idx"),
-          shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk")))
-      val chunks = withFp.select(col("id"), col("fp"),
-          explode(array(chunkCols: _*)).as("c"))
-        .select(col("id"), col("fp"),
-          col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-        .filter(col("hamming") <= maxHamming)
-        .select("id_a", "id_b", "hamming")
-    }
+    val chunks = withFp.select(col("id") +: (0 until 4).map(i =>
+      shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xFFFFL))
+        .as(s"c$i")): _*)
+    simhashPairsFromChunks(chunks, maxHamming, maxBucket)
   }
 
   // ---- near-dup clustering ----

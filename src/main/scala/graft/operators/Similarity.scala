@@ -153,6 +153,11 @@ object Similarity {
   /** Sign-bit LSH signature: one bucket key per (table-id) from
     * `numPlanes` hyperplane sign bits. */
   def lshBucket(vecCol: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    // the key is a SUM of 2^i sign bits packed into one long — past 64
+    // planes the 1L << i shifts wrap, bit sums carry, and the key
+    // silently stops being a sign signature (same guard as signPack)
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"lshBucket: numPlanes ($numPlanes) must be in 1..64")
     val planes = hyperplanes(numPlanes, dim, seed)
     val v = asDouble(vecCol)
     val bits = planes.zipWithIndex.map { case (p, i) =>
@@ -173,9 +178,11 @@ object Similarity {
     * planes → bigger buckets → higher recall, more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame =
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame =
     lshSearch(lshBucketed(corpus, idCol, vecCol, numPlanes, dim, seed),
-      lshProbes(queries, idCol, vecCol, numPlanes, dim, seed), k)
+      lshProbes(queries, idCol, vecCol, numPlanes, dim, seed), k,
+      excludeSelf)
 
   /** The bucketed-corpus side of the LSH tier: (neighbor_id, v, vn,
     * bucket) — what [[buildLshIndex]] persists and [[lshTopK]] computes
@@ -205,15 +212,22 @@ object Similarity {
   /** Candidate join + exact-cosine re-rank shared by the inline and
     * served LSH paths — one definition so serve ≡ inline can't fork. */
   private def lshSearch(bucketed: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     // sim BEFORE the multi-probe dedup: a candidate reached through two
     // probe buckets pays one redundant 64-mult dot (rare, cheap) so the
     // dedup exchange carries (query, neighbor, sim) — 24 bytes — instead
     // of both raw vectors (~1 KB; measured 12.3 s → 7.6 s cold / 4.9 s
     // steady on the sf0.1 all-vectors self-kNN). sim is a pure function
     // of the pair, so max() over duplicates is exact, not a tie-break.
-    val scored = bucketed.join(probes, "bucket")
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // excludeSelf=false is the CROSS-corpus mode ([[marginMining]]):
+    // when query and corpus ids come from different namespaces, an
+    // equal-id pair is a coincidence, not a self-match — dropping it
+    // would silently discard the diagonal of a parallel corpus.
+    val met = bucketed.join(probes, "bucket")
+    val candidates =
+      if (excludeSelf) met.filter(col("query_id") =!= col("neighbor_id"))
+      else met
+    val scored = candidates
       .withColumn("sim", dot(col("qv"), col("v")) /
         nullif(col("qn") * col("vn"), lit(0.0)))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
@@ -234,14 +248,30 @@ object Similarity {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireIntegralId(corpus, idCol, "buildLshIndex")
     Seq((numPlanes, dim, seed)).toDF("num_planes", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     // one writer task per bucket — same small-file discipline as the
     // IVF inverted file
     lshBucketed(corpus, idCol, vecCol, numPlanes, dim, seed)
+      .withColumn("neighbor_id", col("neighbor_id").cast("long"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/bucketed")
+  }
+
+  /** The materialized index tiers store ids as LONG (the delta epochs
+    * are read back with that explicit schema, and the tombstone
+    * protocol keys on numeric ids) — refuse non-integral id columns at
+    * build/append time instead of corrupting the first delta read. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"$op: id column '$idCol' is ${dt.simpleString}; the materialized " +
+        "index stores LONG ids — surrogate-key string ids first")
   }
 
   /** Append NEW vectors to a materialized LSH index: bucket them with
@@ -262,9 +292,11 @@ object Similarity {
   private[graft] def bucketWithFrozenMeta(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       newVecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    requireIntegralId(newVecs, idCol, "appendToLshIndex")
     val m = spark.read.parquet(s"$indexDir/meta").head()
     lshBucketed(newVecs, idCol, vecCol,
-      m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
+        m.getAs[Int]("num_planes"), m.getAs[Int]("dim"), m.getAs[Long]("seed"))
+      .withColumn("neighbor_id", col("neighbor_id").cast("long"))
   }
 
   /** Serve ANN queries from a [[buildLshIndex]]-materialized index —
@@ -1475,8 +1507,15 @@ object Similarity {
   def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int, threshold: Double, numPlanes: Int = 8,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val fwd = lshTopK(tgt, src, idCol, vecCol, k, numPlanes, dim, seed)
-    val bwd = lshTopK(src, tgt, idCol, vecCol, k, numPlanes, dim, seed)
+    // cross-corpus searches keep equal-id pairs (excludeSelf=false):
+    // src and tgt are different corpora, and with both numbered 0..N-1
+    // (the normal parallel-corpus layout) the aligned pair (i, i) is
+    // typically the true translation — the self-exclusion built for
+    // self-kNN would silently discard every diagonal pair
+    val fwd = lshTopK(tgt, src, idCol, vecCol, k, numPlanes, dim, seed,
+      excludeSelf = false)
+    val bwd = lshTopK(src, tgt, idCol, vecCol, k, numPlanes, dim, seed,
+      excludeSelf = false)
     // both deg computations ride the query_id partitioning the rank
     // window inside lshTopK just established: the fwd average attaches
     // as a whole-partition window (no exchange, no self-join) and the
@@ -1622,6 +1661,12 @@ object Similarity {
     val path = new org.apache.hadoop.fs.Path(tomb)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
+    // fold any streaming delta epochs into the base FIRST (its own
+    // lock; no-op for index families without a deltas tree): a deleted
+    // vector still sitting in an un-compacted delta would survive the
+    // base-table purge below and resurrect once the tombstones are
+    // cleared
+    compactLshDeltas(spark, indexDir)
     graft.core.Tables.withMaintenanceLock(spark, indexDir) {
       val ids = spark.read.parquet(tomb) // read lazily; dir cleared after
       Seq("bucketed" -> "neighbor_id", "assigned" -> "neighbor_id",

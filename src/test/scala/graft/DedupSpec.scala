@@ -49,8 +49,8 @@ class DedupSpec extends SparkSuite {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
     val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(pairs.contains((1L, 2L, 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
   }
 
   test("simhash blocking catches all pairs with hamming <= 3 (pigeonhole)") {

@@ -188,6 +188,31 @@ class IndexDeleteSpec extends SparkSuite {
       "affected partition was not rewritten")
   }
 
+  test("purge removes tombstoned vectors still sitting in delta epochs") {
+    val idx = Files.createTempDirectory("del_lsh_delta").toString
+    val core = emb.filter(col("vec_id") % 2 === 0)
+    val late = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildLshIndex(core, "vec_id", "embedding", idx)
+    // a streaming epoch that was never compacted (StreamIndexAppend's
+    // layout, written directly — same code path via bucketWithFrozenMeta)
+    Similarity.bucketWithFrozenMeta(spark, idx, late, "vec_id", "embedding")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$idx/deltas/batch=0")
+    val victim = late.select("vec_id").limit(1)
+    val victimId = victim.head.getLong(0)
+    Similarity.deleteFromIndex(spark, idx, victim)
+    Similarity.purgeIndexTombstones(spark, idx)
+    // after the purge the tombstones are gone — the delta row must be
+    // physically gone too, or the "forgotten" vector serves again
+    val served = Similarity.lshServeTopK(spark, idx,
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 50)
+      .select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!served.contains(victimId),
+      "purged vector resurrected from an un-compacted delta epoch")
+  }
+
   test("purge finds victims in Hive-escaped and null partition dirs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("purge_esc").toString + "/t"

@@ -568,6 +568,20 @@ class SimilaritySpec extends SparkSuite {
     assert(strict.isEmpty, "threshold 1.2 should mine nothing here")
   }
 
+  test("marginMining keeps diagonal pairs when src/tgt share id values") {
+    // parallel-corpus layout: both sides numbered 0.. — the aligned
+    // pair (0, 0) is the true match and must be minable, not dropped
+    // by the self-kNN id exclusion
+    val src = vecs(0L -> Seq(1f, 0f, 0f, 0f))
+    val tgt = vecs(0L -> Seq(0.99f, 0.01f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f))
+    val mined = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 0.5, numPlanes = 1, dim = 4).collect()
+    assert(mined.length === 1 &&
+      mined(0).getLong(0) === 0L && mined(0).getLong(1) === 0L,
+      "equal-id cross-corpus pair was discarded as a self-match")
+  }
+
   test("knnLabelAgreement: purity is the same-label fraction of the kNN") {
     import spark.implicits._
     val d = Seq(
