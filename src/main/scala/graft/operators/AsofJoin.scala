@@ -36,8 +36,12 @@ object AsofJoin {
       lit(null).cast(ridType).as("__rid"), lit(null).cast(rtType).as("__rt"))
     // a NULL right time would sort FIRST (nulls-first ascending) and be
     // picked as "latest right row" for every left row — it can never
-    // satisfy rightTime <= leftTime, so it must not enter the union
-    val r = right.filter(col(rightTime).isNotNull)
+    // satisfy rightTime <= leftTime, so it must not enter the union.
+    // A NULL right KEY must not either: Window.partitionBy groups all
+    // null keys into ONE partition (unlike equi-join semantics, where
+    // NULL matches nothing), so null-key left rows would be silently
+    // enriched from unrelated null-key history.
+    val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull)
       .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(0).as("__is_l"), lit(null).cast(lidType).as("__lid"),
         col(rightId).as("__rid"), col(rightTime).as("__rt"))

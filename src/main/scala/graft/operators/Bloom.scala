@@ -23,11 +23,19 @@ import org.apache.spark.sql.functions._
   * semantics while the shuffle only carries probable hits. */
 object Bloom {
 
+  /** The built artifact: bits plus the probe count they were built
+    * with. Carrying `nProbes` INSIDE the artifact makes the classic
+    * misuse impossible — probing with a different probe count than the
+    * build silently yields false negatives, the one failure mode a
+    * Bloom filter promises not to have. (The probe column must also be
+    * the same TYPE as the build column: xxhash64 is type-sensitive.) */
+  case class BitsFilter(bits: Array[Long], nProbes: Int)
+
   /** Build the bitset from a one-column DataFrame of values.
     * Runs a (tiny) job at call time — the build pass of an index
     * artifact, not query lineage. */
   def buildBits(values: DataFrame, valueCol: Column,
-      nWords: Int = 1024, nProbes: Int = 3): Array[Long] = {
+      nWords: Int = 1024, nProbes: Int = 3): BitsFilter = {
     require(nWords >= 1 && nProbes >= 1, "nWords and nProbes must be >= 1")
     val nBits = nWords.toLong * 64L
     val positions = (0 until nProbes).map(p =>
@@ -41,13 +49,15 @@ object Bloom {
       .collect()
     val arr = new Array[Long](nWords)
     rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
-    arr
+    BitsFilter(arr, nProbes)
   }
 
-  /** Membership probe against a built bitset: true if every probe bit
-    * is set (possible false positives, never false negatives). */
-  def mightContain(bits: Array[Long], valueCol: Column,
-      nProbes: Int = 3): Column = {
+  /** Membership probe against a built filter: true if every probe bit
+    * is set (possible false positives, never false negatives). The
+    * probe count comes FROM the filter. */
+  def mightContain(f: BitsFilter, valueCol: Column): Column = {
+    val bits = f.bits
+    val nProbes = f.nProbes
     val nBits = bits.length.toLong * 64L
     val arr = typedlit(bits.toSeq)
     (0 until nProbes).map { p =>

@@ -39,9 +39,15 @@ import graft.functions.TextFns
   */
 object Bpe {
 
-  /** Wrap every character of `word` as an initial symbol: "ab" → `<a><b>`. */
+  /** Wrap every character of `word` as an initial symbol: "ab" → `<a><b>`.
+    * DOTALL: Java's plain `.` excludes the Unicode line terminators
+    * U+0085/U+2028/U+2029, which `\s+` tokenization does NOT strip — an
+    * unwrapped character would break the `<`/`>` boundary-safety
+    * invariant. RE2 (the DuckDB oracle) excludes only `\n` from `.`,
+    * and `\n` never survives tokenization, so with DOTALL both engines
+    * wrap every character. */
   private def wrapChars(word: org.apache.spark.sql.Column) =
-    regexp_replace(word, "(.)", "<$1>")
+    regexp_replace(word, "(?s)(.)", "<$1>")
 
   /** Learned state after `iters` merge rounds: the final vocab frame
     * `(word, cnt, rep)` plus the merge log.

@@ -45,7 +45,7 @@ object Cdc {
       .select((keyCol +: attrs.filterNot(_ == keyCol)).map(col) :+
         col(actionCol).as("__action"): _*)
       .withColumn("__chg", lit(1))
-    val j = target.withColumn("__tgt", lit(1)).as("t")
+    val j = target.as("t")
       .join(latest.as("c"), col(s"t.$keyCol") === col(s"c.$keyCol"), "full_outer")
     val hasChange = col("c.__chg").isNotNull
     val deleted = hasChange && col("c.__action") === "D"

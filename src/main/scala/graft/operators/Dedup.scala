@@ -401,7 +401,7 @@ object Dedup {
         // bloom build runs at call time (index-artifact pattern); no
         // false negatives, so the pruned join keeps exact semantics
         val bits = Bloom.buildBits(ev, col("s"), nWords, nProbes)
-        train.filter(Bloom.mightContain(bits, col("s"), nProbes))
+        train.filter(Bloom.mightContain(bits, col("s")))
       })
 
   /** Duplicated-substring span detection (the signal behind

@@ -53,7 +53,15 @@ object Export {
       .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    val manifest = sharded.groupBy("shard")
+    // manifest from the WRITTEN files, not the input lineage: the
+    // input may be the tail of a whole dedup/mix pipeline, and
+    // re-aggregating `sharded` would execute that pipeline a second
+    // time just to count rows — the written tree is a cheap
+    // column-pruned scan AND is the artifact the manifest certifies
+    val manifest = spark.read.parquet(dir)
+      // partition-dir discovery narrows the written long to int —
+      // restore shardOf's type so the manifest schema is build-stable
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
     manifest.coalesce(1).write.mode("overwrite")
@@ -63,12 +71,16 @@ object Export {
 
   /** Read one exported shard in its committed order — the loader side:
     * a partition-pruned scan of `shard=K` re-sorted by the same
-    * (md5(id), id) key (parquet row order inside a file is preserved,
-    * but contract beats accident; the sort is a no-op merge on already
-    *-ordered data). */
+    * (md5(id), id) key. A GLOBAL orderBy, not sortWithinPartitions: a
+    * shard file bigger than maxPartitionBytes is scanned as several
+    * splits whose relative order follows the scan packer, so a
+    * within-split sort alone would leave the cross-split order an
+    * accident — exactly what the committed-order contract exists to
+    * rule out. One shard is loader-sized; the range exchange is
+    * cheap. */
   def readShard(spark: SparkSession, dir: String, shard: Int,
       idCol: String): DataFrame =
     spark.read.parquet(dir)
       .filter(col("shard") === shard)
-      .sortWithinPartitions(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
 }

@@ -63,10 +63,15 @@ object IntervalJoin {
   def countPerInterval(points: DataFrame, pTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       countCol: Column, bucket: String = "hour"): DataFrame = {
+    // each interval ROW keeps its own identity through the explode and
+    // the final group-by: two identical (start, end) rows must report
+    // as two rows (a groupBy on the bounds alone would merge them AND
+    // double-count every contained point into the single merged row)
+    val withId = intervals.withColumn("__iid", monotonically_increasing_id())
     // explode_outer: a degenerate interval's empty bucket array keeps
     // its row (null bucket → joins nothing → count 0) rather than
     // silently vanishing from the report
-    val exploded = intervals.withColumn("__bucket",
+    val exploded = withId.withColumn("__bucket",
       explode_outer(coveredBuckets(startCol, endCol, bucket)))
     val p = points.withColumn("__bucket", date_trunc(bucket, col(pTsCol)))
     // LEFT from the exploded intervals: an interval whose buckets hold
@@ -76,7 +81,8 @@ object IntervalJoin {
         p("__bucket") === exploded("__bucket") &&
           col(pTsCol) >= col(startCol) && col(pTsCol) < col(endCol),
         "left")
-      .groupBy(col(startCol), col(endCol))
+      .groupBy(col("__iid"), col(startCol), col(endCol))
       .agg(count(countCol).as("n_points"))
+      .drop("__iid")
   }
 }

@@ -27,12 +27,14 @@ object Layout {
 
   /** Order-preserving map of `c` onto [0, 2^16) given its min/max —
     * 32-bit-safe input to the interleave. Degenerate ranges (min = max)
-    * map to 0. */
+    * map to 0, and so do NULL values (explicitly: least() SKIPS null
+    * arguments, so without the branch a null would silently land at
+    * 65535 and widen the max-corner files' bounding boxes). */
   private def scaled(c: Column, mn: Double, mx: Double): Column =
     if (mx <= mn) lit(0L)
-    else least(lit(65535L),
+    else when(c.isNull, lit(0L)).otherwise(least(lit(65535L),
       floor((c.cast("double") - lit(mn)) / lit(mx - mn) * 65536.0)
-        .cast("long"))
+        .cast("long")))
 
   /** Write `df` z-ordered on two numeric columns into `dir` as `nFiles`
     * parquet files. The min/max scan for scaling is one cheap

@@ -30,6 +30,23 @@ class AsofJoinSpec extends SparkSuite {
     assert(got === Seq(100L -> 7L, 101L -> 8L, 103L -> 10L))
   }
 
+  test("NULL keys never match (equi-join semantics), on either side") {
+    val events = Seq(
+      (100L, Option(1L), ts("2024-01-01 10:00:00")),
+      (101L, Option.empty[Long], ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (7L, Option(1L), ts("2024-01-01 09:00:00")),
+      (8L, Option.empty[Long], ts("2024-01-01 11:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = AsofJoin.joinAsOf(events, "user_id", "ts", "event_id",
+        orders, "o_custkey", "o_orderdate", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // event 101 (null key) must NOT be enriched from order 8 (null key)
+    assert(got === Seq(100L -> 7L),
+      s"null keys cross-matched: $got")
+  }
+
   test("as-of join equals the naive join+rank reference on random data") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

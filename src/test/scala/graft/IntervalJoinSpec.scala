@@ -122,4 +122,18 @@ class IntervalJoinSpec extends SparkSuite {
     assert(IntervalJoin.pointInInterval(points, "ts", intervals,
       "ws", "we").isEmpty)
   }
+
+  test("duplicate interval rows each report their own (un-doubled) count") {
+    // the same window recorded twice (e.g. once per host) must yield
+    // two rows of 3, not one merged row of 6
+    val points = Seq((1L, ts(10, 10)), (2L, ts(10, 20)), (3L, ts(10, 40)))
+      .toDF("event_id", "ts")
+    val intervals = Seq((ts(10, 0), ts(11, 0)), (ts(10, 0), ts(11, 0)))
+      .toDF("ws", "we")
+    val got = IntervalJoin.countPerInterval(points, "ts", intervals,
+        "ws", "we", col("event_id"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(got === Seq(3L, 3L),
+      s"duplicate intervals merged/double-counted: $got")
+  }
 }
