@@ -147,13 +147,18 @@ object Multimodal {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.simhashPairsFromChunks(phashChunks(assets), maxHamming, maxBucket)
 
-  private def withFrameBytes(assets: DataFrame, nFrames: Int): DataFrame =
+  private def withFrameBytes(assets: DataFrame, nFrames: Int): DataFrame = {
+    // nFrames=0 would make sequence(0, -1) DESCEND (Spark defaults the
+    // step to -1 when start > stop), emitting phantom frames with
+    // div-by-zero null bytes instead of failing
+    require(nFrames >= 1, s"nFrames ($nFrames) must be >= 1")
     assets
       .withColumn("frame_idx",
         explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_bytes",
         expr(s"substring(data, frame_idx * (octet_length(data) div $nFrames) + 1, " +
           s"octet_length(data) div $nFrames)"))
+  }
 
   /** Resize/transcode STUB: cap the longer image edge at `maxDim`,
     * scale the metadata exactly (aspect preserved, floor to the pixel

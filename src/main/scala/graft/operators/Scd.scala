@@ -34,6 +34,9 @@ object Scd {
     val missing = attrs.filterNot(updates.columns.contains)
     require(missing.isEmpty,
       s"updates must carry every dim attribute; missing: ${missing.mkString(", ")}")
+    require(trackedCols.nonEmpty,
+      "scd2Merge needs at least one tracked column — with none, no " +
+        "update could ever open a new version")
     require(trackedCols.forall(attrs.contains),
       "trackedCols must be attribute columns of the dimension")
     val closedHistory = current.filter(col("valid_to").isNotNull)

@@ -57,28 +57,43 @@ object SearchIndex {
     import spark.implicits._
     Seq(parts).toDF("parts")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    statsRow(docs, idCol, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
     postingsRows(docs, idCol, textCol, parts)
       .repartition(col("tok_p"))
       .write.mode("overwrite").partitionBy("tok_p")
       .parquet(s"$indexDir/postings")
+    // stats WITHOUT a second tokenize pass (the corpus's most expensive
+    // scan): n_docs is a tokenize-free count of the input, Σdl comes
+    // from the per-doc lengths already persisted in the written
+    // postings (exact — a token-less doc has no postings row and
+    // contributes 0 to Σdl, but IS counted in n_docs, matching the
+    // inline formulation)
+    val nDocs = Caches.spreadByKey(docs, col(idCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val sumDl = spark.read.parquet(s"$indexDir/postings")
+      .groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+    nDocs.crossJoin(sumDl)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
   /** Append new documents — cost ∝ increment: the increment pays one
     * tokenize/tf pass and lands in its tok_p partitions plus ONE new
     * stats partial row; the settled postings are never read. Exactly
-    * equivalent to a one-shot rebuild, always. */
+    * equivalent to a one-shot rebuild, always. Takes the maintenance
+    * lock: an append racing a purge's per-partition swap (or the stats
+    * fold's directory swap) would land rows in a directory that is
+    * about to be deleted as the swap backup. */
   def appendToBm25Index(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
-    val parts = spark.read.parquet(s"$indexDir/meta").head.getInt(0)
-    statsRow(newDocs, idCol, textCol)
-      .coalesce(1).write.mode("append").parquet(s"$indexDir/stats")
-    postingsRows(newDocs, idCol, textCol, parts)
-      .repartition(col("tok_p"))
-      .write.mode("append").partitionBy("tok_p")
-      .parquet(s"$indexDir/postings")
-  }
+      newDocs: DataFrame, idCol: String, textCol: String): Unit =
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      val parts = spark.read.parquet(s"$indexDir/meta").head.getInt(0)
+      statsRow(newDocs, idCol, textCol)
+        .coalesce(1).write.mode("append").parquet(s"$indexDir/stats")
+      postingsRows(newDocs, idCol, textCol, parts)
+        .repartition(col("tok_p"))
+        .write.mode("append").partitionBy("tok_p")
+        .parquet(s"$indexDir/postings")
+    }
 
   /** Serve a keyword query: top-k documents by BM25 (Lucene's variant,
     * t17's exact arithmetic — idf = ln(1 + (N-df+0.5)/(df+0.5)),
@@ -96,13 +111,16 @@ object SearchIndex {
     * parquet reader skips it. */
   private val FoldedMarker = "_folded_tombstones"
 
-  /** Deterministic signature of a tombstone set: (count, Σ xxhash64(id))
-    * — the hash sum as an exact decimal (a long sum can overflow under
-    * ANSI arithmetic). */
+  /** Deterministic signature of a tombstone set:
+    * (count, Σ xxhash64(id), Σdl) — the hash sum as an exact decimal
+    * (a long sum can overflow under ANSI arithmetic). Σdl is part of
+    * the identity: the same ids re-deleted after a re-append with
+    * different lengths subtract a DIFFERENT stats correction, and must
+    * not match a stale marker. */
   private def tombSig(toms: DataFrame): String = {
     val r = toms.agg(count(lit(1)),
-      sum(xxhash64(col("id")).cast("decimal(38,0)"))).head
-    s"${r.getLong(0)}:${r.get(1)}"
+      sum(xxhash64(col("id")).cast("decimal(38,0)")), sum(col("dl"))).head
+    s"${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
   }
 
   private def readFoldedMarker(spark: SparkSession,
@@ -228,12 +246,28 @@ object SearchIndex {
     val tomb = s"$indexDir/tombstones"
     val path = new org.apache.hadoop.fs.Path(tomb)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/stats",
+      FoldedMarker)
+    if (!fs.exists(path)) {
+      // a purge that crashed between its tombstone delete and its
+      // marker delete left a STALE marker; a later delete of a set with
+      // the same signature would silently skip both its serve-time
+      // correction and its fold — clear the residue before returning
+      graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+        fs.delete(marker, false); ()
+      }
+      return
+    }
     graft.core.Tables.withMaintenanceLock(spark, indexDir) {
       foldTombstonesIntoStats(spark, indexDir)
       graft.core.Tables.purgeRows(spark, s"$indexDir/postings", "doc_id",
         spark.read.parquet(tomb).select(col("id")))
       fs.delete(path, true)
+      // 4. the marker's job ends with the tombstones: with the dir gone
+      // no serve consults it, and leaving it would shadow the NEXT
+      // delete's fold if that set's signature collides (same docs
+      // re-deleted after a re-append)
+      fs.delete(marker, false); ()
     }
   }
 

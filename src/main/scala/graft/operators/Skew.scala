@@ -19,6 +19,9 @@ object Skew {
     * algebraic aggregate expressed as sum-of-partials). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
+    // pmod(x, 0) is null (non-ANSI), which would silently empty the
+    // aggregation instead of erroring
+    require(salts >= 1, s"salts ($salts) must be >= 1")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
     salted
@@ -35,6 +38,10 @@ object Skew {
     * identical to `large.join(small, keys)` (inner). */
   def saltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
       salts: Int = 16): DataFrame = {
+    // salts=0 would null every large-side salt (pmod by zero) and the
+    // "semantics identical to large.join(small, keys)" contract would
+    // silently become an empty result
+    require(salts >= 1, s"salts ($salts) must be >= 1")
     val l = large.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
     val s = small.withColumn("__salt",

@@ -65,12 +65,15 @@ object Tfidf {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** `(id_a, id_b, cos)` for every pair with capped-space tf-idf cosine
-    * ≥ `threshold`, `id_a < id_b`. */
-  def cosinePairs(df: DataFrame, idCol: String, textCol: String,
-      nGram: Int = 3, dfCap: Int = 64,
-      threshold: Double = 0.35): DataFrame = {
-    require(nGram >= 1 && dfCap >= 2, "nGram >= 1, dfCap >= 2")
+  /** The weighted-postings front half shared by [[cosinePairs]] and
+    * [[incrementalCosinePairs]] — (id, df, gram_key, w), gram tf ×
+    * corpus idf, df-capped. ONE copy: the incremental twin's equality
+    * contract ("exactly cosinePairs(all), filtered") depends on the two
+    * weight pipelines staying byte-identical, so they must not be able
+    * to drift. One inverted-index exchange; df as a window count over
+    * it. */
+  private def weightedPostings(df: DataFrame, idCol: String,
+      textCol: String, nGram: Int, dfCap: Int): DataFrame = {
     val spread = Caches.spreadByKey(df, col(idCol))
     val tf = spread
       .select(col(idCol).as("id"),
@@ -78,19 +81,25 @@ object Tfidf {
       .select(col("id"), substring(md5(col("gram")), 1, 16).as("gram_key"))
       .groupBy("id", "gram_key")
       .agg(count(lit(1)).cast("double").as("tf"))
-
     val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
-
-    // the one inverted-index exchange; df as a window count over it
     val keyed = tf.repartition(col("gram_key"))
       .withColumn("df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("gram_key"))
         .cast("double"))
       .filter(col("df") <= dfCap)
-    val w = keyed
+    keyed
       .crossJoin(broadcast(stats))
       .select(col("id"), col("df"), col("gram_key"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("w"))
+  }
+
+  /** `(id_a, id_b, cos)` for every pair with capped-space tf-idf cosine
+    * ≥ `threshold`, `id_a < id_b`. */
+  def cosinePairs(df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3, dfCap: Int = 64,
+      threshold: Double = 0.35): DataFrame = {
+    require(nGram >= 1 && dfCap >= 2, "nGram >= 1, dfCap >= 2")
+    val w = weightedPostings(df, idCol, textCol, nGram, dfCap)
 
     Caches.scoped(w) {
       val norms = w.groupBy("id")
@@ -131,26 +140,14 @@ object Tfidf {
       newPred: Column, nGram: Int = 3, dfCap: Int = 64,
       threshold: Double = 0.35): DataFrame = {
     require(nGram >= 1 && dfCap >= 2, "nGram >= 1, dfCap >= 2")
-    val spread = Caches.spreadByKey(df, col(idCol))
-    val tf = spread
-      .select(col(idCol).as("id"),
-        explode(rawShingles(col(textCol), nGram)).as("gram"))
-      .select(col("id"), substring(md5(col("gram")), 1, 16).as("gram_key"))
-      .groupBy("id", "gram_key")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val flags = df.select(col(idCol).as("id"), newPred.as("is_new"))
-
-    val keyed = tf.repartition(col("gram_key"))
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("gram_key"))
-        .cast("double"))
-      .filter(col("df") <= dfCap)
-    val w = keyed
-      .crossJoin(broadcast(stats))
+    // a NULL predicate value means NOT new: without the coalesce a null
+    // flag would turn the orientation predicate (a.id < b.id ∨
+    // ¬b.is_new) null and silently drop new-vs-null-flag pairs whose
+    // new endpoint has the larger id — an id-order-dependent loss
+    val flags = df.select(col(idCol).as("id"),
+      coalesce(newPred, lit(false)).as("is_new"))
+    val w = weightedPostings(df, idCol, textCol, nGram, dfCap)
       .join(flags, "id") // doc-count-sized side; AQE broadcasts
-      .select(col("id"), col("is_new"), col("df"), col("gram_key"),
-        round(col("tf") * log(col("n_docs") / col("df")), 6).as("w"))
 
     Caches.scoped(w) {
       val norms = w.groupBy("id")

@@ -40,19 +40,32 @@ object TokenIndex {
       .write.mode("overwrite").parquet(s"$indexDir/token_stats")
 
   /** Append an increment's counts as delta rows — tokenizes ONLY
-    * `newDocs`; the settled index is untouched. */
+    * `newDocs`; the settled index is untouched. Takes the index's
+    * maintenance lock: an append committing between [[compact]]'s
+    * merge snapshot and its directory swap would be deleted with the
+    * swapped-out backup, silently losing those counts forever. */
   def appendTokenStats(newDocs: DataFrame, idCol: String, textCol: String,
       srcCol: String, indexDir: String): Unit =
-    counts(newDocs, idCol, textCol, srcCol)
-      .write.mode("append").parquet(s"$indexDir/token_stats")
+    graft.core.Tables.withMaintenanceLock(newDocs.sparkSession, indexDir) {
+      counts(newDocs, idCol, textCol, srcCol)
+        .write.mode("append").parquet(s"$indexDir/token_stats")
+    }
 
   /** The merged view: sum delta rows per (source, token). Exactly the
     * table [[buildTokenStats]] would produce over the union corpus —
     * counts are mergeable, so append order and batch boundaries can
-    * never change the result. */
-  def tokenStats(spark: SparkSession, indexDir: String): DataFrame =
+    * never change the result. Heals a crashed [[compact]] swap first:
+    * without it every serve after such a crash would fail on the
+    * missing settled dir until a compact was manually re-run. */
+  def tokenStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.old")
+    graft.core.Tables.recoverSwap(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      target, old)
     spark.read.parquet(s"$indexDir/token_stats")
       .groupBy("source", "token").agg(sum("cnt").as("cnt"))
+  }
 
   /** Fold accumulated deltas back to one row per key (run when the
     * delta tail grows past taste; serving is correct either way).
@@ -63,25 +76,26 @@ object TokenIndex {
     * could lose the whole index if an executor died mid-overwrite,
     * after the target had already been truncated. The settled dir is
     * never truncated before its replacement exists on disk. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.old")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crash between the two renames left no settled table — restore
-    // the backup and re-merge (a re-run is a pure re-merge, idempotent)
-    graft.core.Tables.recoverSwap(fs, target, old)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    tokenStats(spark, indexDir).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"compact could not move $target aside")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target) // roll back — the settled table survives
-      throw new java.io.IOException(s"compact swap failed for $target")
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    graft.core.Tables.withMaintenanceLock(spark, indexDir) {
+      val target = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/token_stats.old")
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a crash between the two renames left no settled table — restore
+      // the backup and re-merge (a re-run is a pure re-merge, idempotent)
+      graft.core.Tables.recoverSwap(fs, target, old)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      tokenStats(spark, indexDir).write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(target, old))
+        throw new java.io.IOException(s"compact could not move $target aside")
+      if (!fs.rename(tmp, target)) {
+        fs.rename(old, target) // roll back — the settled table survives
+        throw new java.io.IOException(s"compact swap failed for $target")
+      }
+      fs.delete(old, true); ()
     }
-    fs.delete(old, true)
-  }
 
   /** t39's per-source KL divergence served FROM THE INDEX — the same
     * math as the inline query, zero corpus reads. */

@@ -110,6 +110,30 @@ class Bm25IndexSpec extends SparkSuite {
     assert(served(idx) === served(twin))
   }
 
+  test("re-deleting the same docs after purge + re-append corrects " +
+      "stats again (the stale-marker trap)") {
+    val idx = Files.createTempDirectory("bm25_redel").toString
+    val victims = docs.filter($"doc_id" % 3 === 2)
+    SearchIndex.buildBm25Index(docs, "doc_id", "text", idx, parts = 8)
+    SearchIndex.deleteFromBm25Index(spark, idx, victims.select("doc_id"))
+    SearchIndex.purgeBm25Tombstones(spark, idx)
+    // the docs come back (a corrected re-ingest), then get deleted
+    // AGAIN: the second delete's tombstone set has the same ids as the
+    // purged one — a stale fold marker must not shadow its correction
+    SearchIndex.appendToBm25Index(spark, idx, victims, "doc_id", "text")
+    SearchIndex.deleteFromBm25Index(spark, idx, victims.select("doc_id"))
+    val twin = Files.createTempDirectory("bm25_redel_twin").toString
+    SearchIndex.buildBm25Index(docs.filter($"doc_id" % 3 =!= 2),
+      "doc_id", "text", twin, parts = 8)
+    assert(served(idx) === served(twin),
+      "re-delete after purge served stale-marker stats (N overcounted)")
+    // and the second purge folds the correction, not skipping on the
+    // stale signature
+    SearchIndex.purgeBm25Tombstones(spark, idx)
+    assert(served(idx) === served(twin),
+      "second purge skipped its stats fold on the stale marker")
+  }
+
   test("the serve scan partition-prunes to the query terms' tok_p dirs") {
     val idx = Files.createTempDirectory("bm25_prune").toString
     SearchIndex.buildBm25Index(docs, "doc_id", "text", idx, parts = 16)
