@@ -22,10 +22,21 @@ import scala.jdk.CollectionConverters._
   * [[graft.streaming.PipeStream]], this is the pub/sub control plane.
   */
 object FileTopic {
-  /** The one parse of a part file's sequence number — shared by every
-    * consumer path (and [[TopicSource]]'s micro-batch listing) so the
-    * naming scheme lives in exactly one place. */
-  private[bus] def seqOf(name: String): Int = name.drop(5).take(6).toInt
+  /** The naming scheme, single-sourced for every producer and consumer
+    * path (including [[TopicSource]]'s micro-batch listing): writes are
+    * zero-padded to 6 digits and GROW PAST the padding at sequence
+    * 1,000,000 (`%06d` never truncates), so the listing pattern accepts
+    * 6-or-more digits and ordering is numeric, never lexicographic —
+    * a `\d{6}`-only match would make every batch past the millionth
+    * invisible to consumers while `nextSeq` kept colliding on it,
+    * permanently wedging the topic. */
+  private[bus] val PartFileRegex = "part-\\d{6,}\\.jsonl"
+
+  private[bus] def partFileName(seq: Int): String = f"part-$seq%06d.jsonl"
+
+  /** The one parse of a part file's sequence number. */
+  private[bus] def seqOf(name: String): Int =
+    name.stripPrefix("part-").takeWhile(_.isDigit).toInt
 }
 
 class FileTopic(root: String) {
@@ -47,8 +58,8 @@ class FileTopic(root: String) {
 
   private def partFiles(topic: String): Seq[Path] =
     listDir(topicDir(topic))
-      .filter(p => p.getFileName.toString.matches("part-\\d{6}\\.jsonl"))
-      .sortBy(_.getFileName.toString)
+      .filter(p => p.getFileName.toString.matches(FileTopic.PartFileRegex))
+      .sortBy(seqOf) // numeric: "part-1000000" sorts before "part-999999" as text
 
   private def seqOf(p: Path): Int = FileTopic.seqOf(p.getFileName.toString)
 
@@ -75,7 +86,7 @@ class FileTopic(root: String) {
       var published = -1
       while (published < 0) {
         val seq = nextSeq(topic)
-        val target = topicDir(topic).resolve(f"part-$seq%06d.jsonl")
+        val target = topicDir(topic).resolve(FileTopic.partFileName(seq))
         try {
           try Files.createLink(target, tmp)
           catch {
@@ -104,19 +115,62 @@ class FileTopic(root: String) {
   private def offsetFile(topic: String, group: String, consumer: Int): Path =
     offsetsDir(topic).resolve(s"$group.$consumer")
 
+  /** Guarded parse of an offset file: a pre-atomic-commit crash (or a
+    * hand-edited file) can leave it empty/corrupt — treat that as "no
+    * commit" (-1, at-least-once redelivery) rather than throwing, which
+    * would crash-loop every subsequent poll for this consumer until an
+    * operator hand-repaired the file. */
+  private def parseOffset(bytes: Array[Byte]): Int =
+    scala.util.Try(new String(bytes, StandardCharsets.UTF_8).trim.toInt)
+      .getOrElse(-1)
+
   private def committed(topic: String, group: String, consumer: Int): Int = {
     val f = offsetFile(topic, group, consumer)
-    if (Files.exists(f)) new String(Files.readAllBytes(f)).trim.toInt else -1
+    if (Files.exists(f)) parseOffset(Files.readAllBytes(f)) else -1
+  }
+
+  /** Commit an offset ATOMICALLY: staged to a dot-prefixed temp (the
+    * publish discipline) and moved into place, so no reader — this
+    * consumer's next poll, or [[stats]] — can ever observe the
+    * truncated-but-unwritten middle of an in-place rewrite. Filesystems
+    * without atomic move degrade to a plain move (same visibility as the
+    * old truncate-then-write, now with [[parseOffset]] as the backstop). */
+  private def commitOffset(topic: String, group: String, consumer: Int,
+      seq: Int): Unit = {
+    val target = offsetFile(topic, group, consumer)
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    Files.write(tmp, f"$seq%06d".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** subscribe+claim+commit (simple_kafka_setup.py:114-177): return the
     * new messages owned by this consumer (stable hash split across the
-    * group) and advance its offset. */
+    * group) and advance its offset.
+    *
+    * Only the CONTIGUOUS prefix of new sequences (last+1, last+2, …) is
+    * delivered and committed: a directory listing is a live scan, so it
+    * can observe part-(N+1) created mid-scan while having already passed
+    * N's slot before part-N was linked — consuming past that hole would
+    * commit the offset over part-N and lose its messages forever.
+    * Sequences are dense by construction ([[publish]] retries until its
+    * create-exclusive link wins), so the skipped tail is simply delivered
+    * by the next poll once the listing sees the full run. */
   def poll(topic: String, group: String, consumer: Int = 0,
       groupSize: Int = 1): Seq[String] = {
     createTopic(topic)
     val last = committed(topic, group, consumer)
     val files = partFiles(topic).filter(seqOf(_) > last)
+      .zipWithIndex
+      .takeWhile { case (f, i) => seqOf(f) == last + 1 + i }
+      .map(_._1)
     val mine = files.flatMap { f =>
       val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       val fileSeq = seqOf(f)
@@ -126,11 +180,8 @@ class FileTopic(root: String) {
           == consumer => m
       }
     }
-    files.lastOption.foreach { f =>
-      val seq = f"${seqOf(f)}%06d"
-      Files.write(offsetFile(topic, group, consumer), seq.getBytes,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    }
+    files.lastOption.foreach(f =>
+      commitOffset(topic, group, consumer, seqOf(f)))
     mine
   }
 
@@ -245,10 +296,13 @@ class FileTopic(root: String) {
     val lineCounts = files.map(f =>
       f -> Files.readAllLines(f).size().toLong).toMap
     val total = lineCounts.valuesIterator.sum
+    // skip dot-prefixed staging residue (a crashed commitOffset's tmp);
+    // parseOffset guards the read against pre-atomic-commit leftovers
     val offsets = listDir(offsetsDir(topic))
+      .filterNot(_.getFileName.toString.startsWith("."))
     val minCommitted =
       if (offsets.isEmpty) -1
-      else offsets.map(p => new String(Files.readAllBytes(p)).trim.toInt).min
+      else offsets.map(p => parseOffset(Files.readAllBytes(p))).min
     val unconsumed = files.filter(seqOf(_) > minCommitted)
       .map(lineCounts).sum
     Map("total_messages" -> total, "n_files" -> files.size.toLong,

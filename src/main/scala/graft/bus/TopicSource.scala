@@ -1,7 +1,6 @@
 package graft.bus
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -121,22 +120,24 @@ private[bus] case class TopicOffset(seq: Int) extends Offset {
 private[bus] class TopicMicroBatchStream(root: String, topic: String)
     extends MicroBatchStream {
 
+  // captured at stream construction (driver-side): carries the session's
+  // Hadoop conf to the listing below AND — via [[TopicReaderFactory]] —
+  // to every executor-side partition read, so the topic root may live on
+  // any Hadoop-visible filesystem (shared NFS/HDFS/S3), not only a POSIX
+  // path local to each node. java.nio reads here would silently demand
+  // that every executor sees the driver's local disk.
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   private def maxSeq(): Int = {
-    val dir = Paths.get(root, topic)
-    if (!Files.isDirectory(dir)) -1
-    else {
-      // close the directory stream eagerly: latestOffset() runs every
-      // micro-batch trigger, and each unclosed Files.list holds a
-      // directory fd until finalization — a busy driver would leak one
-      // fd per trigger
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("part-\\d{6}\\.jsonl"))
-        .map(FileTopic.seqOf)
-        .foldLeft(-1)(math.max)
-      finally s.close()
-    }
+    val dir = new org.apache.hadoop.fs.Path(root, topic)
+    val fs = dir.getFileSystem(hadoopConf.value)
+    if (!fs.exists(dir)) -1
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.matches(FileTopic.PartFileRegex))
+      .map(FileTopic.seqOf)
+      .foldLeft(-1)(math.max)
   }
 
   override def initialOffset(): Offset = TopicOffset(-1)
@@ -151,28 +152,43 @@ private[bus] class TopicMicroBatchStream(root: String, topic: String)
     val e = end.asInstanceOf[TopicOffset].seq
     ((s + 1) to e).map { seq =>
       TopicFilePartition(
-        Paths.get(root, topic, f"part-$seq%06d.jsonl").toString, topic, seq)
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, topic),
+          FileTopic.partFileName(seq)).toString, topic, seq)
         : InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TopicReaderFactory
+    TopicReaderFactory(hadoopConf)
 }
 
 private[bus] case class TopicFilePartition(file: String, topic: String, seq: Int)
     extends InputPartition
 
-private[bus] object TopicReaderFactory extends PartitionReaderFactory {
+private[bus] case class TopicReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val part = p.asInstanceOf[TopicFilePartition]
+      private lazy val path = new org.apache.hadoop.fs.Path(part.file)
+      private lazy val fs = path.getFileSystem(conf.value)
       private lazy val lines: IndexedSeq[String] = {
-        val path = Paths.get(part.file)
-        Files.readAllLines(path, StandardCharsets.UTF_8).asScala.toIndexedSeq
+        val in = fs.open(path)
+        val bytes =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        // Files.readAllLines semantics: \n, \r, \r\n all terminate a
+        // line; a trailing terminator does not produce a final empty
+        // line, interior empty lines survive
+        val split = new String(bytes, StandardCharsets.UTF_8)
+          .split("\r\n|\r|\n", -1)
+        (if (split.nonEmpty && split.last.isEmpty) split.dropRight(1)
+         else split).toIndexedSeq
       }
       private lazy val mtimeMicros: Long =
-        Files.getLastModifiedTime(Paths.get(part.file)).toMillis * 1000L
+        fs.getFileStatus(path).getModificationTime * 1000L
       private var i = -1
 
       override def next(): Boolean = { i += 1; i < lines.size }

@@ -278,6 +278,22 @@ object Tables {
         replaceAtomic(spark, dir,
           spark.read.parquet(dir).join(victims, Seq(idColName), "left_anti"))
     } else {
+      // a SECOND partition level would be flattened by the per-directory
+      // rewrite below (the anti-join result carries the nested key as a
+      // data column and replaceAtomic's staged write does not partition
+      // it back out) — after which partition discovery on the table root
+      // hits "Conflicting directory structures" and the WHOLE table is
+      // unreadable. Refuse loudly, like compact() does for its layout.
+      partDirs.foreach { d =>
+        val nested = fs.listStatus(d.getPath).exists(s =>
+          s.isDirectory && s.getPath.getName.contains("=") &&
+            !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+        require(!nested,
+          s"purgeRows: ${d.getPath} holds nested partition directories; " +
+            "multi-level partitioned tables need a purge per leaf " +
+            "directory to preserve the layout")
+      }
       val partCol = partDirs.head.getPath.getName.split("=", 2)(0)
       // partition type inference OFF for the discovery read: an
       // inferred numeric type re-renders the value ("01" reads back as
@@ -336,10 +352,16 @@ object Tables {
             "running (or crashed; inspect the lock's timestamp and clear " +
             "it with Tables.breakMaintenanceLock)")
       }
-    try out.write(System.currentTimeMillis().toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try body finally fs.delete(lock, false)
+    // the timestamp write is INSIDE the delete-protected region: if it
+    // throws (disk full, transient FS error) the lock must not survive —
+    // the body never ran, and an orphaned lock blocks every future
+    // maintainer until an operator hand-clears it
+    try {
+      try out.write(System.currentTimeMillis().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   /** Clear a maintenance lock left by a CRASHED maintainer — an

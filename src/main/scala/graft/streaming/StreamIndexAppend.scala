@@ -38,6 +38,9 @@ object StreamIndexAppend {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // a reset checkpoint restarts ids at 0 — the overwrite below
+          // would then destroy committed old epochs; detect and refuse
+          EpochGuard.check(batch.sparkSession, s"$indexDir/deltas", batchId)
           Similarity.bucketWithFrozenMeta(batch.sparkSession, indexDir,
               batch, idCol, vecCol)
             .repartition(col("bucket"))

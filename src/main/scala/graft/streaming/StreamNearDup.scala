@@ -63,15 +63,23 @@ object StreamNearDup {
   def candidatePairs(docs: DataFrame, idCol: String, tsCol: String,
       textCol: String, threshold: Double = 0.5, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16, watermark: String = "10 minutes",
-      horizonMinutes: Int = 60): Dataset[NearDupPair] = {
+      horizonMinutes: Int = 60,
+      maxBucket: Int = Dedup.DefaultMaxBucket): Dataset[NearDupPair] = {
     require(numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
     import docs.sparkSession.implicits._
     val horizonMs = horizonMinutes * 60000L
     val arrivals = docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
         Dedup.hashedShingles(col(textCol), k).as("hs"))
+      // no shingle-less rows exist: ShingleHashes hashes the whole text
+      // as one shingle when a doc has fewer than k tokens, so even an
+      // empty/whitespace doc carries exactly one hash — all empties form
+      // ONE exact-duplicate family (Jaccard 1.0), same as the batch
+      // twin. A flood of them is precisely the hot-bucket case the
+      // maxBucket star fallback below bounds.
       .select(col("doc_id"), col("ts"), col("hs"),
         posexplode(Dedup.bandKeys(rowSignature(col("hs"), numHashes),
           bands, numHashes / bands)).as(Seq("band", "bucket")))
@@ -90,7 +98,20 @@ object StreamNearDup {
           // exactly once per colliding band
           it.toSeq.sortBy(a => (a.ts.getTime, a.doc_id)).foreach { a =>
             val aSet = a.hs.toSet
-            resident.foreach { b =>
+            // hot-bucket guard, the batch operator's star fallback
+            // (Dedup.cappedCliqueAndStar) in stream form: a bucket at
+            // the cap compares new arrivals against its REPRESENTATIVE
+            // (min-id resident) only and stops growing state — a
+            // boilerplate template family degrades to O(|family|)
+            // rep-member comparisons instead of O(|family|²), at the
+            // same recall trade the batch cap documents. Divergence
+            // from the batch twin is honest and bounded: the cap binds
+            // on arrival order here vs final bucket size there, and
+            // only inside overflowed (near-identical) families.
+            val overCap = resident.lengthCompare(maxBucket) >= 0
+            val compareSet =
+              if (overCap) resident.minBy(_.id) :: Nil else resident
+            compareSet.foreach { b =>
               // the horizon is a SEMANTIC gate, not just an eviction
               // policy: without it the comparison set would depend on
               // how arrivals chunk into micro-batches (a doc older than
@@ -109,7 +130,8 @@ object StreamNearDup {
                 }
               }
             }
-            resident = BucketDoc(a.doc_id, a.ts.getTime, a.hs) :: resident
+            if (!overCap)
+              resident = BucketDoc(a.doc_id, a.ts.getTime, a.hs) :: resident
           }
           // evict what the watermark has sealed out of the horizon; an
           // empty bucket drops its state entry entirely

@@ -51,7 +51,20 @@ object StreamRollup {
     // snapshot moved aside; heal BEFORE the marker/snapshot reads or
     // the replayed batch crash-loops on the missing directory forever
     Tables.recoverReplaceAtomic(spark, rollupDir)
-    if (batchId <= appliedBatchId(spark, rollupDir)) return
+    val applied = appliedBatchId(spark, rollupDir)
+    // legal crash replay re-delivers AT MOST the last applied batch
+    // (foreachBatch replays only the final uncommitted micro-batch);
+    // a batchId BELOW the marker means the stream restarted against a
+    // fresh/reset checkpoint whose ids restart at 0 — silently skipping
+    // until the counter catches up would discard every batch while the
+    // runs look SUCCEEDED. Fail loudly; the operator either restores the
+    // original checkpoint or re-seeds the rollup dir alongside the new one.
+    if (batchId == applied) return
+    require(batchId > applied,
+      s"StreamRollup: batch $batchId is below the applied marker " +
+        s"$applied at $rollupDir — the streaming checkpoint was reset " +
+        "or replaced; restore it, or rebuild/re-seed the rollup " +
+        "directory to match the new checkpoint's history")
     val stored = spark.read.parquet(rollupDir)
     Tables.replaceAtomic(spark, rollupDir,
       Incremental.mergeRollups(stored, rollup(batch), keys),

@@ -32,6 +32,9 @@ object StreamTokenStats {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // a reset checkpoint restarts ids at 0 — the overwrite below
+          // would then destroy committed old epochs; detect and refuse
+          EpochGuard.check(batch.sparkSession, s"$statsDir/deltas", batchId)
           batch
             .select(col(srcCol).as("source"),
               explode(TextFns.tokens(col(textCol))).as("token"))

@@ -133,4 +133,39 @@ class FileTopicSpec extends SparkSuite {
       } finally s.close()
     assert(leftovers.isEmpty, s"staging files left behind: $leftovers")
   }
+
+  test("a hole in the listed sequence bounds delivery to the contiguous prefix") {
+    val root = Files.createTempDirectory("bus")
+    val b = new FileTopic(root.toString)
+    b.publish("t", Seq("m0"))
+    b.publish("t", Seq("m1"))
+    b.publish("t", Seq("m2"))
+    // model the live-scan race: part-000001 was linked mid-scan, so this
+    // listing sees 0 and 2 but not 1 — consuming 2 would commit the
+    // offset over 1 and lose it forever
+    val hidden = root.resolve("t/part-000001.jsonl")
+    val aside = root.resolve("t/.part-000001.hidden")
+    Files.move(hidden, aside)
+    assert(b.poll("t", "g") === Seq("m0"), "must stop at the hole")
+    Files.move(aside, hidden)
+    // the skipped tail is simply the next poll's delivery
+    assert(b.poll("t", "g") === Seq("m1", "m2"))
+    assert(b.poll("t", "g").isEmpty)
+  }
+
+  test("an empty or corrupt offset file degrades to redelivery, not a crash-loop") {
+    val root = Files.createTempDirectory("bus")
+    val b = new FileTopic(root.toString)
+    b.publish("t", Seq("m0"))
+    assert(b.poll("t", "g") === Seq("m0"))
+    // a pre-atomic-commit crash could leave the file empty; polls must
+    // treat it as "no commit" (at-least-once) instead of throwing forever
+    val off = root.resolve("t/offsets/g.0")
+    Files.write(off, Array.emptyByteArray)
+    assert(b.poll("t", "g") === Seq("m0"))
+    assert(b.poll("t", "g").isEmpty, "redelivery re-commits the offset")
+    // stats must tolerate a corrupt offset too (reads every consumer's)
+    Files.write(off, "garbage".getBytes)
+    assert(b.stats("t")("queue_depth") === 1)
+  }
 }

@@ -283,4 +283,21 @@ class IndexDeleteSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(back === Seq(1L, 2L, 3L), "crashed swap was not healed")
   }
+
+  test("purge refuses a multi-level partition layout instead of flattening it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("purge_nested").toString + "/t"
+    Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"))
+      .toDF("id", "k1", "k2")
+      .write.partitionBy("k1", "k2").parquet(dir)
+    // a blind per-first-level rewrite would collapse the k2= subdirs into
+    // flat files, after which partition discovery on the root hits
+    // "Conflicting directory structures" and the whole table is unreadable
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Tables.purgeRows(spark, dir, "id", Seq(1L).toDF("id"))
+    }
+    assert(e.getMessage.contains("nested partition"))
+    // untouched: layout and rows intact
+    assert(spark.read.parquet(dir).count() === 3)
+  }
 }

@@ -104,6 +104,57 @@ class StreamNearDupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("empty/short docs behave exactly like the batch twin (one exact-dup family)") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ShingleHashes hashes the WHOLE text as one shingle below k tokens,
+    // so ""/"   " trim to the same single-hash set: empties are an
+    // exact-duplicate family (Jaccard 1.0) in batch and stream alike —
+    // never a null-lane degenerate bucket. A flood of them is the
+    // hot-bucket case the maxBucket star fallback bounds.
+    val edge = Seq(Doc(20, ts(0), ""), Doc(21, ts(1), "   "),
+      Doc(22, ts(2), "two words"), Doc(23, ts(3), corpus.head.text),
+      Doc(24, ts(4), corpus.head.text))
+    val expected = Dedup.minhashDedupPairs(edge.toDF(), "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.contains((20L, 21L)),
+      "batch twin must pair the empty family (exact dups)")
+    val in = MemoryStream[Doc]
+    val q = StreamNearDup.candidatePairs(in.toDF(), "doc_id", "ts", "text",
+        threshold = 0.5, watermark = "2 hours", horizonMinutes = 240)
+      .writeStream.format("memory").queryName("near_dup_empty")
+      .outputMode("append").start()
+    try {
+      in.addData(edge: _*)
+      q.processAllAvailable()
+      val got = spark.table("near_dup_empty").select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("a bucket at the cap degrades to representative-star comparisons") {
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // maxBucket = 1: after the first resident, each arrival compares only
+    // against the bucket's min-id representative — the batch operator's
+    // star fallback (Dedup.cappedCliqueAndStar) in stream form
+    val q = StreamNearDup.candidatePairs(in.toDF(), "doc_id", "ts", "text",
+        threshold = 0.5, watermark = "2 hours", horizonMinutes = 240,
+        maxBucket = 1)
+      .writeStream.format("memory").queryName("near_dup_cap")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(30, ts(0), corpus.head.text),
+        Doc(31, ts(1), corpus.head.text), Doc(32, ts(2), corpus.head.text))
+      q.processAllAvailable()
+      val got = spark.table("near_dup_cap").select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((30L, 31L), (30L, 32L)),
+        "star pairs around the representative only — no member-member pair")
+    } finally q.stop()
+  }
+
   test("per-row signature is bit-identical to the batch aggregate signature") {
     val hs = corpus.toDF()
       .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 3).as("hs"))

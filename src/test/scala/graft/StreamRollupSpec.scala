@@ -59,4 +59,24 @@ class StreamRollupSpec extends SparkSuite {
       dir, Seq("k"), rollup)
     assert(stored === Seq(("a", 3L, 7.0)))
   }
+
+  test("a batch id below the marker fails loudly (checkpoint reset, not a replay)") {
+    val dir = Files.createTempDirectory("stream_rollup_reset").toString + "/t"
+    rollup(Seq.empty[Fact].toDF()).write.parquet(dir)
+    graft.streaming.StreamRollup.applyBatch(Seq(Fact("a", 1.0)).toDF(), 5L,
+      dir, Seq("k"), rollup)
+    // a fresh/reset checkpoint restarts ids at 0 — silently skipping
+    // would discard every batch until the counter caught up at 5
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamRollup.applyBatch(Seq(Fact("b", 1.0)).toDF(), 0L,
+        dir, Seq("k"), rollup)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    // the legal crash replay (same id as the marker) stays a silent no-op
+    graft.streaming.StreamRollup.applyBatch(Seq(Fact("a", 9.0)).toDF(), 5L,
+      dir, Seq("k"), rollup)
+    def stored = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stored === Seq(("a", 1L, 1.0)))
+  }
 }
