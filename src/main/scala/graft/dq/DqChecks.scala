@@ -30,10 +30,17 @@ object DqChecks {
     * match in `parent` — a LEFT ANTI join, so the child never widens and
     * the parent side ships only its (distinct) key column. At dim-sized
     * parents the anti join broadcasts; fact⋈fact relationships shuffle
-    * on the key like any equi join. Zero is the healthy result. */
+    * on the key like any equi join. Zero is the healthy result.
+    *
+    * NULL child keys are NOT orphans — SQL (MATCH SIMPLE) foreign keys
+    * treat a null reference as non-violating, and the anti join's
+    * null-never-equals would otherwise permanently alarm on any
+    * optional relationship. Count nulls with [[nullProfile]] if the
+    * column is supposed to be mandatory. */
   def orphanCount(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String, label: String): DataFrame =
     child.select(col(childKey))
+      .filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey)),
         col(childKey) === col(parentKey), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
@@ -78,8 +85,11 @@ object DqChecks {
     * reproducible. */
   def rangeViolations(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       tsCol: String, asOf: Column): DataFrame =
+    // a NULL timestamp is a violation like a null value: `ts <= asOf`
+    // can never be verified for it, and without the explicit isNull arm
+    // the whole OR evaluates null and the row silently passes
     df.filter(col(valueCol).isNull || col(valueCol) < lo ||
-      col(valueCol) > hi || col(tsCol) > asOf)
+      col(valueCol) > hi || col(tsCol).isNull || col(tsCol) > asOf)
 
   /** G3 null-count profile (A4:749-756): null counts for every listed
     * column in ONE pass (a single agg of conditional sums), unpivoted to
@@ -287,6 +297,15 @@ object DqChecks {
       .unionByName(base.select(col(groupCol)).distinct()
         .withColumn("__bin", lit("__OTHER__"))
         .withColumn("__nb", lit(0L)))
+      // collapse slot collisions: a REAL baseline category named
+      // "__OTHER__" would otherwise coexist with the synthetic overflow
+      // slot, and the left join below would fan current counts out to
+      // both rows — double-counting them in every PSI denominator. The
+      // sum-merge folds such a category into the overflow slot (its
+      // mass scored together with unseen-category mass; same for a
+      // literal "__NULL__" merging with real nulls) — a documented
+      // sentinel-name merge, never a wrong total.
+      .groupBy(col(groupCol), col("__bin")).agg(sum("__nb").as("__nb"))
     val curCounts = df.filter(!isBaseline)
       .select(col(groupCol), cat.as("__cat"))
       .join(broadcast(base.select(col(groupCol),

@@ -91,9 +91,19 @@ class TaskGraph(clock: () => Timestamp = () =>
       val zid = java.time.ZoneId.of(zone)
       val today = java.time.Instant.ofEpochMilli(now.getTime)
         .atZone(zid).toLocalDate
-      val boundary = today.atTime(h, m).atZone(zid).toInstant.toEpochMilli
-      boundary <= now.getTime &&
-        lastFire.get(t.name).forall(_ < boundary)
+      // the most RECENT boundary at or before now — today's if the wall
+      // time has passed, otherwise yesterday's. Anchoring on today's
+      // boundary alone loses a fire whenever no tick lands between the
+      // boundary and local midnight (DailyAt(23,55) with hourly :30
+      // ticks: the 00:30 tick would recompute the boundary into the new
+      // day and never look back). With the lookback, the first tick
+      // after a missed boundary catches up — at most one fire, since
+      // firing sets lastFire ≥ that boundary.
+      val todayBoundary = today.atTime(h, m).atZone(zid).toInstant.toEpochMilli
+      val boundary =
+        if (todayBoundary <= now.getTime) todayBoundary
+        else today.minusDays(1).atTime(h, m).atZone(zid).toInstant.toEpochMilli
+      lastFire.get(t.name).forall(_ < boundary)
   }
 
   /** EXECUTE TASK (A4:405): run one root now, cascading through the DAG

@@ -17,9 +17,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * signature aggregate ([[MinHashSigAgg]]); `shingle_hashes(text, k)` —
   * the native k-gram shingle hasher ([[ShingleHashes]]);
   * `rand_project(vec, dim_in, dim_out[, tag])` — the codegen'd
-  * Rademacher JL projection ([[RandProjectExpr]]); `z_value(x, mean,
-  * std)` — the null-safe standard score; `freq_sketch(col, capacity)` —
-  * the Misra-Gries heavy-hitter aggregate ([[FreqSketchAgg]]). */
+  * Rademacher JL projection ([[RandProjectExpr]]); `z_value(a, b)` —
+  * the two-dimension Z-order (Morton) bit interleave for layout
+  * clustering ([[ZValue]], NOT a statistical z-score);
+  * `freq_sketch(col, capacity)` — the Misra-Gries heavy-hitter
+  * aggregate ([[FreqSketchAgg]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -33,6 +33,18 @@ case class SimHashChunksAgg(hi: Expression, lo: Expression,
   override def left: Expression = hi
   override def right: Expression = lo
 
+  // analysis-time gate, like every sibling native aggregate: a mistyped
+  // half must fail resolution, not as a per-task ClassCastException in
+  // update() mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (hi.dataType == LongType && lo.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        "simhash_chunks expects two BIGINT 32-bit halves, got " +
+          s"(${hi.dataType.sql}, ${lo.dataType.sql})")
+
   // counters(0..63) = per-bit set counts; counters(64) = row count
   override def createAggregationBuffer(): Array[Int] = new Array[Int](65)
 

@@ -172,22 +172,28 @@ object TextFns {
 
   // ---- DuckDB oracle twins (same constants, by construction) ----
 
+  /** THE one spelling of the tokenizer on the oracle side (the twin of
+    * [[tokens]]) — every SQL builder goes through it, so a tokenization
+    * change can never update some twins and miss others. */
+  private def toksSql(col: String): String =
+    s"string_split_regex(trim(lower($col)), '\\s+')"
+
   def tokenCountSql(col: String): String =
-    s"len(string_split_regex(trim(lower($col)), '\\s+'))"
+    s"len(${toksSql(col)})"
 
   def alphaRatioSql(col: String): String =
     s"ROUND(CAST(length(regexp_replace($col, '[^A-Za-z]', '', 'g')) AS DOUBLE) / NULLIF(length($col), 0), 4)"
 
   def stopwordRatioSql(col: String): String = {
     val inList = enStopwords.map(w => s"'$w'").mkString(", ")
-    s"ROUND(CAST(len(list_filter(string_split_regex(trim(lower($col)), '\\s+'), w -> w IN ($inList))) AS DOUBLE) / NULLIF(len(string_split_regex(trim(lower($col)), '\\s+')), 0), 4)"
+    s"ROUND(CAST(len(list_filter(${toksSql(col)}, w -> w IN ($inList))) AS DOUBLE) / NULLIF(len(${toksSql(col)}), 0), 4)"
   }
 
   def qualityScoreSql(col: String): String =
     s"ROUND(0.3 * LEAST(1.0, CAST(${tokenCountSql(col)} AS DOUBLE) / 100.0) + 0.4 * ${alphaRatioSql(col)} + 0.3 * LEAST(1.0, ${stopwordRatioSql(col)} * 4.0), 4)"
 
   def langIdSql(col: String): String = {
-    val toks = s"string_split_regex(trim(lower($col)), '\\s+')"
+    val toks = toksSql(col)
     val scoreExprs = langMarkers.map { case (l, m) =>
       val inList = m.map(w => s"'$w'").mkString(", ")
       l -> s"len(list_filter($toks, w -> w IN ($inList)))"
@@ -201,9 +207,6 @@ object TextFns {
 
   def fingerprintSql(col: String): String =
     s"sha256(regexp_replace(lower(trim($col)), '\\s+', ' ', 'g'))"
-
-  private def toksSql(col: String): String =
-    s"string_split_regex(trim(lower($col)), '\\s+')"
 
   def meanWordLenSql(col: String): String =
     s"ROUND(CAST(list_sum(list_transform(${toksSql(col)}, t -> length(t))) AS DOUBLE) / NULLIF(len(${toksSql(col)}), 0), 4)"
@@ -223,7 +226,7 @@ object TextFns {
     * strpos arithmetic as the sampling oracles, identical weight
     * function, sequential list_sum matching the fold order. */
   def classifierScoreSql(col: String, dim: Int = 1024, mod: Int = 197): String = {
-    val toks = s"string_split_regex(trim(lower($col)), '\\s+')"
+    val toks = toksSql(col)
     val v = (1 to 4).map(i =>
       s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
       .mkString("(", " + ", ")")

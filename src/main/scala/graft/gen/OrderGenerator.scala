@@ -50,8 +50,19 @@ object OrderGenerator {
   val anchorMillis: Long = Timestamp.valueOf("2025-10-01 00:00:00").getTime
   private val twoYearsMillis: Long = 2L * 365 * 24 * 3600 * 1000
 
-  private def rowRng(seed: Long, id: Long): java.util.Random =
-    new java.util.Random(scala.util.hashing.byteswap64(seed ^ (id * 0x9E3779B97F4A7C15L)))
+  /** Per-row RNG with FULL 64-bit stream identity. The mix
+    * `byteswap64(seed ^ id·φ)` is a bijection in `id` for a fixed seed
+    * (odd multiplier, xor, byteswap — all invertible), so every row gets
+    * a distinct generator state and byte-identical duplicate rows are
+    * impossible at ANY n. java.util.Random here would quietly truncate
+    * the state to 48 bits ((seed ^ 0x5DEECE66D) & 2^48−1): two ids
+    * agreeing in the low 48 mixed bits would emit identical rows —
+    * txid included — with ~n²/2^49 expected collisions (≈17 duplicate
+    * txid pairs at 10⁸ rows), breaking the generator's uniqueness
+    * contract exactly at the scale it advertises. */
+  private def rowRng(seed: Long, id: Long): java.util.SplittableRandom =
+    new java.util.SplittableRandom(
+      scala.util.hashing.byteswap64(seed ^ (id * 0x9E3779B97F4A7C15L)))
 
   /** Deterministic raw orders: one row per id in [0, n). */
   def rawOrders(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[RawOrder] = {

@@ -83,9 +83,13 @@ object Masking {
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
       .filter { s =>
-        val d = java.time.LocalDate.parse(
-          s.getPath.getName.stripPrefix("p_date="))
-        d.isBefore(cutoff)
+        // rows with a null timestamp land in p_date=__HIVE_DEFAULT_PARTITION__
+        // (written by writeDatePartitioned itself) — their age is unknowable,
+        // so retention KEEPS them rather than crashing the whole run on the
+        // unparseable directory name; flag them via nullProfile instead
+        scala.util.Try(java.time.LocalDate.parse(
+            s.getPath.getName.stripPrefix("p_date="))).toOption
+          .exists(_.isBefore(cutoff))
       }
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
   }

@@ -21,8 +21,9 @@ object GovernanceQueries {
     DqChecks.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))
       .orderBy("l_orderkey")
 
-  /** G2 range/staleness validation (A4:744-747): value out of bounds, null,
-    * or timestamp after the (explicit, reproducible) as-of instant. */
+  /** G2 range/staleness validation (A4:744-747): value out of bounds or
+    * null, timestamp null or after the (explicit, reproducible) as-of
+    * instant. */
   def g02RangeViolations(s: SparkSession, dir: String): DataFrame =
     DqChecks.rangeViolations(t(s, dir, "events"), "value", 0.5, 99.5,
         "ts", lit("2024-06-01 00:00:00").cast("timestamp"))
@@ -398,7 +399,7 @@ object GovernanceQueries {
     "g01_duplicates" ->
       "SELECT l_orderkey, COUNT(*) AS n_dups FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey",
     "g02_range_violations" ->
-      "SELECT event_id FROM events WHERE value IS NULL OR value < 0.5 OR value > 99.5 OR ts > TIMESTAMP '2024-06-01 00:00:00' ORDER BY event_id",
+      "SELECT event_id FROM events WHERE value IS NULL OR value < 0.5 OR value > 99.5 OR ts IS NULL OR ts > TIMESTAMP '2024-06-01 00:00:00' ORDER BY event_id",
     "g03_null_profile" ->
       ("SELECT 'null_event_type' AS metric_name, CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric_value FROM events " +
         "UNION ALL SELECT 'null_props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
@@ -437,9 +438,9 @@ object GovernanceQueries {
         .mkString("", " UNION ALL ", " ORDER BY column_name")
     },
     "g10_ref_integrity" ->
-      ("SELECT 'events_customer' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_orphans FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id) " +
-        "UNION ALL SELECT 'lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
-        "UNION ALL SELECT 'orders_customer', CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
+      ("SELECT 'events_customer' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_orphans FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id) " +
+        "UNION ALL SELECT 'lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "UNION ALL SELECT 'orders_customer', CAST(COUNT(*) AS BIGINT) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
         "ORDER BY relationship"),
   )
 }

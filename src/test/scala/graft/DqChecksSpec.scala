@@ -41,6 +41,46 @@ class DqChecksSpec extends SparkSuite {
     assert(out.toSeq === Seq(2, 3, 4, 5))
   }
 
+  test("rangeViolations flags null timestamps (staleness unverifiable)") {
+    val asOf = Timestamp.valueOf("2024-01-02 00:00:00")
+    val d = Seq(
+      (1, Some(5.0), Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2, Some(5.0), None)) // in-range value, but ts unknown
+      .toDF("id", "v", "ts")
+    // without the explicit isNull arm, `ts > asOf` evaluates NULL and
+    // the whole OR lets row 2 silently pass the G2 check
+    val out = DqChecks.rangeViolations(d, "v", 0, 10, "ts", lit(asOf))
+      .select("id").as[Int].collect().toSeq
+    assert(out === Seq(2))
+  }
+
+  test("orphanCount: null child keys are not orphans (MATCH SIMPLE FK semantics)") {
+    val child = Seq(Some(1L), Some(2L), None, None).toDF("fk")
+    val parent = Seq(1L).toDF("pk")
+    val n = DqChecks.orphanCount(child, "fk", parent, "pk", "c_p")
+      .select("n_orphans").as[Long].collect()(0)
+    // only fk=2 is a real violation; the two null FKs are optional refs
+    assert(n === 1L)
+  }
+
+  test("psiDriftCategorical: a real category named __OTHER__ is not double-counted") {
+    // baseline holds the literal string __OTHER__ as a genuine category;
+    // the synthetic overflow slot must merge with it, not coexist (a
+    // duplicate slot fans the current counts out and corrupts every
+    // PSI denominator)
+    val d = Seq(
+      ("g", "__OTHER__", true), ("g", "a", true), ("g", "a", true),
+      ("g", "__OTHER__", false), ("g", "a", false), ("g", "zz", false))
+      .toDF("grp", "cat", "base")
+    val out = DqChecks.psiDriftCategorical(d, "grp", "cat", col("base"))
+      .collect()
+    assert(out.length === 1, "one PSI row per group, no slot fan-out")
+    val psi = out(0).getAs[Double]("psi")
+    // identical-ish mix: finite, small — NaN/inflation would betray the
+    // double-count
+    assert(!psi.isNaN && psi >= 0.0 && psi < 5.0)
+  }
+
   test("nullProfile counts nulls per column in one pass") {
     val d = Seq((Some(1), Option.empty[String]), (None, Some("x")),
       (None, Some("y"))).toDF("a", "b")

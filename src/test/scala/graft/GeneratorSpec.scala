@@ -59,13 +59,13 @@ class GeneratorSpec extends SparkSuite {
       val (hp, days) = enriched
         .agg(round(avg("horsepower"), 4), round(avg("days"), 4))
         .as[(Double, Double)].collect()(0)
-      assert(hp === 214.9757, s"avg hp=$hp") // reference shape: 227.7
-      assert(days === 3.9943, s"avg days=$days") // reference shape: 4.0
+      assert(hp === 215.3874, s"avg hp=$hp") // reference shape: 227.7
+      assert(days === 3.998, s"avg days=$days") // reference shape: 4.0
       // unique customers (distinct EMAIL) — reference shape: 46,082/100k
       assert(enriched.filter($"email".isNotNull).select("email")
-        .distinct().count() === 68238L)
+        .distinct().count() === 68365L)
       // UNKNOWN brand — reference shape: 10,249 ≈ 10.2%
-      assert(enriched.filter($"brand" === "UNKNOWN").count() === 10347L)
+      assert(enriched.filter($"brand" === "UNKNOWN").count() === 10276L)
       // orders by brand with per-brand avg HP (reference: analytics1/
       // monitoring2 table; UNKNOWN rows average exactly 0)
       val brands = enriched.groupBy("brand")
@@ -73,31 +73,31 @@ class GeneratorSpec extends SparkSuite {
         .orderBy(desc("n")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(brands === Seq(
-        ("Boreal", 10546L, 233.2036), ("Ember", 10417L, 197.2526),
-        ("Harrier", 10411L, 274.0121), ("Cinder", 10360L, 254.7177),
-        ("UNKNOWN", 10347L, 0.0), ("Glacier", 10330L, 247.3717),
-        ("Dray", 10293L, 281.4238), ("Aster", 10238L, 206.2165),
-        ("Flux", 10211L, 224.1005), ("Ion", 6847L, 239.5545)))
+        ("Harrier", 10507L, 273.028), ("Glacier", 10502L, 248.2056),
+        ("Aster", 10455L, 206.0904), ("Dray", 10454L, 282.8448),
+        ("Cinder", 10402L, 256.4512), ("Boreal", 10394L, 231.7741),
+        ("UNKNOWN", 10276L, 0.0), ("Flux", 10133L, 222.3152),
+        ("Ember", 10068L, 197.4618), ("Ion", 6809L, 240.0367)))
       // orders by engine (reference: analytics4 — Electric dominant,
       // UNKNOWN mirrors the missing-catalog rows)
       val engines = enriched.groupBy("engine").agg(count(lit(1)).as("n"))
         .orderBy(desc("n")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-      assert(engines === Seq(("Electric", 37713L), ("Hybrid", 20876L),
-        ("Petrol", 20771L), ("UNKNOWN", 10347L), ("Diesel", 10293L)))
+      assert(engines === Seq(("Electric", 37465L), ("Petrol", 20909L),
+        ("Hybrid", 20896L), ("Diesel", 10454L), ("UNKNOWN", 10276L)))
       // top models (reference: monitoring2 top-5 ≈ 3.5k each)
       val models = enriched.groupBy("car_model").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("car_model")).limit(3).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-      assert(models === Seq(("Harrier M8", 3625L), ("Boreal M11", 3602L),
-        ("Nimbus N1", 3532L)))
+      assert(models === Seq(("Dray M13", 3552L), ("Harrier M17", 3539L),
+        ("Aster M1", 3518L)))
       // regional spread: all 50 states, near-uniform (reference:
       // analytics2 — ~850-906/state; ours ~1.4k/state at 70% non-null)
       val (nStates, mn, mx) = enriched.filter($"address".isNotNull)
         .groupBy($"address.state").agg(count(lit(1)).as("n"))
         .agg(count(lit(1)), min("n"), max("n"))
         .as[(Long, Long, Long)].collect()(0)
-      assert((nStates, mn, mx) === ((50L, 1329L, 1484L)))
+      assert((nStates, mn, mx) === ((50L, 1302L, 1482L)))
     } finally enriched.unpersist()
   }
 

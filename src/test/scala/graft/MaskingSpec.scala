@@ -100,6 +100,22 @@ class MaskingSpec extends SparkSuite {
       java.time.LocalDate.parse("2024-06-01"), 90).isEmpty)
   }
 
+  test("retention keeps (and survives) the null-timestamp partition") {
+    val dir = java.nio.file.Files.createTempDirectory("ret_null").toString + "/t"
+    val d = Seq((1, Some("2024-01-01 10:00:00")), (2, None))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    // the writer itself produces p_date=__HIVE_DEFAULT_PARTITION__ for
+    // the null-ts row — retention must neither crash on the unparseable
+    // name nor delete rows of unknowable age
+    Masking.writeDatePartitioned(d, "ts", dir)
+    val dropped = Masking.retentionDropPartitions(spark, dir,
+      java.time.LocalDate.parse("2024-06-01"), days = 90)
+    assert(dropped === Seq("p_date=2024-01-01"))
+    val left = spark.read.parquet(dir)
+    assert(left.select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("anonymize hashes keys, buckets quasi-ids, keeps the rest") {
     val d = Seq((7L, 23, "seg")).toDF("id", "nk", "seg")
     val r = Masking.anonymize(d, Seq("id"), Map("nk" -> 10)).collect()(0)

@@ -37,6 +37,23 @@ class TaskGraphSpec extends SparkSuite {
     now = ts("2024-01-02 02:00:01"); g.tick(); assert(n === 2) // next day
   }
 
+  test("daily cron catches up a boundary no tick straddled before midnight") {
+    // DailyAt(23,55) with sparse ticks: nothing lands between 23:55 and
+    // local midnight. Anchoring due() on TODAY's boundary alone would
+    // recompute the boundary into the new day at the 00:30 tick and
+    // silently lose yesterday's fire; the lookback fires it once.
+    var now = ts("2024-01-01 23:30:00")
+    val g = new TaskGraph(() => now)
+    var n = 0
+    g.add(TaskDef("late", Some(DailyAt(23, 55)), body = () => n += 1))
+    g.resume("late")
+    g.tick(); assert(n === 0)                                  // 23:30
+    now = ts("2024-01-02 00:30:00"); g.tick(); assert(n === 1) // catch-up
+    now = ts("2024-01-02 01:30:00"); g.tick(); assert(n === 1) // once only
+    now = ts("2024-01-02 23:56:00"); g.tick(); assert(n === 2) // next day
+    now = ts("2024-01-03 00:30:00"); g.tick(); assert(n === 2) // no double
+  }
+
   test("daily cron honors IANA timezone across a DST gap (ST5, A4:1031)") {
     // Europe/Paris springs forward 2026-03-29: 02:00 CET -> 03:00 CEST,
     // so the 02:00 wall time doesn't exist; it must fire at 03:00 CEST
