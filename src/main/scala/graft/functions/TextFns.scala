@@ -19,6 +19,21 @@ object TextFns {
     * provided by [[bpeishTokens]]. */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** Adjacent-bigram array ("w1 w2" strings) of the tokenized text;
+    * texts under two tokens yield an empty array. The token array is
+    * LET-BOUND through a 1-element transform: interpreted higher-order
+    * lambdas re-evaluate subtrees embedded in the lambda body PER
+    * ELEMENT, so slicing the tokenize EXPRESSION directly would re-run
+    * the regex split of the whole text once per bigram — O(n·|text|)
+    * per document (the Dedup.shingles fix, shared by every bigram
+    * consumer: t25/t30/t38). */
+  def bigrams(c: Column): Column =
+    flatten(transform(array(tokens(c)), ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", slice(ts, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))))
+
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
   /** Regex sub-word tokenizer: alphanumeric runs or single punctuation

@@ -48,7 +48,10 @@ object Cdc {
     val j = target.as("t")
       .join(latest.as("c"), col(s"t.$keyCol") === col(s"c.$keyCol"), "full_outer")
     val hasChange = col("c.__chg").isNotNull
-    val deleted = hasChange && col("c.__action") === "D"
+    // coalesce: a NULL action (malformed feed) must behave like any
+    // other unknown action — an upsert — not silently DELETE the row
+    // (`action === "D"` is NULL for it, and filter(!NULL) drops the row)
+    val deleted = hasChange && coalesce(col("c.__action") === "D", lit(false))
     // dropping `deleted` rows covers both real deletes and D on an
     // unknown key (its full-outer row has no target side to keep);
     // everything else is an upsert (change side) or a pass-through

@@ -38,12 +38,19 @@ object Dedup {
   /** Word k-shingles, distinct. Short docs (< k tokens) fall back to the
     * whole token array as one shingle so they still get a signature. */
   def shingles(textCol: Column, k: Int = 3): Column = {
-    val toks = TextFns.tokens(textCol)
-    array_distinct(
-      when(size(toks) < k, array(concat_ws(" ", toks)))
+    // let-binding via a 1-element outer transform: higher-order lambdas
+    // are interpreted and re-evaluate subtrees embedded in the lambda
+    // body PER ELEMENT — `slice(tokens(text), i, k)` would re-run the
+    // full regex tokenize for every shingle, O(n_grams × |text|) per
+    // doc. Binding the token array to a lambda variable evaluates the
+    // tokenize exactly once; the inner lambda's slice then reads the
+    // bound array at O(k).
+    val toksOnce = array(TextFns.tokens(textCol))
+    array_distinct(flatten(transform(toksOnce, ts =>
+      when(size(ts) < k, array(concat_ws(" ", ts)))
         .otherwise(transform(
-          sequence(lit(1), size(toks) - lit(k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
+          sequence(lit(1), size(ts) - lit(k - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(k))))))))
   }
 
   /** MinHash signatures as a hash AGGREGATION, not a per-row nested
@@ -345,8 +352,16 @@ object Dedup {
       prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val shCol = if (hashed) hashedShingles(col(textCol), k)
       else shingles(col(textCol), k).cast("array<string>")
+    // coalesce(pred, false): a NULL predicate row (e.g. source IS NULL
+    // under `source === "mmlu"`) would otherwise fail BOTH filters below
+    // — excluded from the eval index AND from the train probe — so a
+    // contaminated train doc could silently screen as clean. Null means
+    // "not an eval doc": it stays on the train side and gets checked
+    // (the Tfidf.incrementalCosinePairs guard, applied to the one
+    // operator where a recall hole is eval leakage into training).
     val sh = Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol).as("id"), evalPred.as("is_eval"),
+      .select(col(idCol).as("id"),
+        coalesce(evalPred, lit(false)).as("is_eval"),
         explode(shCol).as("s"))
     // both probes (eval filter + train filter) consume the expensive
     // corpus-wide shingle explode — cache it for the operator's scope
@@ -498,11 +513,22 @@ object Dedup {
     * ADD a spurious 1-gram match on some diagonal, not break a run). */
   private def gramPostings(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
+    // materialize the token array ONCE per row in its own projection:
+    // higher-order lambdas are interpreted (CodegenFallback) and
+    // re-evaluate subtrees embedded in the lambda body PER ELEMENT —
+    // gramming directly over the tokenize EXPRESSION re-runs the regex
+    // split of the whole text for every gram, O(n_grams × |text|) per
+    // document (measured: a 1M-token doc effectively never finishes).
+    // A bound column is an O(1) attribute read per lambda call, and the
+    // explode boundary keeps the optimizer from inlining the split back.
+    val withToks = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"),
+        TextFns.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val gramArr = when(size(toks) >= k, gramSeq(toks, k))
       .otherwise(array().cast("array<string>"))
-    Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol).as("id"), posexplode(gramArr))
+    withToks
+      .select(col("id"), posexplode(gramArr))
       .select(col("id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("g"))
   }
 
@@ -605,7 +631,12 @@ object Dedup {
     * chunked/pre-split corpus. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
+    // token array hoisted into its own projection — the gramPostings
+    // per-element-recompute fix; see the comment there
+    val withToks = Caches.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("id"),
+        TextFns.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     // short docs still get a fingerprint (the [[shingles]] convention):
     // <k tokens fall back to one whole-text gram, and <w windows clamp
     // to a single window over whatever grams exist — otherwise 5-7
@@ -613,8 +644,8 @@ object Dedup {
     val gramArr = when(size(toks) >= k, gramSeq(toks, k))
       .otherwise(array(concat_ws(" ", toks)))
     val radix = 1048576L // 2^20 position slots per doc
-    val grams = Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol).as("id"), posexplode(gramArr))
+    val grams = withToks
+      .select(col("id"), posexplode(gramArr))
       .select(col("id"), (col("pos") + 1).as("p"),
         conv(substring(md5(col("col")), 1, 4), 16, 10).cast("long").as("hx"))
     val wDoc = Window.partitionBy("id")
@@ -622,7 +653,16 @@ object Dedup {
       .rowsBetween(Window.currentRow, w - 1)
     grams
       .withColumn("ng", count(lit(1)).over(wDoc))
-      .withColumn("m", min(col("hx") * radix + col("p")).over(wFrame))
+      // ENFORCE the 2^20 position radix (not just document it): a doc
+      // past ~1M grams would bleed positions into the hash lanes of
+      // hx·radix + p and silently corrupt the window-min selection —
+      // fail fast instead, like simhashHalves enforces its token slice.
+      // The guard rides the consumed `m` column so pruning can't drop it.
+      .withColumn("m",
+        when(col("ng") >= lit(radix), raise_error(lit(
+          "winnowFingerprints: document exceeds 2^20 grams — chunk or " +
+            "pre-split oversized documents first")).cast("long"))
+          .otherwise(min(col("hx") * radix + col("p")).over(wFrame)))
       // full windows only — clamped to ≥1 so gram-poor docs keep their
       // single (truncated-window) selection
       .filter(col("p") <= greatest(col("ng") - (w - 1), lit(1)))

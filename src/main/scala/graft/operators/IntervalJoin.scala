@@ -31,6 +31,15 @@ object IntervalJoin {
     * "Illegal sequence boundaries" at runtime; with it, the empty array
     * explodes to zero rows (zero matches), which is what "covers no
     * time" means. */
+  /** Bucket units valid BOTH as a `date_trunc` unit and as an INTERVAL
+    * literal unit: `date_trunc` additionally accepts quarter/decade/
+    * century/millennium, but `INTERVAL 1 quarter` fails to parse — a
+    * caller handed one of those would get a runtime ParseException deep
+    * inside the explode, so the set is validated up front. */
+  private val BucketUnits =
+    Set("microsecond", "millisecond", "second", "minute", "hour",
+      "day", "week", "month", "year")
+
   private def coveredBuckets(startCol: String, endCol: String,
       bucket: String): Column =
     when(col(endCol) > col(startCol),
@@ -44,11 +53,14 @@ object IntervalJoin {
 
   /** Inner point-in-interval matches: one row per (point, covering
     * interval), `[startCol, endCol)` half-open. Output: all point
-    * columns + all interval columns. `bucket` is any `date_trunc`
+    * columns + all interval columns. `bucket` is any [[BucketUnits]]
     * unit (hour, day, ...). */
   def pointInInterval(points: DataFrame, pTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucket: String = "hour"): DataFrame = {
+    require(BucketUnits(bucket.toLowerCase),
+      s"bucket '$bucket' is not a supported unit " +
+        s"(${BucketUnits.toSeq.sorted.mkString(", ")})")
     val exploded = intervals.withColumn("__bucket",
       explode(coveredBuckets(startCol, endCol, bucket)))
     points.withColumn("__bucket", date_trunc(bucket, col(pTsCol)))
@@ -63,6 +75,9 @@ object IntervalJoin {
   def countPerInterval(points: DataFrame, pTsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       countCol: Column, bucket: String = "hour"): DataFrame = {
+    require(BucketUnits(bucket.toLowerCase),
+      s"bucket '$bucket' is not a supported unit " +
+        s"(${BucketUnits.toSeq.sorted.mkString(", ")})")
     // each interval ROW keeps its own identity through the explode and
     // the final group-by: two identical (start, end) rows must report
     // as two rows (a groupBy on the bounds alone would merge them AND

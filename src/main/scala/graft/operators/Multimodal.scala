@@ -89,7 +89,12 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // decoder/context init would happen here, once per partition
-        rows.map { case (id, kind, bytes) =>
+        rows.map { case (id, kind, bytes0) =>
+          // `data` is a nullable binary column; one null payload must
+          // decode like a zero-byte asset, not NPE-kill the whole job
+          // after four task retries (this is the repo's only per-row
+          // JVM code path — everywhere else nulls flow declaratively)
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val acc = stubAccumulators(bytes, dims)
           DecodedAsset(id, kind, bytes.length.toLong,
             acc.map(v => v.toFloat / StubMod), acc.sum)
@@ -119,7 +124,9 @@ object Multimodal {
       .select(col("asset_id").cast("long"), col("data").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
+        rows.map { case (id, bytes0) =>
+          // same null-payload guard as decodeFeatures
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val acc = stubAccumulators(bytes, dims)
           var h = 0L
           var d = 0

@@ -34,6 +34,16 @@ object Quantiles {
   def cumShareBuckets(scores: DataFrame, scoreCol: String,
       cuts: Seq[(String, Int, Int)], lastLabel: String): DataFrame = {
     require(cuts.nonEmpty, "need at least one cut")
+    // the foldRight CASE chain evaluates cuts in the given order, so
+    // descending shares would shadow every earlier (smaller) cut —
+    // rows meant for it silently land in the larger bucket's label;
+    // enforce the ascending precondition instead of mislabeling
+    val shares = cuts.map { case (_, num, den) =>
+      require(den > 0 && num >= 0, s"cut shares must be ratios, got $num/$den")
+      num.toDouble / den
+    }
+    require(shares.zip(shares.tail).forall { case (a, b) => a < b },
+      s"cuts must ascend strictly by share, got ${shares.mkString(", ")}")
     // null scores are excluded from the distribution AND the output
     // (the attach join is inner): Spark's window orders NULLS FIRST
     // where DuckDB defaults NULLS LAST, so a null group in `dist` would

@@ -43,8 +43,13 @@ object SearchIndex {
 
   private def statsRow(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // count(textCol), not count(*): a NULL-text row is not an indexed
+    // document — it tokenizes to nothing, so it has NO postings rows,
+    // and counting it in n_docs would make it undeletable (delete
+    // derives membership from postings) with N permanently inflated
+    // vs a rebuild. Membership ≡ has-postings, by definition.
     Caches.spreadByKey(docs, col(idCol))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(col(textCol)).as("n_docs"),
         sum(size(TextFns.tokens(col(textCol))).cast("long")).as("sum_dl"))
 
   /** Build the index: one tokenize + grouped-tf pass over the corpus,
@@ -62,13 +67,12 @@ object SearchIndex {
       .write.mode("overwrite").partitionBy("tok_p")
       .parquet(s"$indexDir/postings")
     // stats WITHOUT a second tokenize pass (the corpus's most expensive
-    // scan): n_docs is a tokenize-free count of the input, Σdl comes
-    // from the per-doc lengths already persisted in the written
-    // postings (exact — a token-less doc has no postings row and
-    // contributes 0 to Σdl, but IS counted in n_docs, matching the
-    // inline formulation)
+    // scan): n_docs is a tokenize-free count of the input's NON-NULL
+    // texts (count(textCol) — a null-text row has no postings, so it is
+    // not an index member; see statsRow), Σdl comes from the per-doc
+    // lengths already persisted in the written postings
     val nDocs = Caches.spreadByKey(docs, col(idCol))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(col(textCol)).as("n_docs"))
     val sumDl = spark.read.parquet(s"$indexDir/postings")
       .groupBy("doc_id").agg(first("dl").as("dl"))
       .agg(coalesce(sum("dl"), lit(0L)).as("sum_dl"))

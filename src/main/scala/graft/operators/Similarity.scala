@@ -1426,7 +1426,12 @@ object Similarity {
       var cands = cand0
       var picks = Vector.empty[DataFrame]
       (1 to k).foreach { r =>
-        val score = if (r == 1) col("sim")
+        // round 1 scores λ·sim (the standard MMR value with an empty
+        // selected set — the penalty term vanishes), NOT raw sim: the
+        // pick is identical (monotone transform) but the reported
+        // mmr_score column must be on ONE scale across ranks, or a
+        // consumer thresholding on it sees rank 1 inflated by 1/λ
+        val score = if (r == 1) col("sim") * lambda
           else col("sim") * lambda - col("pen") * (1 - lambda)
         val w = Window.partitionBy("query_id")
           .orderBy(score.desc, col("neighbor_id"))

@@ -58,11 +58,17 @@ object Tfidf {
     * [[Dedup.shingles]] is the distinct variant). Documents shorter
     * than k tokens contribute their whole text as one gram. */
   private def rawShingles(textCol: Column, k: Int): Column = {
-    val toks = TextFns.tokens(textCol)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - lit(k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // let-binding via a 1-element transform (the Dedup.shingles fix):
+    // interpreted HOF lambdas re-evaluate embedded subtrees per element,
+    // so slicing the tokenize EXPRESSION would re-run the regex split of
+    // the whole text once per gram — the bound lambda variable `ts` is
+    // evaluated once and read at O(k) per shingle
+    val toksOnce = array(TextFns.tokens(textCol))
+    flatten(transform(toksOnce, ts =>
+      when(size(ts) < k, array(concat_ws(" ", ts)))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - lit(k - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(k)))))))
   }
 
   /** The weighted-postings front half shared by [[cosinePairs]] and

@@ -167,10 +167,7 @@ object PipelineQueries {
   def t38PmiCollocations(s: SparkSession, dir: String,
       minCount: Long = 20L): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val bgArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bgArr = TextFns.bigrams(col("text"))
     val d = docs(s, dir)
     val bg = graft.operators.Caches.spreadByKey(d, col("doc_id"))
       .select(explode(bgArr).as("bg"))
@@ -581,10 +578,7 @@ object PipelineQueries {
   def t30Dsir(s: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
     val toks = TextFns.tokens(col("text"))
-    val bgArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bgArr = TextFns.bigrams(col("text"))
     val grams = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(concat(toks, bgArr)).as("gram"))
@@ -690,11 +684,7 @@ object PipelineQueries {
     * broadcast under AQE; [[graft.operators.Skew]] at hot-token
     * corpus scale) + one per-doc mean. */
   def t25BigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val bgArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bgArr = TextFns.bigrams(col("text"))
     val bg = graft.operators.Caches.spreadByKey(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(bgArr).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -773,8 +763,11 @@ object PipelineQueries {
       .filter(col("token").isin(terms: _*))
     val tf = d.groupBy("doc_id", "token")
       .agg(count(lit(1)).cast("double").as("tf"), first("len").as("len"))
+    // count("text") (non-null), matching the materialized index's
+    // membership definition: a null-text row has no postings and is not
+    // a collection member — avg_len already skips it (AVG ignores nulls)
     val stats = docs(s, dir).agg(
-      count(lit(1)).cast("double").as("n_docs"),
+      count(col("text")).cast("double").as("n_docs"),
       avg(size(TextFns.tokens(col("text")))).as("avg_len"))
     val df_ = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -1809,7 +1802,7 @@ object PipelineQueries {
        |cand AS (SELECT query_id, neighbor_id, v, vn, sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM scored) WHERE rn <= 10),
-       |p1 AS (SELECT query_id, neighbor_id AS s1, v AS v1, vn AS n1, sim AS sc1 FROM (
+       |p1 AS (SELECT query_id, neighbor_id AS s1, v AS v1, vn AS n1, sim * $lam AS sc1 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM cand) WHERE rn = 1),
        |r2 AS (
@@ -2868,7 +2861,7 @@ object PipelineQueries {
         |dd AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS len, unnest(tk) AS token FROM toks),
         |f AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, any_value(len) AS len
         |      FROM dd WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |st AS (SELECT CAST(count(text) AS DOUBLE) AS n_docs,
         |              AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
         |       FROM documents),
         |dfx AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM f GROUP BY token),
@@ -3081,7 +3074,7 @@ object PipelineQueries {
         |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS len, unnest(tk) AS token FROM toks),
         |f AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, any_value(len) AS len
         |      FROM d WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |st AS (SELECT CAST(count(text) AS DOUBLE) AS n_docs,
         |              AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
         |       FROM documents),
         |dfx AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM f GROUP BY token)

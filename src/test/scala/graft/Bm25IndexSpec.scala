@@ -31,6 +31,23 @@ class Bm25IndexSpec extends SparkSuite {
     assert(inline.nonEmpty)
   }
 
+  test("null-text docs are not index members: excluded from N, deletable corpus unaffected") {
+    // membership ≡ has-postings: a null-text row tokenizes to nothing,
+    // so it must not count in n_docs (it would be undeletable — delete
+    // derives membership from postings — leaving N forever inflated vs
+    // a rebuild). Index over docs ∪ {null-text} ≡ index over docs.
+    val withNull = docs.unionByName(
+      Seq((999999L, Option.empty[String])).toDF("doc_id", "text"))
+    val plain = Files.createTempDirectory("bm25_plain").toString
+    val nulled = Files.createTempDirectory("bm25_nulled").toString
+    SearchIndex.buildBm25Index(docs, "doc_id", "text", plain, parts = 8)
+    SearchIndex.buildBm25Index(withNull, "doc_id", "text", nulled, parts = 8)
+    assert(served(nulled) === served(plain))
+    val stats = spark.read.parquet(s"$nulled/stats")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(stats === docs.count(), "null-text doc leaked into n_docs")
+  }
+
   test("append ≡ one-shot build; compaction collapses files, serve fixed") {
     val oneShot = Files.createTempDirectory("bm25_one").toString
     val grown = Files.createTempDirectory("bm25_grow").toString

@@ -24,6 +24,21 @@ class CdcSpec extends SparkSuite {
     assert(out === Seq(1L -> "a2", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
+  test("a NULL action upserts like any unknown action — never deletes") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // malformed feed: null action on an existing key. `action === "D"`
+    // is NULL for it, and an unguarded filter(!NULL) would silently
+    // DELETE key 1 — while the non-null unknown action "X" upserts.
+    // Both malformed shapes must behave the same way: upsert.
+    val changes = Seq(
+      (1L, Some(1L), None, "a9"),
+      (2L, Some(1L), Some("X"), "b9"))
+      .toDF("id", "seq", "action", "v")
+    val out = Cdc.applyChanges(target, changes, "id", "seq", "action")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq(1L -> "a9", 2L -> "b9"))
+  }
+
   test("latest change per key wins; earlier ones are superseded") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val changes = Seq(

@@ -190,6 +190,21 @@ class DedupSpec extends SparkSuite {
     assert(got === run(hashed = true)) // 8-byte-key path is equivalent
   }
 
+  test("contamination: a NULL eval predicate means train side — still screened") {
+    // a null predicate row (source IS NULL under source === 'bench')
+    // must land on the TRAIN side and get checked; failing both filters
+    // would silently report a contaminated doc as clean
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "bench"),
+      (10L, "alpha beta gamma delta epsilon eta", null))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.contaminatedDocs(d, "doc_id", "text",
+        col("source") === "bench", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(10L),
+      "the null-source train doc shares an eval 5-gram and must flag")
+  }
+
   test("dupClusters: truncated propagation throws instead of returning split labels") {
     // a 5-chain needs ~4 propagation rounds; maxRounds=1 must be loud,
     // not silently emit two labels for one component
@@ -484,6 +499,19 @@ class DedupSpec extends SparkSuite {
     val fp2 = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fp.sorted.toSeq === fp2.sorted.toSeq)
+  }
+
+  test("winnowing: a doc past the 2^20-gram radix fails fast, not silently corrupts") {
+    // positions past 2^20 would bleed into the hash lanes of the packed
+    // (hash·radix + pos) long and corrupt the window-min selection —
+    // the guard must raise, pointing at chunking, instead
+    val big = Array.fill(1048590)("a").mkString(" ") // > 2^20 grams at k=5
+    val d = docs(1L -> big)
+    val e = intercept[Exception] {
+      Dedup.winnowFingerprints(d, "doc_id", "text", 5, 4).collect()
+    }
+    assert(e.getMessage.contains("2^20"),
+      s"expected the radix guard, got: ${e.getMessage.take(200)}")
   }
 
   test("winnowing: short docs still fingerprint and identical ones match") {

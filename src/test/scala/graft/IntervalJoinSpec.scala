@@ -90,6 +90,19 @@ class IntervalJoinSpec extends SparkSuite {
     }
   }
 
+  test("a date_trunc-only bucket unit is rejected up front, not at explode time") {
+    // "quarter" is a valid date_trunc unit but NOT an INTERVAL literal
+    // unit — unvalidated it would throw a ParseException deep inside
+    // the covered-buckets explode
+    val points = Seq((1L, ts(9, 30))).toDF("event_id", "ts")
+    val intervals = Seq((ts(9, 0), ts(10, 0))).toDF("ws", "we")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(points, "ts", intervals, "ws", "we",
+        bucket = "quarter")
+    }
+    assert(e.getMessage.contains("not a supported unit"))
+  }
+
   test("degenerate intervals (end <= start) yield zero matches, not a runtime error") {
     val points = Seq((1L, ts(9, 30))).toDF("event_id", "ts")
     val intervals = Seq(

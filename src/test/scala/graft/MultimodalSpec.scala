@@ -28,6 +28,21 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.forall(_.length === 8))
   }
 
+  test("a NULL payload decodes like a zero-byte asset, not an NPE") {
+    // nullable binary column: one null row must not kill the whole job
+    // in the typed mapPartitions path (the repo's only per-row JVM code)
+    val withNull = Seq((1L, Some("payload")), (2L, None))
+      .toDF("doc_id", "text")
+    val a = Multimodal.syntheticAssets(withNull, "doc_id", "text")
+    val out = Multimodal.decodeFeatures(a, dims = 4)
+      .orderBy("asset_id").collect()
+    assert(out.length === 2)
+    assert(out(1).getAs[Long]("byte_len") === 0L)
+    assert(out(1).getAs[Long]("feat_checksum") === 0L)
+    val ph = Multimodal.phashChunks(a, dims = 5).orderBy("id").collect()
+    assert(ph.length === 2, "phash path must survive the null payload too")
+  }
+
   test("sampleFrames emits n frames per asset") {
     val a = Multimodal.syntheticAssets(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(a, 4)

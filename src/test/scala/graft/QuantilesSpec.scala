@@ -17,6 +17,17 @@ class QuantilesSpec extends SparkSuite {
       Seq.fill(3)("tail"))
   }
 
+  test("descending cuts are rejected, not silently mislabeled") {
+    // the CASE chain evaluates cuts in order: descending shares would
+    // shadow the smaller cut and relabel its rows into the bigger bucket
+    val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.cumShareBuckets(df, "s",
+        Seq(("middle", 2, 3), ("head", 1, 3)), "tail")
+    }
+    assert(e.getMessage.contains("ascend"))
+  }
+
   test("ties never straddle a cut — equal scores share a bucket") {
     // 6 docs at score 1.0 (cum share 6/9 = 2/3 -> middle edge), 3 above
     val df = (Seq.fill(6)(1.0) ++ Seq.fill(3)(9.0)).zipWithIndex
