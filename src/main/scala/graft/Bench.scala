@@ -73,8 +73,15 @@ object Bench {
     // Disable with SPARK_GRAFT_NO_WARM=1.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR",
       "/root/testdata/sf0.001")
+    // canonical-path compare, not string compare: a trailing slash or a
+    // symlinked SF dir would otherwise defeat the guard and warm the
+    // MEASURED dataset itself (page cache + size-dependent plan choices
+    // pre-warmed on the data about to be timed — silently flattered
+    // numbers, exactly what the different-SF warm-up exists to avoid)
+    def canon(p: String) =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     if (!sys.env.contains("SPARK_GRAFT_NO_WARM") &&
-        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -115,8 +122,12 @@ object Bench {
     // ms precision is plenty, and the shorter values keep more of the
     // per-query map visible inside any tail-sliced capture. Locale.ROOT:
     // a comma-decimal default locale would otherwise emit invalid JSON
+    // esc() on EVERY interpolated string — keys and sfDir included: a
+    // quote/backslash in SPARK_GRAFT_SF_DIR spliced raw would corrupt
+    // both stdout lines and bench.json, and the driver's JSON parse
+    // would silently lose the round's performance metrics
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+      "\"" + esc(k) + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
@@ -124,13 +135,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a crashed query must be VISIBLE, not a fast time: failures are
     // excluded from `queries`/total and reported in `errors`/`n_err`
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the full line above exceeds tail-window captures at ~90 queries
     // (a consumer keeping only the last N chars of stdout sees it
     // truncated mid-line and can't parse it) — so also emit a compact
     // summary line, short enough to always survive a tail slice intact
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
     // sbt appends its own trailing lines to stdout; a file copy keeps the
     // FULL JSON machine-readable regardless of how stdout is sliced
     try java.nio.file.Files.writeString(

@@ -65,6 +65,11 @@ object Explain {
             println(s"---------- $n interior (probed) ----------")
             println(PlanSnapshots.interiorString(probed.toSeq))
           }
+          // same per-query cache hygiene as snapshot mode: the eager
+          // (Caches.scoped) queries leave checkpoint blocks behind —
+          // ~40 of them accumulated over a full print run exhaust a
+          // small driver JVM near the end
+          spark.catalog.clearCache()
       }
     }
     planDir.foreach(dir =>

@@ -29,7 +29,17 @@ object SparkEntry {
     * shared by Bench and Verify. */
   def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on names that match nothing: a typo'd SPARK_GRAFT_ONLY
+    // would otherwise select ZERO queries and Bench/Verify would report
+    // a clean empty run — a fast, error-free round that measured nothing
+    only.foreach { names =>
+      val unknown = names -- queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted
+          .mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+    }
     queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
   }

@@ -23,8 +23,18 @@ object Verify {
     // SPARK_GRAFT_ONLY subsetting (shared contract with Bench) —
     // local_verify compares whatever result dirs exist
     SparkEntry.selectedQueries.foreach { case (name, fn) =>
+      // delete any PREVIOUS run's result dir up front: the compare reads
+      // whatever dirs exist, so a query that THROWS this run would
+      // otherwise leave last run's parquet behind and hash green —
+      // a crash masked as a pass. With the dir gone, a failed query is
+      // a missing result, which the compare reports loudly.
+      val target = Paths.get(outDir, name)
+      if (Files.exists(target)) {
+        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1448,10 +1448,15 @@ object PipelineQueries {
     * instead. The edge set is the exact-verified d02 pair table, so
     * the DuckDB twin replays brute-force pairs + the same recursion. */
   def d17DupReach(s: SparkSession, dir: String): DataFrame = {
+    // the recursive-CTE SQL needs a named relation for the edge table;
+    // spark.sql analyzes EAGERLY (the temp view's plan is inlined into
+    // the returned Dataset at analysis), so the view is dropped in the
+    // finally below — no catalog state outlives construction, keeping
+    // this query as pure as every other (SparkSession, dir) => DataFrame
     Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
         threshold = 0.5)
       .select("id_a", "id_b").createOrReplaceTempView("__d17_edges")
-    s.sql("""WITH RECURSIVE
+    try s.sql("""WITH RECURSIVE
       |e AS (SELECT id_a AS src, id_b AS dst FROM __d17_edges
       |      UNION SELECT id_b, id_a FROM __d17_edges),
       |seeds AS (SELECT DISTINCT id_a AS doc_id FROM __d17_edges
@@ -1463,6 +1468,7 @@ object PipelineQueries {
       |  WHERE w.hop < 3)
       |SELECT doc_id, CAST(MIN(hop) AS INT) AS hop
       |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    finally s.catalog.dropTempView("__d17_edges")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
