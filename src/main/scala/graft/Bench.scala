@@ -85,6 +85,10 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        // sweep per warm query: 200+ queries' checkpoint blocks piling
+        // up through the warm pass would start the TIMED region with a
+        // storage-eviction debt the first measured queries pay for
+        graft.operators.Caches.releaseAllPersistent(spark)
       }
       spark.catalog.clearCache()
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
@@ -115,6 +119,13 @@ object Bench {
       // whoever runs next (measured: up to 10x on innocent bystander
       // queries). Disable with SPARK_GRAFT_NO_GC to measure
       // steady-state throughput.
+      // releaseAllPersistent drops RDD-level blocks (localCheckpoint's
+      // home) that clearCache cannot see — deterministic, instead of
+      // waiting for GC + the async ContextCleaner; on a loaded box the
+      // cleaner falls behind and dead checkpoint blocks from hundreds of
+      // queries stack into storage pressure that spills LIVE state of
+      // whichever checkpoint-heavy query runs next.
+      graft.operators.Caches.releaseAllPersistent(spark)
       spark.catalog.clearCache()
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
       if (ok) Some(name -> elapsed) else None

@@ -20,6 +20,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmTree(target: java.nio.file.Path): Unit =
+      if (Files.exists(target)) {
+        // Using closes the walk stream — an unclosed walk leaks a
+        // directory fd per pre-existing result dir across the loop
+        scala.util.Using.resource(Files.walk(target)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
+      }
+    // drop result dirs whose query no longer exists in the registry
+    // (renamed/removed queries — e.g. q19_outlier_3sigma -> _2sigma):
+    // the compare reads whatever dirs exist, so a stale dir from a
+    // pre-rename run would be compared against nothing or, worse, an
+    // identically-renamed future query. Keyed on the FULL registry, not
+    // the SPARK_GRAFT_ONLY subset, so subset runs still compose.
+    scala.util.Using.resource(Files.list(Paths.get(outDir))) { ls =>
+      ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p) && !SparkEntry.queries.contains(n)) rmTree(p)
+      }
+    }
     // SPARK_GRAFT_ONLY subsetting (shared contract with Bench) —
     // local_verify compares whatever result dirs exist
     SparkEntry.selectedQueries.foreach { case (name, fn) =>
@@ -29,15 +50,16 @@ object Verify {
       // a crash masked as a pass. With the dir gone, a failed query is
       // a missing result, which the compare reports loudly.
       val target = Paths.get(outDir, name)
-      if (Files.exists(target)) {
-        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      rmTree(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // checkpoint blocks (invisible to clearCache) + SQL cache: both
+      // released deterministically so 200+ queries in one session don't
+      // accumulate dead storage blocks
+      graft.operators.Caches.releaseAllPersistent(spark)
       spark.catalog.clearCache() // no cross-query cache bleed
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -37,9 +37,21 @@ object FileTopic {
   /** The one parse of a part file's sequence number. */
   private[bus] def seqOf(name: String): Int =
     name.stripPrefix("part-").takeWhile(_.isDigit).toInt
+
+  /** Consecutive polls a head-of-line sequence gap may persist before
+    * [[FileTopic.poll]] declares it a durable hole and throws. */
+  private[bus] val HoleTolerance = 3
 }
 
 class FileTopic(root: String) {
+
+  /** Per-consumer tracking of a sequence gap observed at the head of the
+    * undelivered run — see the durable-hole check in [[poll]]. In-memory
+    * (a broker restart re-counts from zero), concurrent-safe for
+    * multi-threaded consumers of one broker instance. */
+  private case class HoleSighting(missing: Int, polls: Int)
+  private val holeSightings =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), HoleSighting]
 
   private def topicDir(topic: String): Path = Paths.get(root, topic)
   private def offsetsDir(topic: String): Path = topicDir(topic).resolve("offsets")
@@ -167,10 +179,31 @@ class FileTopic(root: String) {
       groupSize: Int = 1): Seq[String] = {
     createTopic(topic)
     val last = committed(topic, group, consumer)
-    val files = partFiles(topic).filter(seqOf(_) > last)
-      .zipWithIndex
+    val newer = partFiles(topic).filter(seqOf(_) > last)
+    val files = newer.zipWithIndex
       .takeWhile { case (f, i) => seqOf(f) == last + 1 + i }
       .map(_._1)
+    // A transient hole (publish racing the listing) heals on the next
+    // poll; a DURABLE hole (part file deleted/lost, e.g. a partial
+    // restore) would wedge this consumer behind it silently forever —
+    // poll returning empty with files visible past the gap. Detect the
+    // same gap persisting across HoleTolerance consecutive polls and
+    // fail loudly with the missing sequence, so an operator can restore
+    // the file or explicitly skip it by advancing the offset.
+    if (files.isEmpty && newer.nonEmpty) {
+      val missing = last + 1
+      val key = (topic, group, consumer)
+      val seen = holeSightings.compute(key, (_, prev) =>
+        if (prev != null && prev.missing == missing)
+          HoleSighting(missing, prev.polls + 1)
+        else HoleSighting(missing, 1))
+      if (seen.polls >= FileTopic.HoleTolerance)
+        throw new IllegalStateException(
+          s"topic '$topic': sequence $missing is missing but " +
+            s"${newer.size} newer part file(s) exist (up to " +
+            s"${seqOf(newer.last)}) — durable hole after ${seen.polls} " +
+            "polls; restore the file or advance the group offset past it")
+    } else holeSightings.remove((topic, group, consumer))
     val mine = files.flatMap { f =>
       val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       val fileSeq = seqOf(f)

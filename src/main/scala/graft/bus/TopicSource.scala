@@ -129,8 +129,24 @@ private[bus] class TopicMicroBatchStream(root: String, topic: String)
   private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
+  // [[FileTopic]]'s producer writes via java.nio — ALWAYS the local
+  // filesystem. A schemeless root here would instead resolve through
+  // fs.defaultFS (HDFS/S3 on a real cluster), silently pointing the
+  // stream at a DIFFERENT filesystem than the producer: an empty topic
+  // forever, no error. Schemeless roots are therefore pinned to file://
+  // (absolute, so executor-side reads agree with the driver's listing);
+  // an explicit scheme is honored as given — that is the contract for a
+  // topic root that genuinely lives on shared HDFS/NFS.
+  private val qualifiedRoot = {
+    val hasScheme =
+      try new java.net.URI(root).getScheme != null
+      catch { case _: java.net.URISyntaxException => false }
+    if (hasScheme) root
+    else "file://" + java.nio.file.Paths.get(root).toAbsolutePath
+  }
+
   private def maxSeq(): Int = {
-    val dir = new org.apache.hadoop.fs.Path(root, topic)
+    val dir = new org.apache.hadoop.fs.Path(qualifiedRoot, topic)
     val fs = dir.getFileSystem(hadoopConf.value)
     if (!fs.exists(dir)) -1
     else fs.listStatus(dir).iterator
@@ -153,7 +169,7 @@ private[bus] class TopicMicroBatchStream(root: String, topic: String)
     ((s + 1) to e).map { seq =>
       TopicFilePartition(
         new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(root, topic),
+          new org.apache.hadoop.fs.Path(qualifiedRoot, topic),
           FileTopic.partFileName(seq)).toString, topic, seq)
         : InputPartition
     }.toArray

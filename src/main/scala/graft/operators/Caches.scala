@@ -62,6 +62,37 @@ private[graft] object Caches {
     def eagerCheckpoint(): DataFrame = Caches.eager(df)
   }
 
+  /** Drop the storage blocks behind a checkpointed frame NOW, instead of
+    * waiting for GC + the async ContextCleaner to notice the reference
+    * died. Iterative operators supersede their state every round; without
+    * an explicit release each round's checkpoint blocks linger until a
+    * full GC cycle completes AND the cleaner thread drains — on a loaded
+    * machine that debt accumulates into storage-memory pressure that
+    * evicts LIVE blocks and turns every later materialization into disk
+    * churn (the long-lived-session failure mode scoped()'s doc warns
+    * about, just at the RDD layer). At 100 TB a 50-iteration fit leaking
+    * 49 state snapshots is an executor-storage OOM, not a slowdown.
+    *
+    * ONLY call this on state that is provably dead: a localCheckpoint's
+    * data lives in those very blocks (lineage is truncated), so a released
+    * frame that is re-executed fails with "checkpoint block not found"
+    * rather than silently recomputing. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Between-queries sweep for long-lived harness sessions (Bench,
+    * Verify): unpersist EVERY still-registered RDD — persisted frames
+    * whose scope leaked, checkpoint blocks whose frames died but whose
+    * GC hasn't run. `catalog.clearCache()` only drops SQL-cache entries;
+    * RDD-level blocks (localCheckpoint's home) are invisible to it. */
+  def releaseAllPersistent(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   def scoped(intermediates: DataFrame*)(out: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist())
     try eager(out)

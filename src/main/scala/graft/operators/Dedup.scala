@@ -761,6 +761,9 @@ object Dedup {
           least(col("__old"), coalesce(col("nmin"), col("__old"))).as("label"))
         .eagerCheckpoint()
       converged = next.filter(col("label") =!= col("__old")).isEmpty
+      // the pre-update state is dead the moment `next` is materialized —
+      // drop its blocks now rather than letting rounds stack up in storage
+      Caches.release(labels)
       labels = next.select("id", "label")
       round += 1
     }
@@ -831,6 +834,10 @@ object Dedup {
         // equal — and the except job only runs once counts agree
         val n = afterSmall.count()
         converged = n == prevCount && afterSmall.exceptAll(prev).isEmpty
+        // last round's canonical set and edge expansion are superseded
+        // once the convergence check has run — release both eagerly
+        Caches.release(prev)
+        Caches.release(edges)
         prev = afterSmall
         prevCount = n
         edges = undirect(afterSmall).eagerCheckpoint()

@@ -69,6 +69,7 @@ object PageRank {
       val n = deg.count().toDouble
       var r = deg.select(col("node"), col("deg"),
         round(lit(1.0 / n), 12).as("r"))
+      var prevCkpt: Option[DataFrame] = None
       for (t <- 1 to iters) {
         val contrib = r.select(col("node").as("src"),
           round(col("r") / col("deg"), 13).cast("decimal(38,13)").as("__c"))
@@ -86,7 +87,14 @@ object PageRank {
             round(lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
               12).as("r"))
-        if (t % 2 == 0 || t == iters) r = r.eagerCheckpoint()
+        if (t % 2 == 0 || t == iters) {
+          r = r.eagerCheckpoint()
+          // the previous batch-checkpoint is dead once the new state is
+          // materialized — release its blocks instead of stacking
+          // iters/2 state snapshots in executor storage
+          prevCkpt.foreach(Caches.release)
+          prevCkpt = Some(r)
+        }
       }
       r.select(col("node"), col("deg"), col("r").as("rank"))
     }

@@ -719,8 +719,13 @@ object Similarity {
     var cents = md5Sample(c, "id", k)
       .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
       .eagerCheckpoint()
-    for (_ <- 1 to iters)
-      cents = kmeansUpdate(cents, kmeansAssign(c, cents), dim)
+    for (_ <- 1 to iters) {
+      val next = kmeansUpdate(cents, kmeansAssign(c, cents), dim)
+      // kmeansUpdate checkpoints `next`, so last iteration's centroid
+      // blocks are dead — release rather than stack one per iteration
+      Caches.release(cents)
+      cents = next
+    }
     cents
   }
 

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Caches
+import org.apache.spark.sql.functions._
+
+/** The deterministic block-release layer: iterative operators drop
+  * superseded checkpoint state NOW instead of leaving dead blocks to
+  * GC + the async ContextCleaner (the storage-pressure failure mode a
+  * 200-query harness session or a 50-iteration fit hits first). */
+class CachesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("release drops exactly the checkpoint blocks behind a frame") {
+    val before = persistedIds
+    val a = Caches.eager(Seq(1, 2, 3).toDF("x"))
+    val b = Caches.eager(Seq(4, 5).toDF("y"))
+    val mid = persistedIds
+    assert((mid -- before).size === 2, "each eager() registers one RDD")
+    Caches.release(a.select(col("x") * 2)) // projection OVER the checkpoint
+    // unpersist(blocking=false) is enqueued immediately (not GC-gated);
+    // registration removal is synchronous
+    assert((persistedIds -- before).size === 1, "a's blocks released via a view")
+    assert(b.count() === 2, "b untouched")
+    Caches.release(b)
+    assert((persistedIds -- before).isEmpty)
+  }
+
+  test("releaseAllPersistent sweeps checkpoint AND persisted blocks") {
+    val d1 = Caches.eager(Seq(1, 2).toDF("x"))
+    val d2 = Seq(3, 4).toDF("y").persist()
+    d2.count()
+    assert(persistedIds.nonEmpty)
+    Caches.releaseAllPersistent(spark)
+    assert(persistedIds.isEmpty)
+    assert(d1.columns.sameElements(Array("x"))) // frames stay usable as metadata
+  }
+
+  test("iteration state is released per round: block count is O(1) in rounds") {
+    import graft.operators.Dedup
+    Caches.releaseAllPersistent(spark)
+    // a 12-hop chain forces ~12 min-label propagation rounds; each round
+    // checkpoints fresh label state. With per-round release the resident
+    // set stays {edges, current labels}; without it, one dead snapshot
+    // per round accumulates (the 50-iteration-fit OOM shape at scale).
+    val n = 13L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(docs, "doc_id", pairs, maxRounds = 20)
+    assert(out.select(countDistinct(col("cluster_id"))).head.getLong(0) === 1L,
+      "one chain, one component")
+    assert(persistedIds.size <= 3,
+      s"superseded per-round state leaked: ${persistedIds.size} RDDs resident " +
+        "after a ~12-round propagation (expected edges + final labels only)")
+    Caches.releaseAllPersistent(spark)
+  }
+}

@@ -153,6 +153,32 @@ class FileTopicSpec extends SparkSuite {
     assert(b.poll("t", "g").isEmpty)
   }
 
+  test("a DURABLE hole fails loudly after the tolerance instead of wedging") {
+    val root = Files.createTempDirectory("bus")
+    val b = new FileTopic(root.toString)
+    b.publish("t", Seq("m0"))
+    b.publish("t", Seq("m1"))
+    b.publish("t", Seq("m2"))
+    assert(b.poll("t", "g") === Seq("m0", "m1", "m2"))
+    b.publish("t", Seq("m3"))
+    b.publish("t", Seq("m4"))
+    // part-000003 is LOST (partial restore) — not a transient listing race
+    Files.delete(root.resolve("t/part-000003.jsonl"))
+    // the first polls are indistinguishable from a race: empty, no error
+    assert(b.poll("t", "g").isEmpty)
+    assert(b.poll("t", "g").isEmpty)
+    // the gap persisting past the tolerance must be loud, not silent
+    val e = intercept[IllegalStateException](b.poll("t", "g"))
+    assert(e.getMessage.contains("sequence 3"))
+    assert(e.getMessage.contains("durable hole"))
+    // operator remedy: advance the offset past the hole → consumption
+    // resumes (and the sighting counter resets for future gaps)
+    val off = root.resolve("t/offsets/g.0")
+    Files.write(off, "000003".getBytes)
+    assert(b.poll("t", "g") === Seq("m4"))
+    assert(b.poll("t", "g").isEmpty)
+  }
+
   test("an empty or corrupt offset file degrades to redelivery, not a crash-loop") {
     val root = Files.createTempDirectory("bus")
     val b = new FileTopic(root.toString)
