@@ -93,6 +93,41 @@ private[graft] object Caches {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 
+  /** Broadcast hint gated on a KNOWN row count — for the per-iteration
+    * state of iterative operators (rank/label/frontier tables), which is
+    * checkpoint-backed and therefore reports the unknown-size SENTINEL
+    * to the optimizer: Catalyst treats "unknown" as huge and plans a
+    * full shuffle join of the (big, persisted) edge list against a
+    * node-sized table EVERY iteration. The caller always knows the state
+    * row count (it materialized the state); below `spark.graft.broadcast
+    * .maxRows` the hint turns each iteration into one broadcast-hash
+    * pass over the co-located edges — no edge bytes ever re-shuffle.
+    * Above the cap (a 10⁹-node graph at real scale) the hint is
+    * withheld and the documented two-narrow-shuffles-per-iteration
+    * posture stands: state-sized rows shuffle, edges stay put. */
+  def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val cap = scala.util.Try(df.sparkSession.conf
+      .get("spark.graft.broadcast.maxRows", "2000000").toLong)
+      .getOrElse(2000000L)
+    if (rows >= 0 && rows <= cap)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
+  /** [[broadcastIfSmall]] with a worth-it gate: hint only when the
+    * STREAMED side is at least 8× the build side. A broadcast has fixed
+    * per-round costs (driver collect, relation build, ship) that a small
+    * shuffle simply doesn't — when both sides are node-state-sized the
+    * sort-merge plan is already cheap and the hint is pure overhead
+    * (measured: +0.5 s/query on the label-propagation family at bench
+    * scale). When the streamed side genuinely dwarfs the build side —
+    * a 10⁹-row label table against a 10⁶-row pair list — the hint is
+    * what keeps the big side from re-shuffling every round. */
+  def broadcastIfWorthIt(df: DataFrame, buildRows: Long,
+      streamRows: Long): DataFrame =
+    if (streamRows >= 8 * math.max(1L, buildRows)) broadcastIfSmall(df, buildRows)
+    else df
+
   def scoped(intermediates: DataFrame*)(out: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist())
     try eager(out)

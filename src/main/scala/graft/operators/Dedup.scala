@@ -746,17 +746,36 @@ object Dedup {
     var labels = Caches.spreadByKey(docs.select(col(idCol).as("id")), col("id"))
       .withColumn("label", col("id"))
       .eagerCheckpoint()
+    // both loop-constant counts are one cheap job each over materialized
+    // checkpoints; they gate WHICH side of the per-round join gets the
+    // broadcast hint. Checkpoint-backed frames report the unknown-size
+    // sentinel, so Catalyst would otherwise sort-merge-shuffle BOTH
+    // sides every round. The small side differs by workload: a dedup
+    // pair list is usually tiny against a corpus-wide label table
+    // (broadcast edges); a dense graph dwarfs its node state
+    // (broadcast labels) — and past the cap both ways, the two-narrow-
+    // shuffles-per-round posture stands.
+    val nNodes = labels.count()
+    val nEdges = edges.count()
     var round = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0
     while (!converged && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
+      val labeled =
+        if (nEdges <= nNodes)
+          Caches.broadcastIfWorthIt(edges, nEdges, nNodes)
+            .join(labels.select(col("id").as("src"), col("label")), "src")
+        else
+          edges.join(Caches.broadcastIfWorthIt(
+            labels.select(col("id").as("src"), col("label")), nNodes, nEdges),
+            "src")
+      val neighborMin = labeled
         .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
       // carry the pre-update label through the checkpoint so the
       // convergence check is a scan of the materialized state, not a
       // second join job per round
       val next = labels.select(col("id"), col("label").as("__old"))
-        .join(neighborMin, Seq("id"), "left")
+        .join(Caches.broadcastIfWorthIt(neighborMin,
+          math.min(nNodes, nEdges), nNodes), Seq("id"), "left")
         .select(col("id"), col("__old"),
           least(col("__old"), coalesce(col("nmin"), col("__old"))).as("label"))
         .eagerCheckpoint()
@@ -812,7 +831,11 @@ object Dedup {
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
       // large-star: for (x, y>x) emit (y, min(Γ(x) ∪ {x}))
-      val lMins = edges.groupBy("src").agg(min("dst").as("nmin"))
+      // lMins is one row per distinct src ≤ 2·|canonical edges| — the
+      // tracked prevCount bounds it, gating a broadcast that keeps the
+      // (checkpoint-backed, sentinel-sized) edge set from re-shuffling
+      val lMins = Caches.broadcastIfSmall(
+        edges.groupBy("src").agg(min("dst").as("nmin")), 2 * prevCount)
       val large = edges.join(lMins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"),
@@ -824,7 +847,8 @@ object Dedup {
       try {
         // small-star: for (x, y<x) emit (y, m) and (x, m), m = min(y's)
         val small = afterLarge.filter(col("dst") < col("src"))
-        val sMins = small.groupBy("src").agg(min("dst").as("nmin"))
+        val sMins = Caches.broadcastIfSmall(
+          small.groupBy("src").agg(min("dst").as("nmin")), 2 * prevCount)
         val afterSmall = canon(
           small.join(sMins, "src")
             .select(col("dst").as("src"), col("nmin").as("dst"))

@@ -35,14 +35,25 @@ object Graph {
     Caches.scoped(edges) {
       var visited = Seq((source, 0)).toDF("node", "hop").eagerCheckpoint()
       var frontier = visited.select("node")
+      // frontier/visited are checkpoint-backed (unknown-size sentinel to
+      // the optimizer), so without the count-gated hint every hop
+      // re-shuffles the FULL edge list to meet a frontier-sized table.
+      // The counts replace the isEmpty probe (same one job per hop) and
+      // additionally bound the anti-join's visited side.
+      var frontierCount = 1L
+      var visitedCount = 1L
       var hop = 0
-      while (hop < maxHops && !frontier.isEmpty) {
+      while (hop < maxHops && frontierCount > 0) {
         hop += 1
         frontier = edges
-          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .join(Caches.broadcastIfSmall(
+            frontier.withColumnRenamed("node", "src"), frontierCount), "src")
           .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
+          .join(Caches.broadcastIfSmall(visited, visitedCount), Seq("node"),
+            "left_anti")
           .eagerCheckpoint()
+        frontierCount = frontier.count()
+        visitedCount += frontierCount
         // visited is a LAZY union over the (already checkpointed)
         // frontiers — depth is bounded by maxHops, so there is no
         // lineage blow-up to truncate, and each hop saves one

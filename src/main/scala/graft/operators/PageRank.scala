@@ -73,7 +73,13 @@ object PageRank {
       for (t <- 1 to iters) {
         val contrib = r.select(col("node").as("src"),
           round(col("r") / col("deg"), 13).cast("decimal(38,13)").as("__c"))
-        val inflow = edges.join(contrib, "src")
+        // rank state is checkpoint-backed (unknown-size sentinel), so
+        // without the gated hint Catalyst re-shuffles the FULL edge list
+        // on src every iteration just to meet an n-row table; below the
+        // cap each iteration is instead one broadcast pass over the
+        // co-located edges (n is already in hand — no extra job)
+        val inflow = edges
+          .join(Caches.broadcastIfSmall(contrib, n.toLong), "src")
           .groupBy(col("dst").as("node")).agg(F.sum(col("__c")).as("__s"))
         // checkpoint every SECOND iteration's state (the bfsHops
         // discipline, batched): lineage stays O(1)-bounded — the
@@ -82,7 +88,8 @@ object PageRank {
         // 14.4 s at sf0.1 — while the materialization jobs halve
         // (checkpointing is pure plan management: the quantized values
         // are identical at any cadence, so the oracle never notices)
-        r = deg.join(inflow, Seq("node"), "left")
+        r = deg.join(Caches.broadcastIfSmall(inflow, n.toLong),
+            Seq("node"), "left")
           .select(col("node"), col("deg"),
             round(lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
