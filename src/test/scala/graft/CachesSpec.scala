@@ -38,6 +38,27 @@ class CachesSpec extends SparkSuite {
     assert(d1.columns.sameElements(Array("x"))) // frames stay usable as metadata
   }
 
+  test("broadcast gates: row cap, conf override, and worth-it ratio") {
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val small = spark.range(10).toDF("k")
+    assert(hasHint(Caches.broadcastIfSmall(small, 10)))
+    assert(!hasHint(Caches.broadcastIfSmall(small, 3000000L)),
+      "above the default 2M-row cap the hint must be withheld")
+    spark.conf.set("spark.graft.broadcast.maxRows", "5")
+    try assert(!hasHint(Caches.broadcastIfSmall(small, 10)),
+      "conf cap override must gate the hint")
+    finally spark.conf.unset("spark.graft.broadcast.maxRows")
+    // worth-it: fixed broadcast costs only pay off when the streamed
+    // side genuinely dwarfs the build side
+    assert(!hasHint(Caches.broadcastIfWorthIt(small, 10, 50)), "ratio 5 < 8")
+    assert(hasHint(Caches.broadcastIfWorthIt(small, 10, 100)), "ratio 10 >= 8")
+    assert(hasHint(Caches.broadcastIfWorthIt(small, 0, 8)),
+      "an empty build side broadcasts once the stream clears the floor")
+  }
+
   test("iteration state is released per round: block count is O(1) in rounds") {
     import graft.operators.Dedup
     Caches.releaseAllPersistent(spark)
