@@ -93,11 +93,22 @@ object Bench {
       spark.catalog.clearCache()
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
     }
+    // the one inter-measurement sweep discipline (checkpoint blocks +
+    // SQL cache + garbage), shared by the retry path and the per-query
+    // epilogue so the two can never silently diverge
+    def interQueryCleanup(): Unit = {
+      graft.operators.Caches.releaseAllPersistent(spark)
+      spark.catalog.clearCache()
+      if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // anomaly retries, fully disclosed in the output line: every
     // observation, in measurement order (the kept value — their median —
     // is what `queries` carries)
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // a rerun that CRASHED during the anomaly retry: the query still
+    // passes (a completed measurement exists) but the crash is disclosed
+    val retryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
       var elapsed = 0.0
@@ -138,17 +149,19 @@ object Bench {
           val obs = scala.collection.mutable.ArrayBuffer(elapsed)
           var i = 0
           while (i < 2 && ok) {
-            graft.operators.Caches.releaseAllPersistent(spark)
-            spark.catalog.clearCache()
-            if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
+            interQueryCleanup()
             timedRun()
             if (ok) obs += elapsed
             i += 1
           }
           // a rerun crash keeps the successful observations and stays a
-          // pass — the query demonstrably ran to completion already
-          ok = true
-          errors.remove(name)
+          // pass (the query demonstrably ran to completion) — but the
+          // crash itself must not vanish from the artifact: it moves to
+          // retry_errors rather than being silently wiped
+          if (!ok) {
+            errors.remove(name).foreach(msg => retryErrors(name) = msg)
+            ok = true
+          }
           val s = obs.sorted.toSeq
           elapsed = s(s.size / 2)
           retried(name) = obs.toSeq
@@ -166,9 +179,7 @@ object Bench {
       // cleaner falls behind and dead checkpoint blocks from hundreds of
       // queries stack into storage pressure that spills LIVE state of
       // whichever checkpoint-heavy query runs next.
-      graft.operators.Caches.releaseAllPersistent(spark)
-      spark.catalog.clearCache()
-      if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
+      interQueryCleanup()
       if (ok) acc(name) = elapsed
     }
     val results = acc
@@ -193,7 +204,9 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"retries":$retryJson,"sf":"${esc(sfDir)}"}"""
+    val retryErrJson = retryErrors.map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"retries":$retryJson,"retry_errors":$retryErrJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the full line above exceeds tail-window captures at ~90 queries
     // (a consumer keeping only the last N chars of stdout sees it

@@ -34,11 +34,15 @@ object Verify {
     // the compare reads whatever dirs exist, so a stale dir from a
     // pre-rename run would be compared against nothing or, worse, an
     // identically-renamed future query. Keyed on the FULL registry, not
-    // the SPARK_GRAFT_ONLY subset, so subset runs still compose.
+    // the SPARK_GRAFT_ONLY subset, so subset runs still compose. ONLY
+    // dirs that are recognizably OUR output (a parquet _SUCCESS marker)
+    // are touched — outDir is user-supplied, and a stray unrelated
+    // directory sitting next to the results must never be deleted.
     scala.util.Using.resource(Files.list(Paths.get(outDir))) { ls =>
       ls.forEach { p =>
         val n = p.getFileName.toString
-        if (Files.isDirectory(p) && !SparkEntry.queries.contains(n)) rmTree(p)
+        if (Files.isDirectory(p) && !SparkEntry.queries.contains(n) &&
+          Files.exists(p.resolve("_SUCCESS"))) rmTree(p)
       }
     }
     // SPARK_GRAFT_ONLY subsetting (shared contract with Bench) —

@@ -38,9 +38,15 @@ object FileTopic {
   private[bus] def seqOf(name: String): Int =
     name.stripPrefix("part-").takeWhile(_.isDigit).toInt
 
-  /** Consecutive polls a head-of-line sequence gap may persist before
-    * [[FileTopic.poll]] declares it a durable hole and throws. */
+  /** Consecutive polls AND minimum wall-clock a head-of-line sequence
+    * gap must persist before [[FileTopic.poll]] declares it a durable
+    * hole and throws. Both are required: a poll count alone would let a
+    * tight-polling consumer crash inside a network filesystem's
+    * attribute-cache window (NFS acdirmax is seconds), where part-(N+1)
+    * can be visible before part-N for a moment; a time floor alone
+    * would let one stale observation an hour later trip the alarm. */
   private[bus] val HoleTolerance = 3
+  private[bus] val HoleToleranceMs = 2000L
 }
 
 class FileTopic(root: String) {
@@ -49,7 +55,7 @@ class FileTopic(root: String) {
     * undelivered run — see the durable-hole check in [[poll]]. In-memory
     * (a broker restart re-counts from zero), concurrent-safe for
     * multi-threaded consumers of one broker instance. */
-  private case class HoleSighting(missing: Int, polls: Int)
+  private case class HoleSighting(missing: Int, polls: Int, firstSeenNanos: Long)
   private val holeSightings =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), HoleSighting]
 
@@ -193,16 +199,20 @@ class FileTopic(root: String) {
     if (files.isEmpty && newer.nonEmpty) {
       val missing = last + 1
       val key = (topic, group, consumer)
+      val now = System.nanoTime()
       val seen = holeSightings.compute(key, (_, prev) =>
         if (prev != null && prev.missing == missing)
-          HoleSighting(missing, prev.polls + 1)
-        else HoleSighting(missing, 1))
-      if (seen.polls >= FileTopic.HoleTolerance)
+          HoleSighting(missing, prev.polls + 1, prev.firstSeenNanos)
+        else HoleSighting(missing, 1, now))
+      val heldMs = (now - seen.firstSeenNanos) / 1000000L
+      if (seen.polls >= FileTopic.HoleTolerance &&
+        heldMs >= FileTopic.HoleToleranceMs)
         throw new IllegalStateException(
           s"topic '$topic': sequence $missing is missing but " +
             s"${newer.size} newer part file(s) exist (up to " +
             s"${seqOf(newer.last)}) — durable hole after ${seen.polls} " +
-            "polls; restore the file or advance the group offset past it")
+            s"polls over ${heldMs}ms; restore the file or advance the " +
+            "group offset past it")
     } else holeSightings.remove((topic, group, consumer))
     val mine = files.flatMap { f =>
       val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq

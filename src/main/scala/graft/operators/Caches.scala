@@ -81,6 +81,19 @@ private[graft] object Caches {
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        // reliable-mode state lives as FILES in the checkpoint dir, not
+        // blocks — unpersist alone would leave one dead snapshot per
+        // iteration on HDFS/object store until app exit (Spark only
+        // cleans checkpoint files with referenceTracking.cleanCheckpoints,
+        // off by default). The frame is dead by this method's contract,
+        // so its checkpoint files go with it.
+        l.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: java.io.IOException => () /* best-effort */ }
+        }
       case _ => ()
     }
 

@@ -773,9 +773,13 @@ object Dedup {
       // carry the pre-update label through the checkpoint so the
       // convergence check is a scan of the materialized state, not a
       // second join job per round
+      // neighborMin's sound row bound is nEdges (one row per distinct
+      // dst): pairs may legally name ids that are not in `docs` (they
+      // drop out in this left join), so min(nNodes, nEdges) could
+      // UNDERSTATE the build side and let an over-cap table broadcast
       val next = labels.select(col("id"), col("label").as("__old"))
-        .join(Caches.broadcastIfWorthIt(neighborMin,
-          math.min(nNodes, nEdges), nNodes), Seq("id"), "left")
+        .join(Caches.broadcastIfWorthIt(neighborMin, nEdges, nNodes),
+          Seq("id"), "left")
         .select(col("id"), col("__old"),
           least(col("__old"), coalesce(col("nmin"), col("__old"))).as("label"))
         .eagerCheckpoint()

@@ -36,21 +36,26 @@ object Graph {
       var visited = Seq((source, 0)).toDF("node", "hop").eagerCheckpoint()
       var frontier = visited.select("node")
       // frontier/visited are checkpoint-backed (unknown-size sentinel to
-      // the optimizer), so without the count-gated hint every hop
+      // the optimizer), so without the count-gated hints every hop
       // re-shuffles the FULL edge list to meet a frontier-sized table.
       // The counts replace the isEmpty probe (same one job per hop) and
-      // additionally bound the anti-join's visited side.
+      // bound both build sides; the edge count (one job over the
+      // persisted set) gates worth-it — on a graph whose frontier or
+      // visited set approaches the edge count, the fixed broadcast cost
+      // loses to the narrow shuffle and the hint correctly stays off.
+      val eCnt = edges.count()
       var frontierCount = 1L
       var visitedCount = 1L
       var hop = 0
       while (hop < maxHops && frontierCount > 0) {
         hop += 1
         frontier = edges
-          .join(Caches.broadcastIfSmall(
-            frontier.withColumnRenamed("node", "src"), frontierCount), "src")
+          .join(Caches.broadcastIfWorthIt(
+            frontier.withColumnRenamed("node", "src"), frontierCount, eCnt),
+            "src")
           .select(col("dst").as("node")).distinct()
-          .join(Caches.broadcastIfSmall(visited, visitedCount), Seq("node"),
-            "left_anti")
+          .join(Caches.broadcastIfWorthIt(visited, visitedCount, eCnt),
+            Seq("node"), "left_anti")
           .eagerCheckpoint()
         frontierCount = frontier.count()
         visitedCount += frontierCount

@@ -67,6 +67,11 @@ object PageRank {
       // Long→double is exact below 2^53 nodes; the arithmetic is
       // bit-identical to the previous column division.
       val n = deg.count().toDouble
+      // edge count gates the contrib broadcast: the hint only pays when
+      // the streamed edge list genuinely dwarfs the n-row rank state
+      // (a near-1 ratio is the label-propagation shape where the fixed
+      // broadcast cost measurably loses — see broadcastIfWorthIt)
+      val eCnt = edges.count()
       var r = deg.select(col("node"), col("deg"),
         round(lit(1.0 / n), 12).as("r"))
       var prevCkpt: Option[DataFrame] = None
@@ -79,7 +84,7 @@ object PageRank {
         // cap each iteration is instead one broadcast pass over the
         // co-located edges (n is already in hand — no extra job)
         val inflow = edges
-          .join(Caches.broadcastIfSmall(contrib, n.toLong), "src")
+          .join(Caches.broadcastIfWorthIt(contrib, n.toLong, eCnt), "src")
           .groupBy(col("dst").as("node")).agg(F.sum(col("__c")).as("__s"))
         // checkpoint every SECOND iteration's state (the bfsHops
         // discipline, batched): lineage stays O(1)-bounded — the
@@ -88,7 +93,11 @@ object PageRank {
         // 14.4 s at sf0.1 — while the materialization jobs halve
         // (checkpointing is pure plan management: the quantized values
         // are identical at any cadence, so the oracle never notices)
-        r = deg.join(Caches.broadcastIfSmall(inflow, n.toLong),
+        // deg⋈inflow is n-rows-vs-n-rows — the near-1-ratio shape where
+        // a broadcast's fixed cost loses to the narrow shuffle; the
+        // worth-it gate correctly never fires here (deg's persisted
+        // stats let AQE pick a broadcast on its own if it is truly tiny)
+        r = deg.join(Caches.broadcastIfWorthIt(inflow, n.toLong, n.toLong),
             Seq("node"), "left")
           .select(col("node"), col("deg"),
             round(lit((1.0 - damping) / n) +

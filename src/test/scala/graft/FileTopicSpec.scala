@@ -167,7 +167,12 @@ class FileTopicSpec extends SparkSuite {
     // the first polls are indistinguishable from a race: empty, no error
     assert(b.poll("t", "g").isEmpty)
     assert(b.poll("t", "g").isEmpty)
-    // the gap persisting past the tolerance must be loud, not silent
+    // poll count alone must NOT trip the alarm — an NFS attribute-cache
+    // window can hide a freshly-published file for seconds while a
+    // tight-polling consumer burns through any count
+    assert(b.poll("t", "g").isEmpty, "fast polls within the time floor stay silent")
+    Thread.sleep(2100) // clear the 2 s HoleToleranceMs floor
+    // the gap persisting past BOTH tolerances must be loud, not silent
     val e = intercept[IllegalStateException](b.poll("t", "g"))
     assert(e.getMessage.contains("sequence 3"))
     assert(e.getMessage.contains("durable hole"))

@@ -54,6 +54,32 @@ class ReliableCheckpointSpec extends SparkSuite {
     assert(reliable === local)
   }
 
+  test("release() deletes superseded reliable checkpoint FILES, not just blocks") {
+    import scala.jdk.CollectionConverters._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck_files")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+    try {
+      // a 12-hop chain: ~12 propagation rounds, each checkpointing fresh
+      // label state. Reliable-mode state lives as FILES — without the
+      // release-time delete the dir would accumulate one rdd-* snapshot
+      // per round (Spark's own cleaner is off by default), the
+      // unbounded-disk twin of the block-accumulation failure.
+      val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val docs = (1L to 13L).toDF("doc_id")
+      val out = graft.operators.Dedup.dupClusters(docs, "doc_id", pairs,
+        maxRounds = 20)
+      assert(out.count() === 13)
+      val rddDirs = scala.util.Using.resource(
+        java.nio.file.Files.walk(ckDir)) { w =>
+        w.iterator().asScala.count(_.getFileName.toString.startsWith("rdd-"))
+      }
+      assert(rddDirs <= 3,
+        s"$rddDirs reliable checkpoint snapshots left after a ~12-round " +
+          "propagation (expected only edges + final labels)")
+    } finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+  }
+
   test("dupClusters (iterative connected components) matches across modes") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)
