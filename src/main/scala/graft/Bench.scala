@@ -58,8 +58,23 @@ object Bench {
     // LAST measurement — separates first-plan codegen cost from
     // steady-state throughput when hunting a slow query
     val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
-    // SPARK_GRAFT_ONLY=a,b subsetting shared with Verify
-    val selected = SparkEntry.selectedQueries
+    // BENCH ORDER: deterministic tier interleave, not name order. Name
+    // order runs each tier as one contiguous block with the heavy v-tier
+    // last — so a host throttle window late in the run (the observed
+    // failure mode two rounds running) lands ENTIRELY on one tier, and
+    // cross-round per-query comparisons inherit that position bias. The
+    // interleave below round-robins across the tier prefixes (d, e, g,
+    // m, p, q, s, t, v) in sorted order — fully deterministic (same
+    // order every run, disclosed by the `queries` map which is emitted
+    // in measurement order), with heavy and light queries spread evenly
+    // so any stall window taxes a representative mix instead of a tier.
+    val selected = {
+      val base = SparkEntry.selectedQueries
+      val tiers = base.groupBy(_._1.takeWhile(_.isLetter))
+        .toSeq.sortBy(_._1).map(_._2)
+      val maxLen = tiers.map(_.size).max
+      (0 until maxLen).flatMap(i => tiers.flatMap(_.lift(i)))
+    }
     // WARM PASS (untimed): run every selected query once against the
     // smallest SF before the timed region. Generated operator code is
     // keyed by plan shape, not data, so this moves the Janino compile +
@@ -99,7 +114,44 @@ object Bench {
     def interQueryCleanup(): Unit = {
       graft.operators.Caches.releaseAllPersistent(spark)
       spark.catalog.clearCache()
+      // storage-debt gate (on by default): after the sweep, ZERO RDDs may
+      // remain registered as persistent — a survivor means the sweep's
+      // unpersist path broke (or something re-persisted during cleanup)
+      // and the round-7 t19 mechanism (dead checkpoint blocks stacking
+      // into storage pressure across 200 queries) is silently back. Fail
+      // the whole run loudly rather than publish numbers taxed by it.
+      val leaked = spark.sparkContext.getPersistentRDDs
+      require(leaked.isEmpty,
+        s"persistent-RDD leak after inter-query sweep: ids ${leaked.keys.toSeq.sorted.take(8).mkString(",")} (${leaked.size} total)")
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
+    }
+    // Per-query steady-state reference times (seconds), checked in at
+    // plans/bench_steady.tsv (regenerated by scripts/steady_baseline.py
+    // from a controlled SPARK_GRAFT_REPEAT=2 run). The anomaly guard
+    // triggers on EACH QUERY'S OWN history — a measurement over 3x its
+    // recorded steady time is a host stall by construction (SCALING.md
+    // shows no query's genuine cost moving 3x round-over-round), where
+    // the old cross-query-median rule let 5-8x stalls on mid-size
+    // queries stand because they stayed under the absolute 12 s bar.
+    // The file pins the SF it was measured at; on any other SF it is
+    // ignored and the fallback family rule below applies.
+    val steady: Map[String, Double] = {
+      val path = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_STEADY", "plans/bench_steady.tsv"))
+      try {
+        import scala.jdk.CollectionConverters._
+        val lines = java.nio.file.Files.readAllLines(path).asScala.toSeq
+        val sfOk = lines.find(_.startsWith("# sf="))
+          .map(_.stripPrefix("# sf="))
+          .exists(s => canon(s) == canon(sfDir))
+        if (!sfOk) Map.empty
+        else lines.filterNot(_.startsWith("#")).flatMap { l =>
+          l.split("\t") match {
+            case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // anomaly retries, fully disclosed in the output line: every
@@ -134,38 +186,47 @@ object Bench {
       // freeze, neighbor burst, GC storm) can inflate exactly one query
       // by 10-20x in a one-shot run — round 7's official artifact
       // carried a 69 s measurement of a query that runs 3-5 s in every
-      // controlled rerun, before and since. If a time is wildly out of
-      // family (> 12 s AND > 4x the median of queries measured so far —
-      // genuinely heavy queries move the median with them, so real load
-      // growth never trips this), measure TWICE more after the usual
-      // inter-query cleanup and keep the MEDIAN of the three runs — the
-      // standard robust estimator: neither the stall nor the luckiest
-      // run. Every observation is disclosed under `retries` so the
-      // artifact hides nothing.
-      if (ok && repeat == 1 && acc.nonEmpty && elapsed > 12.0) {
-        val sorted = acc.values.toSeq.sorted
-        val median = sorted(sorted.size / 2)
-        if (elapsed > 4 * median) {
-          val obs = scala.collection.mutable.ArrayBuffer(elapsed)
-          var i = 0
-          while (i < 2 && ok) {
-            interQueryCleanup()
-            timedRun()
-            if (ok) obs += elapsed
-            i += 1
-          }
-          // a rerun crash keeps the successful observations and stays a
-          // pass (the query demonstrably ran to completion) — but the
-          // crash itself must not vanish from the artifact: it moves to
-          // retry_errors rather than being silently wiped
-          if (!ok) {
-            errors.remove(name).foreach(msg => retryErrors(name) = msg)
-            ok = true
-          }
-          val s = obs.sorted.toSeq
-          elapsed = s(s.size / 2)
-          retried(name) = obs.toSeq
+      // controlled rerun, before and since; round 8's let 5x stalls on
+      // mid-size queries stand because they stayed under the old 12 s
+      // absolute bar. The trigger is now PER-QUERY: a measurement over
+      // 3x the query's own checked-in steady time (floor 2 s, so
+      // sub-second jitter never retries) is re-measured TWICE after the
+      // usual inter-query cleanup and the MEDIAN of the three runs kept
+      // — the standard robust estimator: neither the stall nor the
+      // luckiest run. A query with no steady reference (new this round,
+      // or a bench at a different SF) falls back to the cross-query
+      // family rule (> 12 s AND > 4x the median of queries measured so
+      // far — genuinely heavy queries move the median with them, so
+      // real load growth never trips it). Every observation is
+      // disclosed under `retries`, and the retry count rides the
+      // compact summary line, so the artifact hides nothing.
+      val anomalous = ok && repeat == 1 && (steady.get(name) match {
+        case Some(s) => elapsed > math.max(3.0 * s, 2.0)
+        case None => acc.nonEmpty && elapsed > 12.0 && {
+          val sorted = acc.values.toSeq.sorted
+          elapsed > 4 * sorted(sorted.size / 2)
         }
+      })
+      if (anomalous) {
+        val obs = scala.collection.mutable.ArrayBuffer(elapsed)
+        var i = 0
+        while (i < 2 && ok) {
+          interQueryCleanup()
+          timedRun()
+          if (ok) obs += elapsed
+          i += 1
+        }
+        // a rerun crash keeps the successful observations and stays a
+        // pass (the query demonstrably ran to completion) — but the
+        // crash itself must not vanish from the artifact: it moves to
+        // retry_errors rather than being silently wiped
+        if (!ok) {
+          errors.remove(name).foreach(msg => retryErrors(name) = msg)
+          ok = true
+        }
+        val s = obs.sorted.toSeq
+        elapsed = s(s.size / 2)
+        retried(name) = obs.toSeq
       }
       // no cross-query bleed: clearCache drops persisted blocks, and the
       // explicit collection retires each query's garbage between
@@ -212,7 +273,10 @@ object Bench {
     // (a consumer keeping only the last N chars of stdout sees it
     // truncated mid-line and can't parse it) — so also emit a compact
     // summary line, short enough to always survive a tail slice intact
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+    // n_retry surfaces the methodology in the compact line too: a
+    // consumer that only sees this line still knows how many queries
+    // were median-of-three re-measured (full observations in `retries`)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"n_retry":${retried.size},"sf":"${esc(sfDir)}"}""")
     // sbt appends its own trailing lines to stdout; a file copy keeps the
     // FULL JSON machine-readable regardless of how stdout is sliced
     try java.nio.file.Files.writeString(

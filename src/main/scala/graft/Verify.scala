@@ -35,14 +35,22 @@ object Verify {
     // pre-rename run would be compared against nothing or, worse, an
     // identically-renamed future query. Keyed on the FULL registry, not
     // the SPARK_GRAFT_ONLY subset, so subset runs still compose. ONLY
-    // dirs that are recognizably OUR output (a parquet _SUCCESS marker)
-    // are touched — outDir is user-supplied, and a stray unrelated
-    // directory sitting next to the results must never be deleted.
+    // dirs that are recognizably OUR output are touched — outDir is
+    // user-supplied, and output from any OTHER Spark job co-located in
+    // it must never be deleted, so a generic Hadoop _SUCCESS alone is
+    // not enough: deletion keys on the graft-specific _GRAFT_RESULT
+    // marker written alongside every result below, or (for results
+    // from rounds that predate the marker) on _SUCCESS plus the
+    // registry's query-id naming pattern.
+    val queryIdShape = "^[a-z]\\d{2}_\\w+$".r
     scala.util.Using.resource(Files.list(Paths.get(outDir))) { ls =>
       ls.forEach { p =>
         val n = p.getFileName.toString
-        if (Files.isDirectory(p) && !SparkEntry.queries.contains(n) &&
-          Files.exists(p.resolve("_SUCCESS"))) rmTree(p)
+        val ours = Files.exists(p.resolve("_GRAFT_RESULT")) ||
+          (Files.exists(p.resolve("_SUCCESS")) &&
+            queryIdShape.matches(n))
+        if (Files.isDirectory(p) && !SparkEntry.queries.contains(n) && ours)
+          rmTree(p)
       }
     }
     // SPARK_GRAFT_ONLY subsetting (shared contract with Bench) —
@@ -55,9 +63,13 @@ object Verify {
       // a missing result, which the compare reports loudly.
       val target = Paths.get(outDir, name)
       rmTree(target)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(target.toString)
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(target.toString)
+        // graft-specific result marker: the stale-dir cleanup above keys
+        // deletion on THIS file, never on the generic Hadoop _SUCCESS
+        Files.createFile(target.resolve("_GRAFT_RESULT"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // checkpoint blocks (invisible to clearCache) + SQL cache: both
@@ -65,6 +77,12 @@ object Verify {
       // accumulate dead storage blocks
       graft.operators.Caches.releaseAllPersistent(spark)
       spark.catalog.clearCache() // no cross-query cache bleed
+      // storage-debt gate, same contract as Bench's: a persistent RDD
+      // surviving the sweep means the release path broke — fail the run
+      // rather than let dead blocks stack across 200+ queries
+      val leaked = spark.sparkContext.getPersistentRDDs
+      require(leaked.isEmpty,
+        s"persistent-RDD leak after $name's sweep: ids ${leaked.keys.toSeq.sorted.take(8).mkString(",")} (${leaked.size} total)")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
