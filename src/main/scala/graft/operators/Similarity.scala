@@ -209,10 +209,55 @@ object Similarity {
       .drop("bucket0")
   }
 
+  /** Default per-bucket corpus-side population cap for the LSH serve
+    * path — the [[graft.operators.Dedup.DefaultMaxBucket]] discipline
+    * applied to top-k search. Override with
+    * `spark.graft.lsh.maxServeBucket`. 4096 is far above any honest
+    * sign-LSH bucket (so small-scale results are byte-identical to the
+    * uncapped search) while bounding a degenerate bucket's candidate
+    * contribution per probe at 4096 rows instead of the |bucket| that a
+    * mass-duplicated embedding family (re-encoded boilerplate — exactly
+    * what web corpora contain) would otherwise push through the join:
+    * for a corpus self-kNN that is |bucket|² candidates, the quadratic
+    * blowup the cap exists to prevent. */
+  val DefaultMaxServeBucket: Int = 4096
+
+  /** The hot-bucket guard behind [[lshSearch]]: buckets at or under
+    * `maxBucket` pass through untouched; above it only the bucket's
+    * `maxBucket` LOWEST-id members stay candidates. One window on the
+    * bucket key — the SAME key the candidate join shuffles on, so the
+    * join downstream reuses the partitioning (and its sort).
+    *
+    * The recall trade, precisely: a corpus vector is bucketed exactly
+    * once (multi-probe fans out the QUERY side only), so a member
+    * dropped here is unreachable by any probe — recall loss is confined
+    * to overflowed buckets. Those are near-identical template families
+    * in practice (that is WHY they overflowed), where any kept member
+    * is an equally-good neighbor; and because [[cosineRank]] breaks sim
+    * ties by LOWEST neighbor_id, a fully-degenerate bucket (identical
+    * vectors) returns the IDENTICAL top-k capped or not for any
+    * k ≤ maxBucket — the kept lowest-id members are the ones the
+    * tie-break would have chosen anyway (LshHotBucketSpec pins both
+    * properties). Corpora where the residual matters should raise the
+    * conf, not disable the guard. */
+  private[graft] def capServeBuckets(bucketed: DataFrame,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxServeBucket ($maxBucket) must be >= 1")
+    val w = Window.partitionBy("bucket").orderBy("neighbor_id")
+    bucketed.withColumn("__brank", row_number().over(w))
+      .filter(col("__brank") <= maxBucket)
+      .drop("__brank")
+  }
+
   /** Candidate join + exact-cosine re-rank shared by the inline and
-    * served LSH paths — one definition so serve ≡ inline can't fork. */
-  private def lshSearch(bucketed: DataFrame, probes: DataFrame,
+    * served LSH paths — one definition so serve ≡ inline can't fork
+    * (and so the [[capServeBuckets]] hot-bucket guard covers both). */
+  private def lshSearch(rawBucketed: DataFrame, probes: DataFrame,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val maxBucket = scala.util.Try(rawBucketed.sparkSession.conf
+      .get("spark.graft.lsh.maxServeBucket", DefaultMaxServeBucket.toString)
+      .toInt).getOrElse(DefaultMaxServeBucket)
+    val bucketed = capServeBuckets(rawBucketed, maxBucket)
     // sim BEFORE the multi-probe dedup: a candidate reached through two
     // probe buckets pays one redundant 64-mult dot (rare, cheap) so the
     // dedup exchange carries (query, neighbor, sim) — 24 bytes — instead
