@@ -38,26 +38,51 @@ object FileTopic {
   private[bus] def seqOf(name: String): Int =
     name.stripPrefix("part-").takeWhile(_.isDigit).toInt
 
-  /** Consecutive polls AND minimum wall-clock a head-of-line sequence
-    * gap must persist before [[FileTopic.poll]] declares it a durable
-    * hole and throws. Both are required: a poll count alone would let a
-    * tight-polling consumer crash inside a network filesystem's
-    * attribute-cache window (NFS acdirmax is seconds), where part-(N+1)
-    * can be visible before part-N for a moment; a time floor alone
-    * would let one stale observation an hour later trip the alarm. */
+  /** Default consecutive polls AND minimum wall-clock a head-of-line
+    * sequence gap must persist before [[FileTopic.poll]] declares it a
+    * durable hole and throws. Both are required: a poll count alone
+    * would let a tight-polling consumer crash inside a network
+    * filesystem's attribute-cache window, where part-(N+1) can be
+    * visible before part-N for a moment; a time floor alone would let
+    * one stale observation an hour later trip the alarm. The time floor
+    * defaults ABOVE typical attribute-cache windows (NFS acdirmax
+    * defaults to 60 s — the motivating race), so a healthy consumer on
+    * NFS can never be crashed by cache-skewed visibility; deployments on
+    * local disk that want a faster alarm pass a smaller floor to the
+    * constructor. */
   private[bus] val HoleTolerance = 3
-  private[bus] val HoleToleranceMs = 2000L
+  private[bus] val HoleToleranceMs = 65000L
 }
 
-class FileTopic(root: String) {
+/** @param holeTolerancePolls consecutive polls a head-of-line gap must
+  *   persist before it is a durable hole (see [[FileTopic.HoleTolerance]])
+  * @param holeToleranceMs minimum wall-clock the same gap must persist —
+  *   keep it above the filesystem's attribute-cache window
+  * @param clock injectable millis clock shared by the hole bookkeeping
+  *   (tests advance it instead of sleeping through the tolerance) */
+class FileTopic(root: String,
+    holeTolerancePolls: Int = FileTopic.HoleTolerance,
+    holeToleranceMs: Long = FileTopic.HoleToleranceMs,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   /** Per-consumer tracking of a sequence gap observed at the head of the
-    * undelivered run — see the durable-hole check in [[poll]]. In-memory
-    * (a broker restart re-counts from zero), concurrent-safe for
-    * multi-threaded consumers of one broker instance. */
-  private case class HoleSighting(missing: Int, polls: Int, firstSeenNanos: Long)
-  private val holeSightings =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), HoleSighting]
+    * undelivered run — see the durable-hole check in [[poll]]. PERSISTED
+    * next to the consumer's offset file (dot-prefixed, so [[stats]] and
+    * the offset reads skip it): an in-memory sighting would reset on
+    * every restart, so a crash-looping consumer — restarting faster than
+    * the tolerance elapses — would never report a durable hole at all. */
+  private case class HoleSighting(missing: Int, polls: Int, firstSeenMs: Long)
+
+  private def holeFile(topic: String, group: String, consumer: Int): Path =
+    offsetsDir(topic).resolve(s".hole.$group.$consumer")
+
+  private def readHole(f: Path): Option[HoleSighting] =
+    if (!Files.exists(f)) None
+    else scala.util.Try {
+      val Array(m, p, t) = new String(Files.readAllBytes(f),
+        StandardCharsets.UTF_8).trim.split(":")
+      HoleSighting(m.toInt, p.toInt, t.toLong)
+    }.toOption // corrupt sighting = no sighting; the clock restarts
 
   private def topicDir(topic: String): Path = Paths.get(root, topic)
   private def offsetsDir(topic: String): Path = topicDir(topic).resolve("offsets")
@@ -147,17 +172,16 @@ class FileTopic(root: String) {
     if (Files.exists(f)) parseOffset(Files.readAllBytes(f)) else -1
   }
 
-  /** Commit an offset ATOMICALLY: staged to a dot-prefixed temp (the
-    * publish discipline) and moved into place, so no reader — this
-    * consumer's next poll, or [[stats]] — can ever observe the
-    * truncated-but-unwritten middle of an in-place rewrite. Filesystems
-    * without atomic move degrade to a plain move (same visibility as the
-    * old truncate-then-write, now with [[parseOffset]] as the backstop). */
-  private def commitOffset(topic: String, group: String, consumer: Int,
-      seq: Int): Unit = {
-    val target = offsetFile(topic, group, consumer)
+  /** Write a small state file ATOMICALLY: staged to a dot-prefixed temp
+    * (the publish discipline) and moved into place, so no reader — a
+    * poll, [[stats]], or a restarted consumer reading its hole sighting —
+    * can ever observe the truncated-but-unwritten middle of an in-place
+    * rewrite. Filesystems without atomic move degrade to a plain move
+    * (same visibility as a truncate-then-write, with the guarded parses
+    * as the backstop). */
+  private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
-    Files.write(tmp, f"$seq%06d".getBytes(StandardCharsets.UTF_8),
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -168,6 +192,10 @@ class FileTopic(root: String) {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
+
+  private def commitOffset(topic: String, group: String, consumer: Int,
+      seq: Int): Unit =
+    atomicWrite(offsetFile(topic, group, consumer), f"$seq%06d")
 
   /** subscribe+claim+commit (simple_kafka_setup.py:114-177): return the
     * new messages owned by this consumer (stable hash split across the
@@ -198,22 +226,28 @@ class FileTopic(root: String) {
     // the file or explicitly skip it by advancing the offset.
     if (files.isEmpty && newer.nonEmpty) {
       val missing = last + 1
-      val key = (topic, group, consumer)
-      val now = System.nanoTime()
-      val seen = holeSightings.compute(key, (_, prev) =>
-        if (prev != null && prev.missing == missing)
-          HoleSighting(missing, prev.polls + 1, prev.firstSeenNanos)
-        else HoleSighting(missing, 1, now))
-      val heldMs = (now - seen.firstSeenNanos) / 1000000L
-      if (seen.polls >= FileTopic.HoleTolerance &&
-        heldMs >= FileTopic.HoleToleranceMs)
+      val now = clock()
+      val hf = holeFile(topic, group, consumer)
+      val seen = readHole(hf) match {
+        case Some(prev) if prev.missing == missing =>
+          HoleSighting(missing, prev.polls + 1, prev.firstSeenMs)
+        case _ => HoleSighting(missing, 1, now)
+      }
+      // persisted BEFORE the throw decision, same atomic temp+move
+      // discipline as the offset commit — a consumer that crashes (or
+      // crash-loops) inside the tolerance window resumes the SAME clock
+      // instead of resetting it, so a durable hole is reported after the
+      // tolerance no matter how often its consumer restarts
+      atomicWrite(hf, s"${seen.missing}:${seen.polls}:${seen.firstSeenMs}")
+      val heldMs = now - seen.firstSeenMs
+      if (seen.polls >= holeTolerancePolls && heldMs >= holeToleranceMs)
         throw new IllegalStateException(
           s"topic '$topic': sequence $missing is missing but " +
             s"${newer.size} newer part file(s) exist (up to " +
             s"${seqOf(newer.last)}) — durable hole after ${seen.polls} " +
             s"polls over ${heldMs}ms; restore the file or advance the " +
             "group offset past it")
-    } else holeSightings.remove((topic, group, consumer))
+    } else Files.deleteIfExists(holeFile(topic, group, consumer))
     val mine = files.flatMap { f =>
       val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       val fileSeq = seqOf(f)

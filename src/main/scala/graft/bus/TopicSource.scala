@@ -47,6 +47,19 @@ object TopicSource {
     spark.readStream.format("graft-topic")
       .option("path", root).option("topic", topic).load()
 
+  /** The schemeless-root pinning rule, single-sourced and unit-testable:
+    * an explicit filesystem scheme is honored only in its absolute forms
+    * — `scheme://authority/...` or `scheme:/path` — because that is the
+    * only shape that UNAMBIGUOUSLY names a filesystem. A bare
+    * `new URI(root).getScheme != null` sniff would also accept a
+    * RELATIVE path whose first segment contains a colon (`data:2026/bus`
+    * parses as scheme "data"), skip the file:// pinning, and resolve the
+    * root through fs.defaultFS — exactly the silent producer/consumer
+    * filesystem divergence the pinning exists to prevent. */
+  private[bus] def qualifyRoot(root: String): String =
+    if (root.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) root
+    else "file://" + java.nio.file.Paths.get(root).toAbsolutePath
+
   /** True iff the real Kafka connector is on the classpath (it is NOT
     * bundled with a stock Spark distribution). */
   def kafkaAvailable: Boolean =
@@ -135,15 +148,12 @@ private[bus] class TopicMicroBatchStream(root: String, topic: String)
   // stream at a DIFFERENT filesystem than the producer: an empty topic
   // forever, no error. Schemeless roots are therefore pinned to file://
   // (absolute, so executor-side reads agree with the driver's listing);
-  // an explicit scheme is honored as given — that is the contract for a
-  // topic root that genuinely lives on shared HDFS/NFS.
-  private val qualifiedRoot = {
-    val hasScheme =
-      try new java.net.URI(root).getScheme != null
-      catch { case _: java.net.URISyntaxException => false }
-    if (hasScheme) root
-    else "file://" + java.nio.file.Paths.get(root).toAbsolutePath
-  }
+  // an explicit ABSOLUTE scheme is honored as given — that is the
+  // contract for a topic root that genuinely lives on shared HDFS/NFS.
+  // The absolute-form requirement ([[TopicSource.qualifyRoot]]) keeps a
+  // relative path with a colon in its first segment from masquerading
+  // as a scheme.
+  private val qualifiedRoot = TopicSource.qualifyRoot(root)
 
   private def maxSeq(): Int = {
     val dir = new org.apache.hadoop.fs.Path(qualifiedRoot, topic)

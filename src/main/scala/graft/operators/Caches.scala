@@ -76,26 +76,43 @@ private[graft] object Caches {
     * ONLY call this on state that is provably dead: a localCheckpoint's
     * data lives in those very blocks (lineage is truncated), so a released
     * frame that is re-executed fails with "checkpoint block not found"
-    * rather than silently recomputing. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-        // reliable-mode state lives as FILES in the checkpoint dir, not
-        // blocks — unpersist alone would leave one dead snapshot per
-        // iteration on HDFS/object store until app exit (Spark only
-        // cleans checkpoint files with referenceTracking.cleanCheckpoints,
-        // off by default). The frame is dead by this method's contract,
-        // so its checkpoint files go with it.
-        l.rdd.getCheckpointFile.foreach { f =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-              .delete(p, true)
-          } catch { case _: java.io.IOException => () /* best-effort */ }
-        }
-      case _ => ()
+    * rather than silently recomputing.
+    *
+    * The "provably dead" contract is ENFORCED, not assumed: the frame
+    * must be exactly one checkpoint — a single LogicalRDD in its plan
+    * (optionally under narrow projections, as iterative operators
+    * `.select` off carried columns before releasing). A frame whose plan
+    * holds several LogicalRDDs (e.g. a lazy join of superseded state
+    * with a live persisted lookup) is REFUSED loudly: blindly releasing
+    * every leaf would also destroy the live frame's blocks — and a
+    * localCheckpoint has no lineage to recompute from, so that loss is
+    * irrecoverable and typically surfaces much later as a
+    * "checkpoint block not found" in an innocent query. */
+  def release(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
     }
+    require(rdds.size == 1,
+      s"Caches.release: expected exactly ONE checkpointed LogicalRDD in " +
+        s"the released frame's plan, found ${rdds.size} — release only " +
+        "frames that ARE a superseded checkpoint (releasing a composite " +
+        "plan would destroy live frames' lineage-free blocks)")
+    val l = rdds.head
+    l.rdd.unpersist(blocking = false)
+    // reliable-mode state lives as FILES in the checkpoint dir, not
+    // blocks — unpersist alone would leave one dead snapshot per
+    // iteration on HDFS/object store until app exit (Spark only
+    // cleans checkpoint files with referenceTracking.cleanCheckpoints,
+    // off by default). The frame is dead by this method's contract,
+    // so its checkpoint files go with it.
+    l.rdd.getCheckpointFile.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case _: java.io.IOException => () /* best-effort */ }
+    }
+  }
 
   /** Between-queries sweep for long-lived harness sessions (Bench,
     * Verify): unpersist EVERY still-registered RDD — persisted frames

@@ -28,6 +28,22 @@ class CachesSpec extends SparkSuite {
     assert((persistedIds -- before).isEmpty)
   }
 
+  test("release REFUSES a composite frame instead of destroying live blocks") {
+    val before = persistedIds
+    val dead = Caches.eager(Seq((1, "a")).toDF("id", "v"))
+    val live = Caches.eager(Seq((1, "b")).toDF("id", "w"))
+    // a lazy join of superseded state with a live lookup: releasing its
+    // leaves would also kill `live`'s lineage-free blocks irrecoverably
+    val composite = dead.join(live, "id")
+    val e = intercept[IllegalArgumentException](Caches.release(composite))
+    assert(e.getMessage.contains("exactly ONE"))
+    assert((persistedIds -- before).size === 2, "refusal must not release anything")
+    assert(live.count() === 1)
+    Caches.release(dead)
+    Caches.release(live)
+    assert((persistedIds -- before).isEmpty)
+  }
+
   test("releaseAllPersistent sweeps checkpoint AND persisted blocks") {
     val d1 = Caches.eager(Seq(1, 2).toDF("x"))
     val d2 = Seq(3, 4).toDF("y").persist()

@@ -155,7 +155,9 @@ class FileTopicSpec extends SparkSuite {
 
   test("a DURABLE hole fails loudly after the tolerance instead of wedging") {
     val root = Files.createTempDirectory("bus")
-    val b = new FileTopic(root.toString)
+    var clockMs = 1000L
+    val b = new FileTopic(root.toString, holeToleranceMs = 2000L,
+      clock = () => clockMs)
     b.publish("t", Seq("m0"))
     b.publish("t", Seq("m1"))
     b.publish("t", Seq("m2"))
@@ -171,7 +173,7 @@ class FileTopicSpec extends SparkSuite {
     // window can hide a freshly-published file for seconds while a
     // tight-polling consumer burns through any count
     assert(b.poll("t", "g").isEmpty, "fast polls within the time floor stay silent")
-    Thread.sleep(2100) // clear the 2 s HoleToleranceMs floor
+    clockMs += 2100 // clear the 2 s time floor
     // the gap persisting past BOTH tolerances must be loud, not silent
     val e = intercept[IllegalStateException](b.poll("t", "g"))
     assert(e.getMessage.contains("sequence 3"))
@@ -182,6 +184,35 @@ class FileTopicSpec extends SparkSuite {
     Files.write(off, "000003".getBytes)
     assert(b.poll("t", "g") === Seq("m4"))
     assert(b.poll("t", "g").isEmpty)
+    // the healed poll also cleared the persisted sighting
+    assert(!Files.exists(root.resolve("t/offsets/.hole.g.0")))
+  }
+
+  test("a crash-looping consumer still reports a durable hole (persisted sighting)") {
+    val root = Files.createTempDirectory("bus")
+    var clockMs = 1000L
+    val clock = () => clockMs
+    def freshConsumer() = // a restart = a brand-new broker instance
+      new FileTopic(root.toString, holeToleranceMs = 2000L, clock = clock)
+    val producer = freshConsumer()
+    producer.publish("t", Seq("m0"))
+    producer.publish("t", Seq("m1"))
+    assert(freshConsumer().poll("t", "g") === Seq("m0", "m1"))
+    producer.publish("t", Seq("m2"))
+    producer.publish("t", Seq("m3"))
+    Files.delete(root.resolve("t/part-000002.jsonl")) // durable loss
+    // each poll is a NEW instance restarting INSIDE the tolerance window —
+    // with in-memory-only sightings the clock would reset every time and
+    // the hole would never be reported
+    assert(freshConsumer().poll("t", "g").isEmpty)
+    clockMs += 700
+    assert(freshConsumer().poll("t", "g").isEmpty)
+    clockMs += 700
+    assert(freshConsumer().poll("t", "g").isEmpty)
+    clockMs += 700 // 2100 ms since first sighting, 3 polls seen
+    val e = intercept[IllegalStateException](freshConsumer().poll("t", "g"))
+    assert(e.getMessage.contains("sequence 2"))
+    assert(e.getMessage.contains("durable hole"))
   }
 
   test("an empty or corrupt offset file degrades to redelivery, not a crash-loop") {

@@ -128,4 +128,5 @@ class TopicSourceSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq ===
       Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
   }
+
 }

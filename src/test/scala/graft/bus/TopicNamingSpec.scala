@@ -25,4 +25,19 @@ class TopicNamingSpec extends AnyFunSuite {
         ".part-000001.hidden", "part-000001.jsonl.tmp"))
       assert(!n.matches(FileTopic.PartFileRegex), s"$n must not list")
   }
+
+  test("schemeless and colon-containing RELATIVE roots are pinned to file://") {
+    import TopicSource.qualifyRoot
+    // explicit absolute schemes are honored as given
+    assert(qualifyRoot("hdfs://nn:8020/bus") === "hdfs://nn:8020/bus")
+    assert(qualifyRoot("s3a://bucket/bus") === "s3a://bucket/bus")
+    assert(qualifyRoot("file:/var/bus") === "file:/var/bus")
+    // plain paths pin to file:// (absolute, executor-visible)
+    assert(qualifyRoot("/var/bus") === "file:///var/bus")
+    // a RELATIVE path whose first segment contains a colon must not be
+    // mistaken for a scheme — java.net.URI reports "data" as one, and
+    // honoring it would silently resolve the root via fs.defaultFS
+    val pinned = qualifyRoot("data:2026/bus")
+    assert(pinned.startsWith("file:///") && pinned.endsWith("/data:2026/bus"))
+  }
 }
