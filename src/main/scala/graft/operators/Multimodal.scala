@@ -48,13 +48,39 @@ object Multimodal {
         element_at(array(lit("png"), lit("opus"), lit("h264")),
           (pmod(col(idCol), lit(3)) + 1).cast("int")).as("codec")).as("meta"))
 
-  /** STUB decode: bytes → per-stripe accumulators. Stands in for an image
-    * decode + CNN embed; deterministic AND modular at every step
+  /** The decode seam: a codec turns raw asset bytes into the per-stripe
+    * accumulator grid that [[decodeFeatures]] projects into a feature
+    * vector and [[phashChunks]] compares into a difference-hash — the
+    * stand-in for a decoded, downscaled pixel/sample grid. The OPERATOR
+    * shape (typed mapPartitions, schema, partitioning, null handling)
+    * is codec-agnostic: a real JPEG/ffmpeg/ONNX decoder drops in by
+    * implementing this trait, touching nothing else
+    * (MultimodalCodecSpec runs the full m01-m06 shapes against a second
+    * codec to pin that).
+    *
+    * Implementations are serialized into the task closure, so per-task
+    * heavy state — model load, codec context, JNI handles — must NOT
+    * ride the closure: acquire it in [[init]], which every operator
+    * calls exactly once per partition before the first decode (mark the
+    * fields `@transient`). */
+  trait AssetCodec extends Serializable {
+    /** Once-per-task/partition setup hook; default no-op for pure codecs. */
+    def init(): Unit = ()
+    /** bytes → `dims` stripe accumulators. Must tolerate empty input
+      * (the operators already map a NULL payload to zero bytes). */
+    def accumulators(bytes: Array[Byte], dims: Int): Array[Long]
+  }
+
+  /** Default STUB codec: deterministic AND modular at every step
     * (`acc = (acc*31 + byte) mod 1000003`, never exceeding 31·10⁶), so
     * the exact integers are reproducible by any engine — the DuckDB
     * oracle replays the same fold. Stripe d folds the bytes at positions
     * ≡ d (mod dims), in order. */
   private[graft] val StubMod = 1000003L
+  object StubCodec extends AssetCodec {
+    def accumulators(bytes: Array[Byte], dims: Int): Array[Long] =
+      stubAccumulators(bytes, dims)
+  }
   private[graft] def stubAccumulators(bytes: Array[Byte], dims: Int): Array[Long] = {
     val acc = new Array[Long](dims)
     var i = 0
@@ -80,7 +106,8 @@ object Multimodal {
     *    pipeline inside the SQL engine — no RDD scan boundary, no
     *    row-format round-trip, and Catalyst can still prune the three
     *    input columns at the parquet scan. */
-  def decodeFeatures(assets: DataFrame, dims: Int = 16): DataFrame = {
+  def decodeFeatures(assets: DataFrame, dims: Int = 16,
+      codec: AssetCodec = StubCodec): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     Caches.spreadByKey(assets, col("asset_id"))
@@ -88,14 +115,14 @@ object Multimodal {
         col("data").cast("binary"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // decoder/context init would happen here, once per partition
+        codec.init() // decoder/context setup, once per partition
         rows.map { case (id, kind, bytes0) =>
           // `data` is a nullable binary column; one null payload must
           // decode like a zero-byte asset, not NPE-kill the whole job
           // after four task retries (this is the repo's only per-row
           // JVM code path — everywhere else nulls flow declaratively)
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-          val acc = stubAccumulators(bytes, dims)
+          val acc = codec.accumulators(bytes, dims)
           DecodedAsset(id, kind, bytes.length.toLong,
             acc.map(v => v.toFloat / StubMod), acc.sum)
         }
@@ -115,7 +142,8 @@ object Multimodal {
     * mapPartitions decode pass (per-task decoder init amortized over
     * the split); every integer is modular and engine-replayable, so
     * the DuckDB oracle replays the exact fingerprint. */
-  def phashChunks(assets: DataFrame, dims: Int = 65): DataFrame = {
+  def phashChunks(assets: DataFrame, dims: Int = 65,
+      codec: AssetCodec = StubCodec): DataFrame = {
     require(dims >= 2 && dims <= 65,
       s"dims ($dims) must be in [2, 65] — 64 fingerprint bits max")
     val spark = assets.sparkSession
@@ -124,10 +152,11 @@ object Multimodal {
       .select(col("asset_id").cast("long"), col("data").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        codec.init() // decoder/context setup, once per partition
         rows.map { case (id, bytes0) =>
           // same null-payload guard as decodeFeatures
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-          val acc = stubAccumulators(bytes, dims)
+          val acc = codec.accumulators(bytes, dims)
           var h = 0L
           var d = 0
           while (d < dims - 1) {
@@ -151,8 +180,10 @@ object Multimodal {
     * pair algebra for text SimHash and image dHash, two fingerprint
     * sources. Returns (id_a, id_b, hamming). */
   def phashPairs(assets: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
-    Dedup.simhashPairsFromChunks(phashChunks(assets), maxHamming, maxBucket)
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      codec: AssetCodec = StubCodec): DataFrame =
+    Dedup.simhashPairsFromChunks(phashChunks(assets, codec = codec),
+      maxHamming, maxBucket)
 
   private def withFrameBytes(assets: DataFrame, nFrames: Int): DataFrame = {
     // nFrames=0 would make sequence(0, -1) DESCEND (Spark defaults the

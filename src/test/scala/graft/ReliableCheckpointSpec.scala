@@ -94,4 +94,68 @@ class ReliableCheckpointSpec extends SparkSuite {
     assert(reliable === local)
   }
 
+  // ---- mode matrix over the rest of the iterative/eager tier: the mode
+  // switch must change durability only, never results, and the
+  // release-on-supersession discipline must bound the checkpoint dir's
+  // FILE count (reliable state lives as files, so a leak is unbounded
+  // fault-tolerant-storage growth, not just executor memory) ----
+
+  private def rddSnapshots(dir: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+      w.iterator().asScala.count(_.getFileName.toString.startsWith("rdd-"))
+    }
+  }
+
+  private def withReliableDir[A](body: => A): (A, Long) = {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+    try { val a = body; (a, rddSnapshots(ckDir)) }
+    finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+  }
+
+  test("kmeansFit (Lloyd loop) matches across modes; per-iteration state released") {
+    val vecs = (0L until 60L)
+      .map(i => (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val local = graft.operators.Similarity
+      .kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 5, dim = 8)
+      .collect().map(_.toSeq).toSeq
+    val (reliable, snapshots) = withReliableDir {
+      graft.operators.Similarity
+        .kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 5, dim = 8)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(reliable === local)
+    // 5 iterations each checkpoint fresh centroids and release the old:
+    // only the FINAL centroid snapshot may remain
+    assert(snapshots <= 2,
+      s"$snapshots centroid snapshots left after a 5-iteration fit")
+  }
+
+  test("v23's chain (LSH self-kNN -> mutual edges -> log-star components) matches across modes") {
+    val q = SparkEntry.queries("v23_knn_graph")
+    val local = q(spark, sf0001).collect().map(_.toSeq).toSeq
+    val (reliable, snapshots) = withReliableDir {
+      q(spark, sf0001).collect().map(_.toSeq).toSeq
+    }
+    assert(reliable === local)
+    // the log-star rounds release superseded state; the bound covers the
+    // chain's live scoped() exits, not one snapshot per round
+    assert(snapshots <= 12,
+      s"$snapshots checkpoint snapshots left after the v23 chain")
+  }
+
+  test("t19 (declared heavy query) end-to-end in reliable mode matches local") {
+    val q = SparkEntry.queries("t19_corpus_manifest")
+    val local = q(spark, sf0001).collect().map(_.toSeq).toSeq
+    val (reliable, snapshots) = withReliableDir {
+      q(spark, sf0001).collect().map(_.toSeq).toSeq
+    }
+    assert(reliable === local)
+    assert(snapshots <= 12,
+      s"$snapshots checkpoint snapshots left after t19")
+  }
+
 }
