@@ -196,11 +196,17 @@ object Similarity {
 
   /** The multi-probe query side: each query fans out to its own bucket
     * plus every 1-bit-flip — (query_id, qv, qn, bucket), |Q|·(planes+1)
-    * rows. */
+    * rows. spreadByKey matters on BOTH sides of the candidate join:
+    * whichever side the optimizer streams pipelines the per-candidate
+    * exact-cosine scoring, and a query set arriving as one scan split
+    * (small file, byte-based splits) would run that whole scoring pass
+    * single-threaded — measured 4.1 s single-task vs 0.5 s across 32
+    * for a corpus self-kNN whose build-side choice flipped. At corpus
+    * scale the scan is already parallel and the spread skips itself. */
   private def lshProbes(queries: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, dim: Int, seed: Long): DataFrame = {
     val probeOffsets = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
-    queries.select(col(idCol).as("query_id"),
+    Caches.spreadByKey(queries, col(idCol)).select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"),
         lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
       .withColumn("bucket",
@@ -243,6 +249,9 @@ object Similarity {
   private[graft] def capServeBuckets(bucketed: DataFrame,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxServeBucket ($maxBucket) must be >= 1")
+    // Int.MaxValue = explicit off-switch: no bucket can exceed it, so
+    // skip the window entirely instead of paying a provably-no-op stage
+    if (maxBucket == Int.MaxValue) return bucketed
     val w = Window.partitionBy("bucket").orderBy("neighbor_id")
     bucketed.withColumn("__brank", row_number().over(w))
       .filter(col("__brank") <= maxBucket)
@@ -1534,12 +1543,21 @@ object Similarity {
     * [[lshServeTopK]] / [[pqServeTopK]]) — the mutuality join is one
     * shuffle on the (query, neighbor) pair, never touching vectors. */
   def mutualKnnEdges(topk: DataFrame): DataFrame = {
+    // scoped: the top-k lists feed BOTH sides of the mutuality join, and
+    // they are the output of a full ANN search — self-joining the lazy
+    // frame would execute that search twice (measured: the whole
+    // corpus-scale kNN repeated, ~1.4 s at bench scale, a second full
+    // index pass at 100 TB). The persisted intermediate is (query_id,
+    // neighbor_id) pairs only — 16 bytes/row, |corpus|·k rows — and the
+    // eager result released by scoped() is the even smaller edge set.
     val t = topk.select(col("query_id"), col("neighbor_id"))
-    t.join(t.select(col("neighbor_id").as("query_id"),
-        col("query_id").as("neighbor_id")),
-        Seq("query_id", "neighbor_id"))
-      .filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    Caches.scoped(t) {
+      t.join(t.select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .filter(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    }
   }
 
   /** Margin-based cross-corpus pair mining (Artetxe & Schwenk, ACL'19 —
