@@ -753,14 +753,18 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
-    val cents = kmeansCentroids(c, k, iters, dim)
-    val stats = kmeansAssign(c, cents).filter(col("cid") =!= lit(-1L))
-      .groupBy("cid").agg(count(lit(1)).as("n"),
-        sum(col("sim6").cast("decimal(38,6)")).as("__ss"))
-    cents.select(col("cid")).join(stats, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
-        round(col("__ss").cast("double") / col("n"), 4).as("mean_sim"))
-      .orderBy("cid")
+    // same iterative-fit input caching as [[ivfTrainedTopK]]: the
+    // prepared corpus feeds every Lloyd iteration plus the report pass
+    Caches.scoped(c) {
+      val cents = kmeansCentroids(c, k, iters, dim)
+      val stats = kmeansAssign(c, cents).filter(col("cid") =!= lit(-1L))
+        .groupBy("cid").agg(count(lit(1)).as("n"),
+          sum(col("sim6").cast("decimal(38,6)")).as("__ss"))
+      cents.select(col("cid")).join(stats, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+          round(col("__ss").cast("double") / col("n"), 4).as("mean_sim"))
+        .orderBy("cid")
+    }
   }
 
   /** The Lloyd loop behind [[kmeansFit]], returning the fitted
@@ -877,10 +881,17 @@ object Similarity {
     val cPrep = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
-    val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
-    val assigned = assignToCentroids(
-      cPrep.select(col("id").as("neighbor_id"), col("v"), col("vn")), cents)
-    ivfSearch(ivfProbes(cents, queries, idCol, vecCol, nProbe), assigned, k)
+    // the prepared corpus feeds every Lloyd iteration AND the final
+    // assignment — the canonical iterative-fit input-caching pattern
+    // (without it each of the iters+2 jobs re-runs scan+cast+norm over
+    // the full corpus); scoped() releases the cache with the result
+    // materialized
+    Caches.scoped(cPrep) {
+      val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
+      val assigned = assignToCentroids(
+        cPrep.select(col("id").as("neighbor_id"), col("v"), col("vn")), cents)
+      ivfSearch(ivfProbes(cents, queries, idCol, vecCol, nProbe), assigned, k)
+    }
   }
 
   /** IVF-PQ with TRAINED list centroids — the canonical production
@@ -910,20 +921,26 @@ object Similarity {
       requirePqDim(corpus, vecCol, m, dsub), col(idCol))
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"))
-    val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
-    val codebook = pqCodebook(cPrep.select(col("id"), col("v")), m, dsub,
-      nCodes)
-    val codes = pqEncodeAgainst(cPrep.select(col("id"), col("v")),
-        codebook, m, dsub)
-      .join(assignToCentroids(
-          cPrep.select(col("id").as("neighbor_id"), col("v"), col("vn")),
-          cents)
-        .select(col("neighbor_id").as("id"), col("cid")), "id")
-    val (_, _, nActual) = pqMeta(codebook) // dense stride, see pqTopK
-    ivfPqSearch(codes,
-      ivfProbes(cents, queries, idCol, vecCol, nProbe),
-      pqLuts(queries, codebook, idCol, vecCol, m, dsub, nActual),
-      k, m, nActual)
+    // cPrep feeds the Lloyd loop (iters+1 jobs), the codebook fit, the
+    // encode pass, AND the assignment — iters+4 full re-executions of
+    // scan+cast+norm without the cache; scoped() is the standard
+    // iterative-fit input caching and releases with the result hot
+    Caches.scoped(cPrep) {
+      val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
+      val codebook = pqCodebook(cPrep.select(col("id"), col("v")), m, dsub,
+        nCodes)
+      val codes = pqEncodeAgainst(cPrep.select(col("id"), col("v")),
+          codebook, m, dsub)
+        .join(assignToCentroids(
+            cPrep.select(col("id").as("neighbor_id"), col("v"), col("vn")),
+            cents)
+          .select(col("neighbor_id").as("id"), col("cid")), "id")
+      val (_, _, nActual) = pqMeta(codebook) // dense stride, see pqTopK
+      ivfPqSearch(codes,
+        ivfProbes(cents, queries, idCol, vecCol, nProbe),
+        pqLuts(queries, codebook, idCol, vecCol, m, dsub, nActual),
+        k, m, nActual)
+    }
   }
 
   /** Product-quantization (PQ) codebook: the md5-sampled corpus rows'

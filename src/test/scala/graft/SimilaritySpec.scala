@@ -386,18 +386,24 @@ class SimilaritySpec extends SparkSuite {
 
   test("kmeansFit report plan: broadcast centroids, no extra exchanges") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val plan = Similarity.kmeansFit(e, "vec_id", "embedding",
-      k = 4, iters = 1, dim = 64).queryExecution.executedPlan.toString()
+    // the fit is scoped-eager (input-cached Lloyd loop), so the declared
+    // plan is a checkpoint scan — probe the interior materializations
+    // and assert on the report's (the scoped exit, probed last)
+    val probed = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    graft.operators.Caches.planProbe.set(probed)
+    try Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 4, iters = 1, dim = 64)
+    finally graft.operators.Caches.planProbe.remove()
+    val plan = probed.last.toString()
     // packed 1-row centroid table rides a broadcast nested-loop (no row
-    // blow-up); the report's six exchanges are all the cheap kind: the
-    // cid grouped-agg shuffle (the ONE real data shuffle), spreadByKey's
-    // stats-guarded scan repartition, two broadcasts, the k-row
-    // SinglePartition pack, and the final sort — never a shuffle of
-    // corpus×k scored rows
+    // blow-up) and the only hash shuffles are on vec_id (parallelism)
+    // and cid (the grouped agg) — never a shuffle of corpus×k scored
+    // rows. (The exchange COUNT is gated canonically by the interior
+    // budget in plans/exchange_budget.tsv via PlanRegressionSpec; the
+    // raw string here holds AQE's initial-plan copy plus the cached
+    // input's child plan, so counting matches would double-count.)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 6, s"$exchanges exchanges in report plan")
-    // the only hash shuffles are on vec_id (parallelism) and cid (agg)
     val hashParts = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(hashParts.subsetOf(Set("vec_id", "cid")), hashParts.toString)
