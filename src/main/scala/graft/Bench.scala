@@ -140,17 +140,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_STEADY", "plans/bench_steady.tsv"))
       try {
         import scala.jdk.CollectionConverters._
-        val lines = java.nio.file.Files.readAllLines(path).asScala.toSeq
-        val sfOk = lines.find(_.startsWith("# sf="))
-          .map(_.stripPrefix("# sf="))
-          .exists(s => canon(s) == canon(sfDir))
-        if (!sfOk) Map.empty
-        else lines.filterNot(_.startsWith("#")).flatMap { l =>
-          l.split("\t") match {
-            case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
-            case _ => None
-          }
-        }.toMap
+        BenchPolicy.parseSteady(
+          java.nio.file.Files.readAllLines(path).asScala.toSeq, sfDir, canon)
       } catch { case _: Throwable => Map.empty }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -200,13 +191,8 @@ object Bench {
       // real load growth never trips it). Every observation is
       // disclosed under `retries`, and the retry count rides the
       // compact summary line, so the artifact hides nothing.
-      val anomalous = ok && repeat == 1 && (steady.get(name) match {
-        case Some(s) => elapsed > math.max(3.0 * s, 2.0)
-        case None => acc.nonEmpty && elapsed > 12.0 && {
-          val sorted = acc.values.toSeq.sorted
-          elapsed > 4 * sorted(sorted.size / 2)
-        }
-      })
+      val anomalous = ok && repeat == 1 &&
+        BenchPolicy.anomalous(steady, name, elapsed, acc.values)
       if (anomalous) {
         val obs = scala.collection.mutable.ArrayBuffer(elapsed)
         var i = 0
@@ -224,8 +210,7 @@ object Bench {
           errors.remove(name).foreach(msg => retryErrors(name) = msg)
           ok = true
         }
-        val s = obs.sorted.toSeq
-        elapsed = s(s.size / 2)
+        elapsed = BenchPolicy.median(obs.toSeq)
         retried(name) = obs.toSeq
       }
       // no cross-query bleed: clearCache drops persisted blocks, and the
