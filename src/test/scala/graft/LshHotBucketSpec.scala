@@ -63,6 +63,32 @@ class LshHotBucketSpec extends SparkSuite {
     assert(q999 === Set((0L, 1L), (1L, 2L), (2L, 3L)))
   }
 
+  test("at sort-merge scale the guard's exchange IS the join's (no extra corpus shuffle)") {
+    // with broadcasts off (the 100 TB posture for a corpus-sized build
+    // side), the window's hash exchange on the bucket key must satisfy
+    // the join's distribution — the corpus side pays ONE shuffle total,
+    // not window-shuffle + join-shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = fixture
+      val plan = Similarity.lshTopK(d, d, "vec_id", "embedding", k = 2,
+        numPlanes = 4, dim = 4).queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      val bucketExchanges =
+        "Exchange hashpartitioning\\(bucket".r.findAllIn(plan).length
+      // one for the corpus side (window + join share it), one for the
+      // probe side — a third would be the join re-shuffling the
+      // already-windowed corpus
+      assert(bucketExchanges <= 2,
+        s"$bucketExchanges bucket exchanges — the join is not reusing " +
+          "the hot-bucket window's partitioning")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("honest buckets are untouched by a cap that bites elsewhere") {
     val d = fixture
     val honestIds = honest.map(_._1).toSet
