@@ -1,5 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev-only job profiler behind SPARK_GRAFT_JOBLOG=1: accumulates every
+  * Spark job's wall duration and task count, so a per-query drain can
+  * show WHERE a heavy query's seconds go (how many jobs, how much of
+  * the elapsed time is inside jobs vs planning/codegen between them,
+  * and which jobs dominate). Listener events arrive on the bus thread,
+  * hence the synchronized buffer; `drain()` is called between queries
+  * when the bus is quiet. */
+private final class JobLog extends org.apache.spark.scheduler.SparkListener {
+  private val starts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int, String)]
+  private val tasks = new java.util.concurrent.ConcurrentHashMap[Integer, Integer]
+  private val sites = new java.util.concurrent.ConcurrentHashMap[Integer, String]
+  override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    starts.put(e.jobId, e.time)
+    tasks.put(e.jobId, e.stageInfos.map(_.numTasks).sum)
+    val p = e.properties
+    val cs = Seq("spark.job.description", "callSite.short",
+        "spark.sql.execution.root.id", "spark.sql.execution.id")
+      .iterator.map(k => Option(p.getProperty(k)).getOrElse(""))
+      .find(_.nonEmpty).getOrElse("?")
+    sites.put(e.jobId, cs.replaceAll("\\s+", " ").take(48))
+  }
+  override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+    val t0 = starts.remove(Integer.valueOf(e.jobId))
+    val nt = Option(tasks.remove(Integer.valueOf(e.jobId))).fold(0)(_.intValue)
+    val cs = Option(sites.remove(Integer.valueOf(e.jobId))).getOrElse("?")
+    if (t0 != null && t0.longValue != 0L) buf.synchronized {
+      buf += ((e.jobId, (e.time - t0.longValue) / 1e3, nt, cs))
+    }
+  }
+  private val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int, Double, String)]
+  override def onStageCompleted(
+      e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val si = e.stageInfo
+    val dur = (for (a <- si.submissionTime; b <- si.completionTime)
+      yield (b - a) / 1e3).getOrElse(0.0)
+    // sum of executor run time across tasks: wall ≈ sum → one task
+    // carried the stage (skew or serialization); sum ≈ wall×numTasks →
+    // genuinely parallel compute
+    val run = si.taskMetrics.executorRunTime / 1e3
+    stages.synchronized {
+      stages += ((si.stageId, dur, si.numTasks, run,
+        si.name.replaceAll("\\s+", " ").take(64)))
+    }
+  }
+  def drain(): Seq[(Int, Double, Int, String)] = buf.synchronized {
+    val out = buf.toVector; buf.clear(); out
+  }
+  def drainStages(): Seq[(Int, Double, Int, Double, String)] = stages.synchronized {
+    val out = stages.toVector; stages.clear(); out
+  }
+}
+
 object Bench {
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -27,6 +81,15 @@ object Bench {
       // their parallelism
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // AQE coalesce floor, env-overridable for JOBLOG experiments.
+      // Keep Spark's 1 MB default: a 64k floor was measured (this
+      // session) to help nothing — the engine's small hot stages are
+      // SKEW-bound (one hot bucket/key per stage), so extra tiny tasks
+      // only add scheduling churn — and it regressed the iterative tier
+      // badly (e12 4.5 s -> 33 s: the extra partitions defeat the
+      // cached-plan coalescing the checkpoint loop relies on).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -144,6 +207,16 @@ object Bench {
           java.nio.file.Files.readAllLines(path).asScala.toSeq, sfDir, canon)
       } catch { case _: Throwable => Map.empty }
     }
+    // SPARK_GRAFT_JOBLOG=1 (dev): per-query job breakdown on stderr —
+    // job count, time inside jobs vs the measured wall (the difference
+    // is driver-side planning/codegen/collect), and the top jobs. Reads
+    // the listener bus after each query; measurement itself is untouched.
+    val jobLog: Option[JobLog] =
+      if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+        val l = new JobLog
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // anomaly retries, fully disclosed in the output line: every
     // observation, in measurement order (the kept value — their median —
@@ -172,7 +245,28 @@ object Bench {
         // from earlier repeats so n_ok + n_err always equals queries run
         if (ok) errors.remove(name)
       }
-      (1 to repeat).foreach(_ => timedRun())
+      (1 to repeat).foreach { i =>
+        // drain everything queued before this run (warm pass, prior
+        // repeats) so the report covers exactly the LAST timed run
+        jobLog.foreach { l =>
+          if (i == repeat) { Thread.sleep(300); l.drain(); l.drainStages(); () }
+        }
+        timedRun()
+      }
+      jobLog.foreach { l =>
+        Thread.sleep(300) // bus quiesce — dev path only, not measured
+        val jobs = l.drain()
+        val inJobs = jobs.map(_._2).sum
+        val top = jobs.sortBy(-_._2).take(8).map { case (id, s, nt, cs) =>
+          f"j$id%d:$s%.2fs/$nt%dt[$cs%s]" }.mkString(" ")
+        System.err.println(
+          f"JOBLOG $name%-26s wall=$elapsed%6.2f jobs=${jobs.size}%3d " +
+          f"injob=$inJobs%6.2f gap=${elapsed - inJobs}%6.2f top: $top")
+        l.drainStages().filter(_._2 >= 0.15).sortBy(-_._2).take(10)
+          .foreach { case (id, s, nt, run, nm) =>
+            System.err.println(
+              f"  STAGE s$id%d $s%.2fs/$nt%dt run=$run%.2f $nm%s") }
+      }
       // single-measurement anomaly guard: a transient host stall (IO
       // freeze, neighbor burst, GC storm) can inflate exactly one query
       // by 10-20x in a one-shot run — round 7's official artifact

@@ -48,12 +48,27 @@ private[graft] object Caches {
     Option(planProbe.get).foreach(_ += df.queryExecution.executedPlan)
     val reliable = df.sparkSession.conf
       .get("spark.graft.checkpoint.mode", "local") == "reliable"
-    if (reliable) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "spark.graft.checkpoint.mode=reliable needs " +
-          "sparkContext.setCheckpointDir(<fault-tolerant path>)")
-      df.checkpoint()
-    } else df.localCheckpoint()
+    // label the materialization job with the operator call site — the
+    // Spark UI / JobLog profiler otherwise shows an iterative fit as a
+    // wall of anonymous checkpoint jobs with no way to tell which
+    // operator phase each belongs to
+    val sc = df.sparkSession.sparkContext
+    val caller = Thread.currentThread.getStackTrace.iterator
+      .map(e => (e.getClassName, e.getLineNumber))
+      .collectFirst { case (c, l)
+        if c.startsWith("graft.") && !c.contains("Caches") =>
+          c.stripPrefix("graft.").takeWhile(_ != '$') + ":" + l }
+      .getOrElse("eager")
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"ckpt $caller")
+    try {
+      if (reliable) {
+        require(sc.getCheckpointDir.isDefined,
+          "spark.graft.checkpoint.mode=reliable needs " +
+            "sparkContext.setCheckpointDir(<fault-tolerant path>)")
+        df.checkpoint()
+      } else df.localCheckpoint()
+    } finally sc.setJobDescription(prev)
   }
 
   /** Postfix sugar for [[eager]]: `df.eagerCheckpoint()` — keeps
@@ -164,6 +179,28 @@ private[graft] object Caches {
     finally intermediates.foreach(_.unpersist())
   }
 
+  /** [[scoped]] for COMPUTE-DENSE intermediates (shingle hashing,
+    * signature lanes): materialize each cache with its own action, in
+    * its own partition layout, BEFORE the consumer runs. A lazily
+    * persisted frame otherwise materializes inside its first consumer
+    * stage — and when that stage's input bytes are small, AQE coalesces
+    * it to one task, so the cache's whole per-row compute (pinned to
+    * `spark.sql.shuffle.partitions`-way parallelism by [[spreadByKey]]
+    * precisely so it would distribute) runs SERIALIZED in that one
+    * task. Measured on the minhash family at sf0.1: ~1.2 s of shingle +
+    * signature compute packed into three sequential 1-task stages.
+    * The count() actions cost one job each (the cache is computed
+    * either way; the extra cost is the job launch + a read-back of the
+    * already-hot blocks), and intermediates materialize in dependency
+    * order, so later ones reuse the earlier caches. */
+  def scopedHot(intermediates: DataFrame*)(out: => DataFrame): DataFrame = {
+    intermediates.foreach(_.persist())
+    try {
+      intermediates.foreach(_.count())
+      eager(out)
+    } finally intermediates.foreach(_.unpersist())
+  }
+
   /** Spread a compute-heavy-but-byte-light input across the cluster.
     *
     * A small parquet file arrives as ONE scan split, so per-row-expensive
@@ -183,7 +220,8 @@ private[graft] object Caches {
     * scan already parallelized — the single most expensive no-op a
     * 100 TB dedup pass could run — so it is skipped and the natural
     * scan splits feed the pipeline directly. */
-  def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+  def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column,
+      moreKeys: org.apache.spark.sql.Column*): DataFrame = {
     // the conf can hold a non-integer on AQE-managed platforms ("auto");
     // fall back to the cluster's default parallelism rather than throwing
     val n = scala.util.Try(
@@ -203,6 +241,6 @@ private[graft] object Caches {
       .getOrElse(Long.MaxValue)
     if (estBytes < BigInt(sentinel) &&
       estBytes >= BigInt(maxPartitionBytes) * n * 2) df
-    else df.repartition(n, key)
+    else df.repartition(n, (key +: moreKeys): _*)
   }
 }

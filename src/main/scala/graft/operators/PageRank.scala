@@ -42,24 +42,23 @@ object PageRank {
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(damping > 0 && damping < 1, s"damping ($damping) in (0, 1)")
-    val edges = edges0
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    // spread on src — the key EVERY downstream consumer clusters on:
+    // hash(src) co-locates duplicate (src, dst) rows, so the distinct
+    // aggregate runs exchange-free on the pinned layout; deg's
+    // groupBy(src) likewise; and each iteration's broadcast-contrib
+    // join probes the cached edges in place. Unpinned, the distinct's
+    // own exchange is AQE-coalesced on byte-light graphs and the whole
+    // edge build plus every iteration probe collapses to a few tasks.
+    val edges = Caches.spreadByKey(
+      edges0
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull),
+      col("src")).dropDuplicates()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
 
     Caches.scoped(edges, deg) {
-      // fail fast on dangling sinks: a dst with no out-edges would
-      // swallow rank mass the jump never returns (bounded probe: one
-      // anti-join LIMIT 1, not a full materialization)
-      val dangling = edges.select(col("dst").as("node")).distinct()
-        .join(deg, Seq("node"), "left_anti").limit(1).count()
-      require(dangling == 0L,
-        "pageRank: dangling node (dst with no out-edges); " +
-          "symmetrize the edge list or drop sink nodes first")
-
       // n is ONE number for the whole fit — collect it once (bounded:
       // a 1-row aggregate) instead of re-broadcasting a 1-row table
       // into every iteration's plan (measured: one broadcast exchange
@@ -67,6 +66,22 @@ object PageRank {
       // Long→double is exact below 2^53 nodes; the arithmetic is
       // bit-identical to the previous column division.
       val n = deg.count().toDouble
+      // fail fast on dangling sinks: a dst with no out-edges would
+      // swallow rank mass the jump never returns (bounded probe: one
+      // anti-join LIMIT 1, not a full materialization). deg's row count
+      // is in hand, so below the broadcast cap the probe is one pass
+      // over the co-located cached edges (the un-hinted plan sort-merge
+      // shuffles the FULL edge list against an n-row table — measured
+      // 0.9 s of e12's 4 s at sf0.1); past the cap the shuffle
+      // anti-join posture stands. No distinct: this is an existence
+      // probe, and deduplicating the dst column first would add a full
+      // edge-width exchange just to feed a LIMIT 1.
+      val dangling = edges.select(col("dst").as("node"))
+        .join(Caches.broadcastIfSmall(deg, n.toLong), Seq("node"),
+          "left_anti").limit(1).count()
+      require(dangling == 0L,
+        "pageRank: dangling node (dst with no out-edges); " +
+          "symmetrize the edge list or drop sink nodes first")
       // edge count gates the contrib broadcast: the hint only pays when
       // the streamed edge list genuinely dwarfs the n-row rank state
       // (a near-1 ratio is the label-propagation shape where the fixed

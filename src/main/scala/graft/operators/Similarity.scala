@@ -1410,8 +1410,16 @@ object Similarity {
     require(maxCluster >= 1, s"maxCluster ($maxCluster) must be >= 1")
     val (_, assigned) = ivfBuild(corpus, idCol, vecCol, nCentroids)
     val w = Window.partitionBy("cid")
-    val a = assigned.select(col("neighbor_id").as("id"), col("v"),
-        col("vn"), col("cid"))
+    // pin the cid exchange: the window AND the per-cluster screening
+    // self-join below both cluster on cid, and the join carries the
+    // |cluster|²-bounded dot-product compute — the query's dominant
+    // cost. Left to AQE the byte-light exchange coalesces to ~2 tasks
+    // and that compute serializes (measured 1.5 s of v09's 2.6 s);
+    // pinned, the cached assignment is already distributed on cid and
+    // the join runs exchange-free at cluster-count width.
+    val a = Caches.spreadByKey(
+        assigned.select(col("neighbor_id").as("id"), col("v"),
+          col("vn"), col("cid")), col("cid"))
       .withColumn("__csz", count(lit(1)).over(w))
       .withColumn("__rep",
         min(struct(col("id"), col("v"), col("vn"))).over(w))

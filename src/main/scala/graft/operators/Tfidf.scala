@@ -88,6 +88,10 @@ object Tfidf {
       .groupBy("id", "gram_key")
       .agg(count(lit(1)).cast("double").as("tf"))
     val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    // an un-numbered repartition on purpose: AQE picks the exchange
+    // width from the postings bytes (measured: pinning it to the full
+    // shuffle width costs more in per-partition sort of the skewed
+    // posting lists than the extra parallelism buys back)
     val keyed = tf.repartition(col("gram_key"))
       .withColumn("df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("gram_key"))
