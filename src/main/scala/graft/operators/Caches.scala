@@ -179,27 +179,14 @@ private[graft] object Caches {
     finally intermediates.foreach(_.unpersist())
   }
 
-  /** [[scoped]] for COMPUTE-DENSE intermediates (shingle hashing,
-    * signature lanes): materialize each cache with its own action, in
-    * its own partition layout, BEFORE the consumer runs. A lazily
-    * persisted frame otherwise materializes inside its first consumer
-    * stage — and when that stage's input bytes are small, AQE coalesces
-    * it to one task, so the cache's whole per-row compute (pinned to
-    * `spark.sql.shuffle.partitions`-way parallelism by [[spreadByKey]]
-    * precisely so it would distribute) runs SERIALIZED in that one
-    * task. Measured on the minhash family at sf0.1: ~1.2 s of shingle +
-    * signature compute packed into three sequential 1-task stages.
-    * The count() actions cost one job each (the cache is computed
-    * either way; the extra cost is the job launch + a read-back of the
-    * already-hot blocks), and intermediates materialize in dependency
-    * order, so later ones reuse the earlier caches. */
-  def scopedHot(intermediates: DataFrame*)(out: => DataFrame): DataFrame = {
-    intermediates.foreach(_.persist())
-    try {
-      intermediates.foreach(_.count())
-      eager(out)
-    } finally intermediates.foreach(_.unpersist())
-  }
+  // NOTE on a rejected variant: a scoped() flavor that pre-materialized
+  // each intermediate with its own count() (so compute-dense caches
+  // build at their pinned layout instead of inside an AQE-coalesced
+  // consumer stage) was measured NET-NEGATIVE on the minhash family at
+  // sf0.1 — the extra actions and exchanges cost more than the
+  // parallelized materialization saved (t19 +1.0 s, d10 +0.7 s in
+  // same-window A/B). If a future operator's cache materialization
+  // serializes, prefer restructuring the cache's own partitioning.
 
   /** Spread a compute-heavy-but-byte-light input across the cluster.
     *
@@ -220,8 +207,7 @@ private[graft] object Caches {
     * scan already parallelized — the single most expensive no-op a
     * 100 TB dedup pass could run — so it is skipped and the natural
     * scan splits feed the pipeline directly. */
-  def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column,
-      moreKeys: org.apache.spark.sql.Column*): DataFrame = {
+  def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     // the conf can hold a non-integer on AQE-managed platforms ("auto");
     // fall back to the cluster's default parallelism rather than throwing
     val n = scala.util.Try(
@@ -241,6 +227,6 @@ private[graft] object Caches {
       .getOrElse(Long.MaxValue)
     if (estBytes < BigInt(sentinel) &&
       estBytes >= BigInt(maxPartitionBytes) * n * 2) df
-    else df.repartition(n, (key +: moreKeys): _*)
+    else df.repartition(n, key)
   }
 }

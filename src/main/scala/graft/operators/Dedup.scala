@@ -165,14 +165,7 @@ object Dedup {
   private def withBucketStats(exploded: DataFrame,
       repCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("band", "bucket")
-    // pin the window's (band, bucket) exchange to the configured width
-    // (spreadByKey's guard: pinned when small-by-bytes, natural splits at
-    // corpus scale). Un-pinned, AQE coalesces this exchange to ONE task
-    // on byte-light corpora — and because this frame is the persisted
-    // LSH interior, whatever materializes it (signature lanes included)
-    // then runs serialized in that task (measured: ~0.5 s single-task
-    // stages in the d05 family at sf0.1, with 31 idle cores)
-    Caches.spreadByKey(exploded, col("band"), col("bucket"))
+    exploded
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__rep",
         min(struct((col("id") +: repCols.map(col)): _*)).over(w))
@@ -260,11 +253,7 @@ object Dedup {
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, numHashes / bands))
           .as(Seq("band", "bucket"))))
-    // scopedHot: hs carries the shingle hashing and sized the signature
-    // lanes — the engine's densest per-row compute; both must
-    // materialize at their spreadByKey layout, not inside a coalesced
-    // consumer stage (see scopedHot's doc)
-    Caches.scopedHot(hs, sized) {
+    Caches.scoped(hs, sized) {
       verifyJaccardPairs(cappedCliqueAndStar(sized, maxBucket), hs, threshold)
     }
   }
@@ -926,18 +915,13 @@ object Dedup {
     // family (groupBy groups nulls) and (b) vanish from the non-null-safe
     // expansion join — so each null doc gets a per-doc unique sentinel
     // fingerprint instead, making it its own group/representative
-    // spread BEFORE the fingerprint: the normalization regex is the
-    // corpus's per-byte-heaviest expression, and a small corpus arrives
-    // as one scan split — unspread, the whole normalize pass runs in
-    // whatever single task first materializes this cache
-    val withFp = Caches.spreadByKey(docs, col(idCol))
-      .select(col(idCol), col(textCol),
-        coalesce(TextFns.fingerprint(col(textCol)),
-          concat(lit("__null_text__"), col(idCol).cast("string"))).as("__fp"))
+    val withFp = docs.select(col(idCol), col(textCol),
+      coalesce(TextFns.fingerprint(col(textCol)),
+        concat(lit("__null_text__"), col(idCol).cast("string"))).as("__fp"))
     // one row per distinct normalized text; representative = min id
     // (exactDedup's survivor rule)
     val reps = withFp.groupBy("__fp").agg(min(col(idCol)).as("__rep_id"))
-    Caches.scopedHot(withFp, reps) {
+    Caches.scoped(withFp, reps) {
       val repDocs = withFp
         .join(reps.select(col("__rep_id").as(idCol)), Seq(idCol))
         .select(col(idCol), col(textCol))

@@ -27,17 +27,11 @@ object Graph {
     require(maxHops >= 1, s"maxHops ($maxHops) must be >= 1")
     val spark = edges0.sparkSession
     import spark.implicits._
-    // spread on src (the per-hop frontier-join key) — the PageRank edge
-    // recipe: hash(src) satisfies the distinct's clustering, so the
-    // dedup aggregate runs exchange-free on the pinned layout and every
-    // hop probes the cached edges in place instead of through an
-    // AQE-coalesced handful of tasks
-    val edges = Caches.spreadByKey(
-      edges0
-        .select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull),
-      col("src")).dropDuplicates()
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
     Caches.scoped(edges) {
       var visited = Seq((source, 0)).toDF("node", "hop").eagerCheckpoint()
       var frontier = visited.select("node")

