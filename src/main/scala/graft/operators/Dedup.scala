@@ -810,8 +810,10 @@ object Dedup {
     * the smaller neighbors (and the node) onto their minimum. Both are
     * one groupBy + one join on the node key — the same shuffle shape as
     * a propagation round — and the edge set provably contracts to one
-    * star per component rooted at its minimum id. Edges are
-    * re-checkpointed per round so the iterative lineage never grows.
+    * star per component rooted at its minimum id. The canonical edge
+    * set is checkpointed per round (lineage stays O(1)); the undirected
+    * expansion each round consumes is a shuffle-free union of two scans
+    * of that checkpoint, never materialized separately.
     * Equality with [[dupClusters]] on arbitrary graphs is asserted in
     * DedupSpec; a 300-hop chain converges in ~9 rounds where min-label
     * needs 300. */
@@ -827,13 +829,20 @@ object Dedup {
       e.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst")).distinct()
 
-    var edges = undirect(pairs.select(col("id_a").as("src"),
+    val edges0 = undirect(pairs.select(col("id_a").as("src"),
       col("id_b").as("dst"))).eagerCheckpoint()
-    var prev = canon(edges).eagerCheckpoint()
+    var prev = canon(edges0).eagerCheckpoint()
     var prevCount = prev.count()
+    // only the CANONICAL set is checkpointed per round: the undirected
+    // expansion is a shuffle-free union of two scans of that checkpoint
+    // (undirect(canon(E)) = undirect(E) as sets), so materializing it
+    // too would buy nothing and cost one checkpoint job + release per
+    // round. The initial expansion is dead once `prev` is materialized.
+    Caches.release(edges0)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = prevCount == 0
     while (!converged && round < maxRounds) {
+      val edges = undirect(prev)
       // large-star: for (x, y>x) emit (y, min(Γ(x) ∪ {x}))
       // lMins is one row per distinct src ≤ 2·|canonical edges| — the
       // tracked prevCount bounds it, gating a broadcast that keeps the
@@ -862,13 +871,11 @@ object Dedup {
         // equal — and the except job only runs once counts agree
         val n = afterSmall.count()
         converged = n == prevCount && afterSmall.exceptAll(prev).isEmpty
-        // last round's canonical set and edge expansion are superseded
-        // once the convergence check has run — release both eagerly
+        // last round's canonical set is superseded once the convergence
+        // check has run — release it eagerly
         Caches.release(prev)
-        Caches.release(edges)
         prev = afterSmall
         prevCount = n
-        edges = undirect(afterSmall).eagerCheckpoint()
       } finally afterLarge.unpersist()
       round += 1
     }

@@ -25,9 +25,16 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product of two array<double> columns (left-fold, deterministic
-    * summation order). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double|float> columns (left-fold,
+    * deterministic summation order) — the native codegen expression
+    * ([[graft.functions.DotExpr]]); bit-identical to the composed twin
+    * [[dotHof]] (asserted in DotExprSpec), several times cheaper on the
+    * candidate-scoring hot path. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotExpr(a, b)
+
+  /** Composed-HOF formulation of [[dot]] — kept as the cross-check twin
+    * (and the shape the oracle SQL replays). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
