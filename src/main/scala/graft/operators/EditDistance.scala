@@ -70,12 +70,22 @@ object EditDistance {
     // one representative (min id) per distinct normalized prefix; null
     // text yields a null prefix whose rep can never verify (levenshtein
     // with null is null) — dropped here so it doesn't block a segment
-    val reps = Caches.spreadByKey(docs, col(idCol))
-      .select(prefixKey(col(textCol), prefixLen).as("pre"),
-        col(idCol).cast("long").as("__id"))
-      .filter(col("pre").isNotNull)
-      .groupBy("pre").agg(min(col("__id")).as("id"))
-      .select(col("id"), col("pre"), length(col("pre")).cast("int").as("lp"))
+    // outer spread: the grouped rep table is (id, ≤prefixLen chars) —
+    // byte-light, so AQE coalesces its exchange to 1-2 tasks — but it
+    // feeds the segment-index explode and the multi-probe expansion
+    // (~(2k+1)·m·window substr+hash ops per rep, the operator's densest
+    // compute), which then run serialized at the cache's coalesced
+    // width (measured: 3 × ~0.7 s single-task stages of d14's 3.2 s).
+    // The pin costs one tiny rep-sized exchange and buys the expansion
+    // the full configured width.
+    val reps = Caches.spreadByKey(
+      Caches.spreadByKey(docs, col(idCol))
+        .select(prefixKey(col(textCol), prefixLen).as("pre"),
+          col(idCol).cast("long").as("__id"))
+        .filter(col("pre").isNotNull)
+        .groupBy("pre").agg(min(col("__id")).as("id"))
+        .select(col("id"), col("pre"), length(col("pre")).cast("int").as("lp")),
+      col("id"))
 
     // ---- segment geometry (shared by index and probe sides) ----
     // canonical even partition of a length-`ls` string into m
