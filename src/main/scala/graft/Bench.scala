@@ -16,10 +16,13 @@ private final class JobLog extends org.apache.spark.scheduler.SparkListener {
   override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
     starts.put(e.jobId, e.time)
     tasks.put(e.jobId, e.stageInfos.map(_.numTasks).sum)
-    val p = e.properties
+    // SparkListenerJobStart.properties is nullable (jobs submitted
+    // without local properties) — a bare dereference would NPE on the
+    // bus thread and lose the call-site tag
+    val p = Option(e.properties)
     val cs = Seq("spark.job.description", "callSite.short",
         "spark.sql.execution.root.id", "spark.sql.execution.id")
-      .iterator.map(k => Option(p.getProperty(k)).getOrElse(""))
+      .iterator.map(k => p.flatMap(x => Option(x.getProperty(k))).getOrElse(""))
       .find(_.nonEmpty).getOrElse("?")
     sites.put(e.jobId, cs.replaceAll("\\s+", " ").take(48))
   }
@@ -276,25 +279,27 @@ object Bench {
       // absolute bar. The trigger is now PER-QUERY: a measurement over
       // 3x the query's own checked-in steady time (floor 2 s, so
       // sub-second jitter never retries) is re-measured TWICE after the
-      // usual inter-query cleanup and the MEDIAN of the three runs kept
-      // — the standard robust estimator: neither the stall nor the
-      // luckiest run. A query with no steady reference (new this round,
-      // or a bench at a different SF) falls back to the cross-query
-      // family rule (> 12 s AND > 4x the median of queries measured so
-      // far — genuinely heavy queries move the median with them, so
-      // real load growth never trips it). Every observation is
-      // disclosed under `retries`, and the retry count rides the
-      // compact summary line, so the artifact hides nothing.
+      // usual inter-query cleanup and the MEDIAN of all runs kept —
+      // the standard robust estimator: neither the stall nor the
+      // luckiest run. ESCALATION (BenchPolicy.needMore): while the
+      // median of everything observed so far STILL trips the query's
+      // own trigger — the 2-of-3-stall shape, where median-of-three is
+      // itself a stall — keep observing, capped at five runs total. A
+      // query with no steady reference (new this round, or a bench at
+      // a different SF) falls back to the cross-query family rule
+      // (> 12 s AND > 4x the median of queries measured so far —
+      // genuinely heavy queries move the median with them, so real
+      // load growth never trips it). Every observation is disclosed
+      // under `retries`, and the retry count rides the compact summary
+      // line, so the artifact hides nothing.
       val anomalous = ok && repeat == 1 &&
         BenchPolicy.anomalous(steady, name, elapsed, acc.values)
       if (anomalous) {
         val obs = scala.collection.mutable.ArrayBuffer(elapsed)
-        var i = 0
-        while (i < 2 && ok) {
+        while (ok && BenchPolicy.needMore(steady, name, obs.toSeq, acc.values)) {
           interQueryCleanup()
           timedRun()
           if (ok) obs += elapsed
-          i += 1
         }
         // a rerun crash keeps the successful observations and stays a
         // pass (the query demonstrably ran to completion) — but the

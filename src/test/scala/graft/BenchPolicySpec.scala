@@ -34,12 +34,58 @@ class BenchPolicySpec extends AnyFunSuite {
 
   test("steady-referenced trigger: 3x own steady with a 2 s floor") {
     val steady = Map("fast" -> 0.2, "heavy" -> 4.0)
-    // 3x a sub-second steady stays under the floor — jitter never retries
-    assert(!BenchPolicy.anomalous(steady, "fast", 1.9, Seq(0.5)))
+    // 3x a sub-second steady stays under both floors — jitter never
+    // retries (0.2 s steady at 1.5 s is 7.5x but only +1.3 s absolute)
+    assert(!BenchPolicy.anomalous(steady, "fast", 1.5, Seq(0.5)))
     assert(BenchPolicy.anomalous(steady, "fast", 2.1, Seq(0.5)))
     // heavy query: the 3x bound governs, not the floor
     assert(!BenchPolicy.anomalous(steady, "heavy", 11.9, Nil))
     assert(BenchPolicy.anomalous(steady, "heavy", 12.1, Nil))
+  }
+
+  test("proportional floor: sub-2 s stalls over 1.5 s excess re-measure") {
+    // the v02 shape from round 9: steady 0.536 s published at 1.77 s =
+    // 3.3x, under the bare 2 s floor. The proportional arm triggers at
+    // over 3x AND over 1.5 s absolute excess.
+    val steady = Map("v02" -> 0.5, "tiny" -> 0.3)
+    assert(BenchPolicy.anomalous(steady, "v02", 2.05, Nil), "over hard floor")
+    assert(!BenchPolicy.anomalous(steady, "v02", 1.9, Nil),
+      "3.8x but excess 1.4 s: under both floors")
+    assert(BenchPolicy.anomalous(steady, "v02", 2.01, Nil),
+      "4x and excess 1.51 s: proportional arm fires")
+    // sub-second jitter still never trips: 0.3 -> 1.0 s is 3.3x but
+    // only +0.7 s absolute
+    assert(!BenchPolicy.anomalous(steady, "tiny", 1.0, Nil))
+    assert(BenchPolicy.anomalous(steady, "tiny", 1.81, Nil),
+      "6x and excess 1.51 s")
+  }
+
+  test("escalation: 2-of-3 stalls keep observing until the median clears") {
+    // the d16 shape from round 9: steady 1.49 s, observations
+    // [8.74, 5.24, 1.45] — median-of-three 5.24 is itself 3.5x steady
+    val steady = Map("d16" -> 1.49)
+    val none = Nil
+    // fewer than three observations: always take more
+    assert(BenchPolicy.needMore(steady, "d16", Seq(8.74), none))
+    assert(BenchPolicy.needMore(steady, "d16", Seq(8.74, 5.24), none))
+    // three observed, median still a stall -> escalate
+    assert(BenchPolicy.needMore(steady, "d16", Seq(8.74, 5.24, 1.45), none))
+    // four observed, even-size median (upper middle) is STILL the stall
+    // value -> one more
+    assert(BenchPolicy.needMore(steady, "d16",
+      Seq(8.74, 5.24, 1.45, 1.50), none))
+    // five observed: hard cap regardless of median
+    assert(!BenchPolicy.needMore(steady, "d16",
+      Seq(8.74, 5.24, 1.45, 1.50, 1.48), none))
+    // ...and the kept value at the cap is now the steady-shaped median
+    assert(BenchPolicy.median(Seq(8.74, 5.24, 1.45, 1.50, 1.48)) === 1.50)
+    // clean 1-of-3 shape stops at three, exactly as before
+    assert(!BenchPolicy.needMore(steady, "d16", Seq(8.74, 1.45, 1.50), none))
+    // no-steady fallback: family rule governs the escalation median too
+    assert(!BenchPolicy.needMore(Map.empty, "q",
+      Seq(20.0, 1.0, 1.2), Seq(1.0, 1.1, 1.2)), "median 1.2 under 12 s")
+    assert(BenchPolicy.needMore(Map.empty, "q",
+      Seq(20.0, 19.0, 1.2), Seq(1.0, 1.1, 1.2)), "median 19 over 4x family")
   }
 
   test("family fallback: over 12 s AND over 4x the running median") {
