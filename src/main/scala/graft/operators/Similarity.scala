@@ -237,9 +237,25 @@ object Similarity {
 
   /** The hot-bucket guard behind [[lshSearch]]: buckets at or under
     * `maxBucket` pass through untouched; above it only the bucket's
-    * `maxBucket` LOWEST-id members stay candidates. One window on the
-    * bucket key — the SAME key the candidate join shuffles on, so the
-    * join downstream reuses the partitioning (and its sort).
+    * `maxBucket` LOWEST-id members stay candidates.
+    *
+    * HOW, scale-safely: a per-partition partial bottom-k
+    * ([[graft.functions.BottomKThresholdAgg]]) computes each
+    * overflowed bucket's `maxBucket`-th lowest id — map-side combine
+    * ships at most `maxBucket` longs per bucket per partition, and the
+    * merged threshold table holds ONLY overflowed buckets (at-or-under
+    * -cap buckets aggregate to NULL and are filtered out), so it is
+    * tiny by construction (≤ one row per bucket) and broadcast. The
+    * corpus then keeps rows with `id <= threshold` — with unique ids
+    * exactly the `maxBucket` lowest. No window, no sort: the earlier
+    * formulation's `row_number` over the bucket key sorted an
+    * overflowed bucket's FULL population in one task (a 10⁸-member
+    * template family = a single-task O(N log N) sort before the
+    * filter); here that population only ever feeds a bounded heap per
+    * scan partition. The wide corpus rows cross no extra exchange —
+    * the aggregate's exchange carries (bucket, ≤maxBucket ids) partial
+    * states, ~8 bytes a row against the ~KB vector rows of the join
+    * shuffle downstream (LshHotBucketSpec pins the plan shape).
     *
     * The recall trade, precisely: a corpus vector is bucketed exactly
     * once (multi-probe fans out the QUERY side only), so a member
@@ -252,17 +268,27 @@ object Similarity {
     * k ≤ maxBucket — the kept lowest-id members are the ones the
     * tie-break would have chosen anyway (LshHotBucketSpec pins both
     * properties). Corpora where the residual matters should raise the
-    * conf, not disable the guard. */
+    * conf, not disable the guard. Ids are integral on every engine
+    * path (requireIntegralId at index build; the inline tier casts);
+    * duplicate ids within a bucket cannot arise because a corpus
+    * vector is bucketed exactly once per id. */
   private[graft] def capServeBuckets(bucketed: DataFrame,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxServeBucket ($maxBucket) must be >= 1")
     // Int.MaxValue = explicit off-switch: no bucket can exceed it, so
-    // skip the window entirely instead of paying a provably-no-op stage
+    // skip the threshold scan entirely instead of paying a provably
+    // no-op aggregation
     if (maxBucket == Int.MaxValue) return bucketed
-    val w = Window.partitionBy("bucket").orderBy("neighbor_id")
-    bucketed.withColumn("__brank", row_number().over(w))
-      .filter(col("__brank") <= maxBucket)
-      .drop("__brank")
+    val id = col("neighbor_id").cast("long")
+    val thresholds = bucketed.groupBy("bucket")
+      .agg(graft.functions.BottomKThresholdAgg
+        .bottomKThreshold(id, maxBucket).as("__thr"))
+      .filter(col("__thr").isNotNull)
+    bucketed.join(broadcast(thresholds), Seq("bucket"), "left_outer")
+      .filter(col("__thr").isNull || id <= col("__thr"))
+      // restore the caller's column order (the using-join moved the
+      // bucket key first)
+      .select(bucketed.columns.map(col): _*)
   }
 
   /** Candidate join + exact-cosine re-rank shared by the inline and

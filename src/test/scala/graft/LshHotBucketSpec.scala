@@ -63,30 +63,63 @@ class LshHotBucketSpec extends SparkSuite {
     assert(q999 === Set((0L, 1L), (1L, 2L), (2L, 3L)))
   }
 
-  test("at sort-merge scale the guard's exchange IS the join's (no extra corpus shuffle)") {
-    // with broadcasts off (the 100 TB posture for a corpus-sized build
-    // side), the window's hash exchange on the bucket key must satisfy
-    // the join's distribution — the corpus side pays ONE shuffle total,
-    // not window-shuffle + join-shuffle
+  test("the overflowed bucket never sorts in one task (threshold agg, no bucket window)") {
+    // the 100 TB posture: broadcasts off for corpus-sized sides, AQE off
+    // so the static plan is inspectable. The cap must appear as the
+    // partial bottom-k threshold aggregate + broadcast filter — NOT as a
+    // window keyed on the bucket, whose sort funneled an overflowed
+    // bucket's full population into one task before the rank filter.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val d = fixture
       val plan = Similarity.lshTopK(d, d, "vec_id", "embedding", k = 2,
         numPlanes = 4, dim = 4).queryExecution.executedPlan.toString()
+      // the guard is live in this plan (default cap)...
+      assert(plan.contains("bottomk_threshold"), plan.take(800))
+      // ...as a partial-aggregated shape: map-side combine bounds what
+      // the aggregate's exchange carries to <= cap ids per bucket per
+      // partition
+      assert("ObjectHashAggregate.*partial_bottomk_threshold".r
+          .findFirstIn(plan).isDefined,
+        "threshold must be a partial (map-side combined) aggregate:\n" +
+          plan.take(1200))
+      // NO window partitioned on the bucket key anywhere in the plan
+      // (the per-query re-rank window keyed on query_id is expected)
+      assert("windowspecdefinition\\(bucket".r.findFirstIn(plan).isEmpty,
+        "bucket-keyed window found — the single-task sort is back:\n" +
+          plan.take(1200))
       assert(plan.contains("SortMergeJoin"), plan.take(800))
+      // the wide corpus rows cross exactly one bucket exchange (the
+      // candidate join's own); the only additional bucket exchange is
+      // the threshold aggregate's, carrying bounded (bucket, heap)
+      // partial states — ~8 bytes a row against the vector rows' ~KB
       val bucketExchanges =
         "Exchange hashpartitioning\\(bucket".r.findAllIn(plan).length
-      // one for the corpus side (window + join share it), one for the
-      // probe side — a third would be the join re-shuffling the
-      // already-windowed corpus
-      assert(bucketExchanges <= 2,
-        s"$bucketExchanges bucket exchanges — the join is not reusing " +
-          "the hot-bucket window's partitioning")
+      assert(bucketExchanges <= 3,
+        s"$bucketExchanges bucket exchanges — the corpus side is being " +
+          "re-shuffled beyond the join + narrow threshold agg")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
+  }
+
+  test("bottomk_threshold: k-th lowest id for overflowed groups, NULL otherwise") {
+    import graft.functions.BottomKThresholdAgg.bottomKThreshold
+    // 1000-member group (threshold = 32nd lowest = 31 for ids 0..999),
+    // exactly-at-cap group (NULL), and an under-cap group (NULL) — over
+    // many partitions so map-side partial states genuinely merge
+    val rows = ((0L until 1000L).map(i => (1L, i)) ++
+      (0L until 32L).map(i => (2L, 5000L + i)) ++
+      Seq((3L, 7L))).toDF("bucket", "neighbor_id").repartition(13)
+    val out = rows.groupBy("bucket")
+      .agg(bottomKThreshold(col("neighbor_id"), 32).as("thr"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) === Some(31L))
+    assert(out(2L) === None, "exactly at cap: untouched marker")
+    assert(out(3L) === None)
   }
 
   test("honest buckets are untouched by a cap that bites elsewhere") {
