@@ -11,11 +11,17 @@ import org.apache.spark.sql.types._
   * prunable, and heavy decode runs per-partition so one task amortizes
   * decoder setup over its whole split.
   *
-  * The decoders themselves are STUBS (this container has no image/audio
-  * libraries): [[decodeFeatures]] derives a deterministic fake feature
-  * vector from the bytes. The Spark-side plumbing — schema, partitioning,
-  * per-partition batch shape, frame sampling — is real and tested; swap
-  * `stubFeature` for a JNI/ONNX call and nothing else changes.
+  * Decoding is pluggable behind [[AssetCodec]]. The DEFAULT is
+  * [[StubCodec]] — a deterministic modular byte-fold, so the oracled
+  * m01–m06 queries replay exactly in any engine — and
+  * [[graft.operators.ImageIoCodec]] is a REAL decoder on the JDK's own
+  * `javax.imageio` (PNG/JPEG, zero external dependencies): decoded
+  * per-stripe luma means, so [[phashChunks]] becomes a genuine
+  * difference hash over pixels (MultimodalCodecSpec asserts real
+  * near-dup detection across a noisy re-render and a JPEG re-encode).
+  * Audio/video decode (ffmpeg-class) stays behind the same seam. The
+  * Spark-side plumbing — schema, partitioning, per-partition batch
+  * shape, frame sampling — is identical for every codec.
   */
 object Multimodal {
 

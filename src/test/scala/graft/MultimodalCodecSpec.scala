@@ -79,4 +79,104 @@ class MultimodalCodecSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 4L)))
   }
+
+  // ---- the REAL decoder: graft.operators.ImageIoCodec (JDK ImageIO) ----
+
+  /** Encode a w×h grayscale image whose luma at (x, y) is `f(x, y)`,
+    * in the given ImageIO format ("png", "jpg"). Tiny REAL images,
+    * generated in-test — no fixtures, no network. */
+  private def imageBytes(fmt: String, w: Int, h: Int)(
+      f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private val W = 130
+  private val H = 16
+  private def grad(x: Int, y: Int): Int = x * 255 / (W - 1)
+  // deterministic low-amplitude noise: preserves stripe-mean ordering
+  private def noisy(x: Int, y: Int): Int = grad(x, y) + (x * 31 + y * 17) % 5 - 2
+
+  private def realAssets = {
+    val rows = Seq(
+      (1L, imageBytes("png", W, H)(grad)),
+      (2L, imageBytes("png", W, H)(noisy)),                  // noisy re-render
+      (3L, imageBytes("jpg", W, H)(grad)),                   // lossy re-encode
+      (4L, imageBytes("png", W, H)((x, y) => 255 - grad(x, y))), // reversed content
+      (5L, "not an image at all".getBytes("UTF-8")))         // corrupt payload
+    rows.toDF("asset_id", "data")
+      .withColumn("kind", lit("image"))
+      .withColumn("meta", struct(lit(W).as("width"), lit(H).as("height"),
+        lit(0).as("sample_rate"), lit(0.0).as("duration_s"),
+        lit("png").as("codec")))
+  }
+
+  test("ImageIoCodec decodes real pixels: gradient stripe means ascend") {
+    val c = new graft.operators.ImageIoCodec
+    c.init()
+    val acc = c.accumulators(imageBytes("png", W, H)(grad), 8)
+    assert(acc.length === 8)
+    // decoded stripe means of a left-dark gradient strictly ascend, and
+    // sit in the luma-x1000 range — values a byte-fold stub cannot
+    // produce from PNG container bytes
+    assert(acc.sliding(2).forall(p => p(0) < p(1)), acc.toSeq.toString)
+    assert(acc.head < 40000L && acc.last > 215000L, acc.toSeq.toString)
+  }
+
+  test("real decoded-pixel pHash: noise and JPEG re-encode are near-dups, reversed content is not") {
+    val pairs = Multimodal.phashPairs(realAssets, maxHamming = 3,
+      codec = new graft.operators.ImageIoCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the three renderings of the SAME content pair up within 3 bits...
+    assert(pairs.contains((1L, 2L)), s"noisy re-render must near-dup: $pairs")
+    assert(pairs.contains((1L, 3L)), s"JPEG re-encode must near-dup: $pairs")
+    assert(pairs.contains((2L, 3L)), pairs.toString)
+    // ...and the reversed gradient (every stripe comparison flipped)
+    // pairs with none of them
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"reversed content must not near-dup: $pairs")
+  }
+
+  test("decodeFeatures over real images (m02 shape): deterministic, normalized") {
+    val out = Multimodal.decodeFeatures(realAssets, dims = 8,
+      codec = new graft.operators.ImageIoCodec)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("asset_id", "kind", "byte_len", "feature", "feat_checksum"))
+    val rows = out.orderBy("asset_id").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getLong(2) > 0L)) // real encoded payloads
+    // features stay in the stub's normalized range (luma mean <= 255000
+    // over StubMod)
+    val feats = rows.map(_.getSeq[Float](3))
+    assert(feats.forall(_.forall(v => v >= 0f && v <= 0.26f)))
+    val again = Multimodal.decodeFeatures(realAssets, dims = 8,
+      codec = new graft.operators.ImageIoCodec)
+      .orderBy("asset_id").collect().map(_.getLong(4))
+    assert(again.toSeq === rows.map(_.getLong(4)).toSeq, "decode determinism")
+  }
+
+  test("undecodable payloads fall back to the stub fold, never kill the task") {
+    val c = new graft.operators.ImageIoCodec
+    c.init()
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(c.accumulators(junk, 6).toSeq ===
+      graft.operators.Multimodal.stubAccumulators(junk, 6).toSeq)
+    assert(c.accumulators(Array.emptyByteArray, 4).toSeq === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("resize (m04 shape) runs over real image assets") {
+    val out = Multimodal.resizeAssets(realAssets, maxDim = 64)
+      .orderBy("asset_id").collect()
+    assert(out.length === 5)
+    // 130x16 capped at 64 on the long edge, aspect preserved, floored
+    val meta = out.head.getStruct(3)
+    assert(meta.getInt(0) === 64 && meta.getInt(1) === 7)
+  }
 }
