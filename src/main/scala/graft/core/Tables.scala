@@ -47,10 +47,36 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 
+  /** The warehouse's one date-partitioning convention: a derived
+    * `p_date` (DATE) partition column off a timestamp column. Every
+    * producer (CTAS, COPY INTO, the PII retention tier) derives it the
+    * same way so every consumer — partition-pruned scans,
+    * [[graft.pii.Masking.retentionDropPartitions]]' directory-level
+    * retention, [[purgeRows]]' partition-filtered rewrite — composes
+    * over any of their outputs. */
+  val DatePartitionCol = "p_date"
+
+  def withDatePartition(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn(DatePartitionCol, to_date(col(tsCol)))
+
   /** S10 `CREATE OR REPLACE TABLE ... AS SELECT` (commands.sql:126-128):
-    * materialize a result as a parquet table. */
-  def ctas(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite").parquet(dir)
+    * materialize a result as a parquet table.
+    *
+    * `partitionDateCol`: date-partition the table by `p_date =
+    * to_date(<col>)` — the warehouse seam for time-organized fact
+    * tables. At 100 TB this is what makes a date-range query touch
+    * days, not the corpus: the scan plans `PartitionFilters` on
+    * `p_date` and never lists the other partitions' files
+    * (DatePartitionSpec proves pruning on a q14-shaped range scan),
+    * and retention becomes a per-day directory drop instead of a
+    * full rewrite. */
+  def ctas(df: DataFrame, dir: String,
+      partitionDateCol: Option[String] = None): Unit =
+    partitionDateCol match {
+      case Some(ts) => withDatePartition(df, ts)
+        .write.mode("overwrite").partitionBy(DatePartitionCol).parquet(dir)
+      case None => df.write.mode("overwrite").parquet(dir)
+    }
 
   /** S10 `CREATE TABLE IF NOT EXISTS ... LIKE` (A4:1038): an empty table
     * with the source's exact schema. */

@@ -50,12 +50,20 @@ object CopyInto {
 
   /** COPY INTO: load every not-yet-loaded matching file into `targetDir`,
     * record each in the ledger, optionally purge sources. Returns the
-    * newly loaded files. `onError` FAILFAST ≡ ABORT_STATEMENT. */
+    * newly loaded files. `onError` FAILFAST ≡ ABORT_STATEMENT.
+    *
+    * `partitionDateCol`: land the target date-partitioned
+    * (`p_date = to_date(<col>)`, the [[graft.core.Tables]] warehouse
+    * convention) — continuous ingest appends into per-day directories,
+    * so downstream date-range scans prune at the partition level and
+    * [[graft.pii.Masking.retentionDropPartitions]] expires whole days
+    * without rewriting the table. */
   def copyInto(spark: SparkSession, landingDir: String, pattern: String,
       schema: StructType, targetDir: String, ledgerDir: String,
       format: String = "json", onError: String = "FAILFAST",
       purge: Boolean = false,
-      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+      partitionDateCol: Option[String] = None)
       : Seq[LoadRecord] = {
     import spark.implicits._
     val staged = listStage(spark, landingDir, pattern)
@@ -104,8 +112,8 @@ object CopyInto {
           count(when(decodedFile.endsWith("/" + new Path(f).getName),
             lit(1))).as(s"f$i")
         }
-        df.observe(obs, aggs.head, aggs.tail: _*)
-          .write.mode(SaveMode.Append).parquet(targetDir)
+        appendTarget(df.observe(obs, aggs.head, aggs.tail: _*),
+          targetDir, partitionDateCol)
         val m = obs.get
         newFiles.zipWithIndex
           .map { case (f, i) =>
@@ -118,8 +126,8 @@ object CopyInto {
         val withFile = df.withColumn("__src_file", input_file_name())
         withFile.persist()
         try {
-          withFile.drop("__src_file")
-            .write.mode(SaveMode.Append).parquet(targetDir)
+          appendTarget(withFile.drop("__src_file"), targetDir,
+            partitionDateCol)
           withFile.groupBy(col("__src_file"))
             .agg(count(lit(1)).as("n")).collect()
             .map(r => decodedBasename(r.getString(0)) -> r.getLong(1))
@@ -140,6 +148,18 @@ object CopyInto {
     }
     records
   }
+
+  /** The target append, flat or date-partitioned — one definition so
+    * the observe()-metrics branch and the cached-batch branch can never
+    * land with different layouts. */
+  private def appendTarget(df: org.apache.spark.sql.DataFrame,
+      targetDir: String, partitionDateCol: Option[String]): Unit =
+    partitionDateCol match {
+      case Some(ts) => graft.core.Tables.withDatePartition(df, ts)
+        .write.mode(SaveMode.Append)
+        .partitionBy(graft.core.Tables.DatePartitionCol).parquet(targetDir)
+      case None => df.write.mode(SaveMode.Append).parquet(targetDir)
+    }
 
   /** Filesystem basename of input_file_name()'s URI rendering: strip
     * to the leaf, shield raw '+' (legal in a URI path) from the

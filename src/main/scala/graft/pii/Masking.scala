@@ -64,10 +64,12 @@ object Masking {
     df.filter(col(tsCol) >= asOf - expr(s"INTERVAL $days DAY"))
 
   /** G13 at scale: write date-partitioned so retention can DROP whole
-    * partition directories instead of rewriting 100 TB of rows. */
+    * partition directories instead of rewriting 100 TB of rows. The
+    * warehouse-wide convention ([[graft.core.Tables.ctas]] with
+    * `partitionDateCol`, same `p_date` derivation) — retention below
+    * works on any of its outputs. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String): Unit =
-    df.withColumn("p_date", to_date(col(tsCol)))
-      .write.mode("overwrite").partitionBy("p_date").parquet(dir)
+    graft.core.Tables.ctas(df, dir, partitionDateCol = Some(tsCol))
 
   /** G13 partition-prune deletion: remove partitions strictly older than
     * the cutoff — a metadata-scale operation (one directory delete per
