@@ -20,14 +20,19 @@ import org.apache.spark.sql.types._
   * double loop over the two ArrayData buffers — no allocation, no
   * boxing, inlined into whole-stage codegen via one static call.
   *
-  * Bit-compatible with the composed version BY CONSTRUCTION: the sum
-  * runs in index order 0..n-1 exactly like ArrayAggregate's left fold
-  * (IEEE-754 addition order preserved, so every 4dp-rounded sim the
-  * oracles replay is unchanged), NaN/Inf flow through plain double
-  * arithmetic, and the null semantics mirror zip_with + aggregate —
-  * a null element, or an index present on one side only (zip_with
-  * null-pads the shorter array), nulls the whole result; two empty
-  * arrays fold to 0.0 (DotExprSpec asserts all of it bit-for-bit). */
+  * Bit-compatible with the composed version BY CONSTRUCTION — for
+  * ARRAY<DOUBLE> inputs, the form every engine call site uses (all go
+  * through `asDouble`): the sum runs in index order 0..n-1 exactly
+  * like ArrayAggregate's left fold (IEEE-754 addition order preserved,
+  * so every 4dp-rounded sim the oracles replay is unchanged), NaN/Inf
+  * flow through plain double arithmetic, and the null semantics mirror
+  * zip_with + aggregate — a null element, or an index present on one
+  * side only (zip_with null-pads the shorter array), nulls the whole
+  * result; two empty arrays fold to 0.0 (DotExprSpec asserts all of it
+  * bit-for-bit). On RAW ARRAY<FLOAT> inputs the claim is weaker: this
+  * expression widens each element to double BEFORE the multiply, while
+  * the raw HOF twin multiplies in float precision first — same values
+  * after an asDouble cast, not bit-equal against the uncast HOF. */
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

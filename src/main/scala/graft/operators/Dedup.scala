@@ -820,10 +820,22 @@ object Dedup {
   def dupClustersLogStar(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
     // (src, dst) BOTH directions — each star step processes full
-    // neighborhoods keyed by src
+    // neighborhoods keyed by src. The general form dedups: arbitrary
+    // input (the caller's pairs, a star step's output) can contain
+    // (a, b) alongside (b, a), which the union would double.
     def undirect(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
+    // Distinct-free twin for a CANONICAL (distinct, src <= dst) input:
+    // the forward scan emits only src < dst rows and the swapped scan
+    // only src > dst rows (self-loops filtered), so the union is
+    // duplicate-free BY CONSTRUCTION — per round this saves the hash
+    // exchange a .distinct() would plan on the expanded edge set, and
+    // the consumers (a min() aggregate and the star joins, whose output
+    // is re-canonicalized anyway) are duplicate-insensitive besides.
+    def undirectCanon(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
     // canonical ordered form, for the convergence check
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("src"), col("dst")).as("src"),
@@ -842,7 +854,7 @@ object Dedup {
     var round = 0
     var converged = prevCount == 0
     while (!converged && round < maxRounds) {
-      val edges = undirect(prev)
+      val edges = undirectCanon(prev)
       // large-star: for (x, y>x) emit (y, min(Γ(x) ∪ {x}))
       // lMins is one row per distinct src ≤ 2·|canonical edges| — the
       // tracked prevCount bounds it, gating a broadcast that keeps the

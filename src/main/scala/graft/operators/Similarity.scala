@@ -28,8 +28,15 @@ object Similarity {
   /** Dot product of two array<double|float> columns (left-fold,
     * deterministic summation order) — the native codegen expression
     * ([[graft.functions.DotExpr]]); bit-identical to the composed twin
-    * [[dotHof]] (asserted in DotExprSpec), several times cheaper on the
-    * candidate-scoring hot path. */
+    * [[dotHof]] on double arrays (asserted in DotExprSpec; float
+    * inputs are widened to double before the multiply, unlike the raw
+    * HOF), several times cheaper on the candidate-scoring hot path.
+    *
+    * CONTRACT: inputs must be ARRAY<FLOAT|DOUBLE> — analysis-time
+    * checked. Other numeric arrays (the pre-DotExpr HOF accepted e.g.
+    * array<int> silently) must be widened first: `dot(asDouble(c), …)`
+    * / `transform(c, _.cast("double"))`. Every engine call site
+    * already routes through [[asDouble]]. */
   def dot(a: Column, b: Column): Column = graft.functions.DotExpr(a, b)
 
   /** Composed-HOF formulation of [[dot]] — kept as the cross-check twin
