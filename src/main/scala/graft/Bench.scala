@@ -260,7 +260,8 @@ object Bench {
         Thread.sleep(300) // bus quiesce — dev path only, not measured
         val jobs = l.drain()
         val inJobs = jobs.map(_._2).sum
-        val top = jobs.sortBy(-_._2).take(8).map { case (id, s, nt, cs) =>
+        val topN = sys.env.get("SPARK_GRAFT_JOBLOG_TOP").map(_.toInt).getOrElse(8)
+        val top = jobs.sortBy(-_._2).take(topN).map { case (id, s, nt, cs) =>
           f"j$id%d:$s%.2fs/$nt%dt[$cs%s]" }.mkString(" ")
         System.err.println(
           f"JOBLOG $name%-26s wall=$elapsed%6.2f jobs=${jobs.size}%3d " +

@@ -62,13 +62,52 @@ private[graft] object Caches {
     val prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(s"ckpt $caller")
     try {
-      if (reliable) {
-        require(sc.getCheckpointDir.isDefined,
-          "spark.graft.checkpoint.mode=reliable needs " +
-            "sparkContext.setCheckpointDir(<fault-tolerant path>)")
-        df.checkpoint()
-      } else df.localCheckpoint()
+      val out =
+        if (reliable) {
+          require(sc.getCheckpointDir.isDefined,
+            "spark.graft.checkpoint.mode=reliable needs " +
+              "sparkContext.setCheckpointDir(<fault-tolerant path>)")
+          df.checkpoint()
+        } else df.localCheckpoint()
+      Option(sweepScope.get).foreach(_ += out)
+      out
     } finally sc.setJobDescription(prev)
+  }
+
+  private val sweepScope = new ThreadLocal[mutable.Buffer[DataFrame]]
+
+  /** Track every checkpoint [[eager]] creates inside `body` (on this
+    * thread) and RELEASE them all at exit — blocks unpersisted, and in
+    * reliable mode the checkpoint FILES deleted.
+    *
+    * This is the per-micro-batch discipline for streaming operators
+    * whose batch bodies run eager-checkpointing engine operators
+    * (e.g. [[graft.streaming.StreamIndexProbe]] → probeMinhashIndex):
+    * each batch otherwise leaks its interior checkpoints — executor
+    * storage blocks in local mode (freed only when GC + the async
+    * ContextCleaner catch up), FILES on the checkpoint store in
+    * reliable mode (freed NEVER: Spark only cleans checkpoint files
+    * under referenceTracking.cleanCheckpoints, off by default) — and a
+    * long-lived stream grows without bound. Batch harnesses get the
+    * same hygiene from the between-queries [[releaseAllPersistent]]
+    * sweep; a stream has no between-queries, so the sweep rides the
+    * batch body. ReliableCheckpointSpec pins file-boundedness across a
+    * kill-and-restart.
+    *
+    * CONTRACT: everything `body` returns or writes must be FULLY
+    * materialized (sunk) before exit — released checkpoints cannot be
+    * recomputed. Nested scopes release only their own frames; frames
+    * the body already released (iterative supersession) release
+    * idempotently. */
+  def sweepAfter[A](body: => A): A = {
+    val buf = mutable.Buffer.empty[DataFrame]
+    val outer = sweepScope.get
+    sweepScope.set(buf)
+    try body
+    finally {
+      sweepScope.set(outer)
+      buf.foreach(df => release(df))
+    }
   }
 
   /** Postfix sugar for [[eager]]: `df.eagerCheckpoint()` — keeps
@@ -177,6 +216,51 @@ private[graft] object Caches {
     intermediates.foreach(_.persist())
     try eager(out)
     finally intermediates.foreach(_.unpersist())
+  }
+
+  /** Loop-local SQL conf for an iterative fit whose per-iteration state
+    * has a KNOWN row count (rank/label/frontier/edge tables — the
+    * caller materialized and counted it). Two overrides, restored on
+    * exit:
+    *
+    *  - **AQE off.** Under AQE every exchange of every per-iteration
+    *    plan materializes as its OWN Spark job plus a driver
+    *    re-optimization round trip; an iterative fit multiplies that by
+    *    its round count (measured: e12's 5-iteration fit ran 23 stage-
+    *    jobs for its 3 checkpoint actions; the log-star loop ~8 jobs a
+    *    round). With AQE off each checkpoint materialization is ONE job
+    *    whose stages the classic scheduler pipelines back-to-back. AQE's
+    *    runtime value — sizing UNKNOWN intermediates, splitting
+    *    unexpected skew — buys nothing here: every interior is state of
+    *    known count, the data-side joins are broadcast-hinted off those
+    *    counts ([[broadcastIfSmall]]), and hub keys are absorbed by
+    *    map-side partial aggregation.
+    *  - **Shuffle partitions sized from the state count** (`rows ·
+    *    bytesPerRow / 64 MB`, capped at 20k): the session default is
+    *    sized for data-scale scans, so a node-sized exchange at bench
+    *    scale burns 32 near-empty tasks per stage per round — while at
+    *    a 10⁹-node fit the same formula yields hundreds of genuinely
+    *    full partitions. Parallelism follows the state, not a constant.
+    *
+    * The loop body must contain every per-iteration ACTION (checkpoints,
+    * counts, convergence probes); one-shot setup/teardown plans outside
+    * keep the session's AQE posture. */
+  def withIterationConf[A](spark: org.apache.spark.sql.SparkSession,
+      stateRows: Long, bytesPerRow: Long = 32L)(body: => A): A = {
+    // dev escape hatch for same-window A/B measurement and for any
+    // environment where the session's AQE posture must win
+    if (sys.env.contains("SPARK_GRAFT_NO_ITERCONF")) return body
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    val parts = math.min(20000L,
+      math.max(0L, stateRows) * bytesPerRow / (64L << 20) + 1).toInt
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   // NOTE on a rejected variant: a scoped() flavor that pre-materialized

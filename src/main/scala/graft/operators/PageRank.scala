@@ -37,16 +37,27 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** Ranks after `iters` damped power iterations over the directed
-    * edge list. Output: (node, deg, rank), one row per node. */
+    * edge list. Output: (node, deg, rank), one row per node.
+    *
+    * `assumeSimple`: the caller GUARANTEES the edge list is already
+    * deduplicated — the internal parallel-edge collapse (a full
+    * edge-width distinct exchange, the single most expensive setup
+    * step at corpus scale) is skipped. Use when simplicity is
+    * structural: e.g. a `distinct() ∪ swap(distinct())` symmetrization
+    * over a bipartite graph cannot produce duplicates (the two
+    * branches have opposite key parity). A false guarantee double-
+    * counts the duplicated edges' contributions — same failure mode as
+    * lying to any pre-aggregated input contract. */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      assumeSimple: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(damping > 0 && damping < 1, s"damping ($damping) in (0, 1)")
-    val edges = edges0
+    val base = edges0
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val edges = if (assumeSimple) base else base.distinct()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
 
@@ -58,31 +69,50 @@ object PageRank {
       // Long→double is exact below 2^53 nodes; the arithmetic is
       // bit-identical to the previous column division.
       val n = deg.count().toDouble
-      // fail fast on dangling sinks: a dst with no out-edges would
-      // swallow rank mass the jump never returns. Bounded existence
-      // probe: no distinct (deduplicating dst would add a full
-      // edge-width exchange just to feed a LIMIT 1), and deg — whose
-      // row count is already in hand — broadcasts below the cap, so the
-      // probe is one early-out pass over the co-located cached edges
-      // instead of a sort-merge shuffle of the full edge list
-      // (measured: 0.43 s -> 0.20 s of e12 at sf0.1)
-      val dangling = edges.select(col("dst").as("node"))
-        .join(Caches.broadcastIfSmall(deg, n.toLong), Seq("node"),
-          "left_anti").limit(1).count()
-      require(dangling == 0L,
+      // ONE pass over the cached edges computes BOTH loop constants:
+      // the edge count (gates the contrib broadcast — the hint only
+      // pays when the streamed edge list genuinely dwarfs the n-row
+      // rank state, see broadcastIfWorthIt) and the dangling-sink
+      // probe (a dst with no out-edges would swallow rank mass the
+      // jump never returns — fail fast rather than silently leak).
+      // deg — whose row count is already in hand — broadcasts below
+      // the cap, so the pass is one co-located scan; the former
+      // separate count + early-out anti-join paid two scans on every
+      // HEALTHY graph to early-out only on broken ones.
+      val statsRow = edges.select(col("dst").as("node"))
+        .join(Caches.broadcastIfSmall(
+          deg.select(col("node"), lit(1).as("__hit")), n.toLong),
+          Seq("node"), "left")
+        .agg(count(lit(1)).as("__e"),
+          coalesce(F.sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("__miss"))
+        .collect()(0) // 1-row aggregate
+      val eCnt = statsRow.getLong(0)
+      require(statsRow.getLong(1) == 0L,
         "pageRank: dangling node (dst with no out-edges); " +
           "symmetrize the edge list or drop sink nodes first")
-      // edge count gates the contrib broadcast: the hint only pays when
-      // the streamed edge list genuinely dwarfs the n-row rank state
-      // (a near-1 ratio is the label-propagation shape where the fixed
-      // broadcast cost measurably loses — see broadcastIfWorthIt)
-      val eCnt = edges.count()
       var r = deg.select(col("node"), col("deg"),
         round(lit(1.0 / n), 12).as("r"))
       var prevCkpt: Option[DataFrame] = None
+      // the whole fit loop runs under iteration conf (AQE off, shuffle
+      // width sized from the known n-row state): every checkpoint
+      // materialization becomes ONE pipelined job instead of a stage-
+      // job + driver re-plan per exchange per iteration — the values
+      // are untouched (same plans, same arithmetic, different
+      // scheduling), so the oracle never notices
+      Caches.withIterationConf(edges0.sparkSession, n.toLong) {
       for (t <- 1 to iters) {
+        // per-edge contribution as EXACT 13-dp fixed point in LONG
+        // units (k = c·10¹³): round(·,13) yields the double nearest a
+        // 13-dp decimal k·10⁻¹³ with k ≤ 10¹³ < 2⁵³, so ·10¹³ + rint
+        // recovers k exactly. The hot per-edge aggregate is then a
+        // primitive codegen sum(long) instead of a BigDecimal-backed
+        // decimal(38,13) sum — same integers, same order-independence.
+        // No overflow at ANY scale: Σ over all dst of all k = 10¹³ ·
+        // Σ r ≈ 10¹³ (total rank mass ~1), eleven orders under 2⁶³.
         val contrib = r.select(col("node").as("src"),
-          round(col("r") / col("deg"), 13).cast("decimal(38,13)").as("__c"))
+          rint(round(col("r") / col("deg"), 13) * lit(1e13))
+            .cast("long").as("__c"))
         // rank state is checkpoint-backed (unknown-size sentinel), so
         // without the gated hint Catalyst re-shuffles the FULL edge list
         // on src every iteration just to meet an n-row table; below the
@@ -102,11 +132,20 @@ object PageRank {
         // a broadcast's fixed cost loses to the narrow shuffle; the
         // worth-it gate correctly never fires here (deg's persisted
         // stats let AQE pick a broadcast on its own if it is truly tiny)
+        // rescale the long-unit sum back EXACTLY like the former
+        // decimal(38,13) cast to double: long → decimal(20,0) (exact)
+        // × 10⁻¹³ (decimal(13,13) literal → decimal(34,13) product,
+        // exact) → double (correctly-rounded BigDecimal.doubleValue,
+        // the identical rounding the decimal cast performed) — n rows
+        // once per iteration, not per edge
         r = deg.join(Caches.broadcastIfWorthIt(inflow, n.toLong, n.toLong),
             Seq("node"), "left")
           .select(col("node"), col("deg"),
             round(lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
+              lit(damping) * coalesce(
+                (col("__s").cast("decimal(20,0)") *
+                  lit(new java.math.BigDecimal("1E-13"))).cast("double"),
+                lit(0.0)),
               12).as("r"))
         if (t % 2 == 0 || t == iters) {
           r = r.eagerCheckpoint()
@@ -116,6 +155,7 @@ object PageRank {
           prevCkpt.foreach(Caches.release)
           prevCkpt = Some(r)
         }
+      }
       }
       r.select(col("node"), col("deg"), col("r").as("rank"))
     }

@@ -753,12 +753,19 @@ object CoreQueries {
   def e12PageRank(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // distinct BEFORE the symmetrizing union: the deduped forward set
+    // is half the union's width, and the two union branches cannot
+    // collide (customer ids even, supplier ids odd — opposite key
+    // parity), so the result is simple BY CONSTRUCTION and the
+    // operator's own collapse is skipped (assumeSimple)
     val bip = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("src"),
         (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
     val edges = bip.unionByName(
       bip.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 5)
+    graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 5,
+        assumeSimple = true)
       .orderBy("node")
   }
 

@@ -35,9 +35,16 @@ object StreamIndexProbe {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          Dedup.probeMinhashIndex(batch.sparkSession, indexDir, batch,
-              idCol, textCol, threshold, maxBucket)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          // sweepAfter: the probe's interior checkpoints (shingle
+          // spread, band table, scoped exits) are dead once the ledger
+          // epoch is written — release them per batch, or a long-lived
+          // stream accumulates blocks (local mode) / checkpoint files
+          // (reliable mode) without bound
+          graft.operators.Caches.sweepAfter {
+            Dedup.probeMinhashIndex(batch.sparkSession, indexDir, batch,
+                idCol, textCol, threshold, maxBucket)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
         }
       }
       .start()

@@ -210,8 +210,12 @@ class DedupSpec extends SparkSuite {
     // not silently emit two labels for one component
     val d = (1L to 5L).toDF("doc_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    // forced distributed: the local union-find finish is exact at any
+    // depth, so maxRounds only governs the over-cap iterative path
     val e = intercept[IllegalStateException] {
-      Dedup.dupClusters(d, "doc_id", chain, maxRounds = 1).collect()
+      forceDistributed {
+        Dedup.dupClusters(d, "doc_id", chain, maxRounds = 1).collect()
+      }
     }
     assert(e.getMessage.contains("converge"))
     // the same chain converges fine under the default bound
@@ -346,7 +350,14 @@ class DedupSpec extends SparkSuite {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
-  test("dupClustersLogStar ≡ dupClusters on random graphs") {
+  /** Force the distributed component rounds (the over-cap scale path)
+    * by zeroing the local union-find finish's edge cap. */
+  private def forceDistributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+  }
+
+  test("dupClustersLogStar ≡ dupClusters on random graphs (distributed rounds)") {
     val rnd = new scala.util.Random(7)
     val n = 200L
     val d = (1L to n).toDF("doc_id")
@@ -357,18 +368,66 @@ class DedupSpec extends SparkSuite {
     def norm(df0: org.apache.spark.sql.DataFrame) =
       df0.orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(norm(Dedup.dupClustersLogStar(d, "doc_id", pairs)) ===
-      norm(Dedup.dupClusters(d, "doc_id", pairs, maxRounds = 300)))
+    forceDistributed {
+      assert(norm(Dedup.dupClustersLogStar(d, "doc_id", pairs)) ===
+        norm(Dedup.dupClusters(d, "doc_id", pairs, maxRounds = 300)))
+    }
   }
 
-  test("dupClustersLogStar: a 300-hop chain converges in O(log n) rounds") {
+  test("local union-find finish ≡ distributed rounds, both operators") {
+    // several shapes: random graph, chain (deep diameter), star, and
+    // singletons-with-an-isolated-clique — the local finish must be
+    // byte-identical to the converged distributed fixed point
+    val rnd = new scala.util.Random(41)
+    val n = 250L
+    val d = (1L to n).toDF("doc_id")
+    val shapes = Seq(
+      Seq.fill(200)((rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter { case (a, b) => a != b },
+      (1L until 60L).map(i => (i, i + 1)),
+      (2L to 40L).map(i => (1L, i)),
+      Seq((240L, 241L), (241L, 242L), (240L, 242L)))
+    def norm(df0: org.apache.spark.sql.DataFrame) =
+      df0.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    shapes.foreach { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val localStar = norm(Dedup.dupClustersLogStar(d, "doc_id", pairs))
+      val localProp = norm(Dedup.dupClusters(d, "doc_id", pairs))
+      forceDistributed {
+        assert(localStar ===
+          norm(Dedup.dupClustersLogStar(d, "doc_id", pairs)))
+        assert(localProp ===
+          norm(Dedup.dupClusters(d, "doc_id", pairs, maxRounds = 300)))
+      }
+    }
+  }
+
+  test("dupClusters: phantom pair-ids fall back to the inert distributed semantics") {
+    // label-prop semantics: pair ids ABSENT from docs are inert — they
+    // never transit connectivity. The local union-find WOULD transit
+    // them, so the probe must reject the local result and the
+    // distributed fallback must keep 1 and 2 in separate clusters
+    // (connected only through phantom 99).
+    val d = (1L to 3L).toDF("doc_id")
+    val pairs = Seq((1L, 99L), (99L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(d, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("dupClustersLogStar: a 300-hop chain converges in O(log n) distributed rounds") {
     val n = 300L
     val d = (1L to n).toDF("doc_id")
     val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
     // min-label propagation would need ~300 rounds on this diameter;
-    // the star alternation must land well inside 15
-    val got = Dedup.dupClustersLogStar(d, "doc_id", chain, maxRounds = 15)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the star alternation must land well inside 15. Forced distributed:
+    // the local finish would otherwise short-circuit the very rounds
+    // this test pins.
+    val got = forceDistributed {
+      Dedup.dupClustersLogStar(d, "doc_id", chain, maxRounds = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
     assert(got.length === n.toInt)
     assert(got.forall(_._2 == 1L))
   }

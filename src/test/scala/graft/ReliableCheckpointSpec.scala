@@ -64,7 +64,10 @@ class ReliableCheckpointSpec extends SparkSuite {
       // label state. Reliable-mode state lives as FILES — without the
       // release-time delete the dir would accumulate one rdd-* snapshot
       // per round (Spark's own cleaner is off by default), the
-      // unbounded-disk twin of the block-accumulation failure.
+      // unbounded-disk twin of the block-accumulation failure. Forced
+      // distributed: the local union-find finish would otherwise skip
+      // the very rounds whose release discipline this test pins.
+      spark.conf.set("spark.graft.cc.localFinishEdges", "0")
       val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
       val docs = (1L to 13L).toDF("doc_id")
       val out = graft.operators.Dedup.dupClusters(docs, "doc_id", pairs,
@@ -77,7 +80,10 @@ class ReliableCheckpointSpec extends SparkSuite {
       assert(rddDirs <= 3,
         s"$rddDirs reliable checkpoint snapshots left after a ~12-round " +
           "propagation (expected only edges + final labels)")
-    } finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.mode", "local")
+      spark.conf.unset("spark.graft.cc.localFinishEdges")
+    }
   }
 
   test("dupClusters (iterative connected components) matches across modes") {
@@ -156,6 +162,73 @@ class ReliableCheckpointSpec extends SparkSuite {
     assert(reliable === local)
     assert(snapshots <= 12,
       s"$snapshots checkpoint snapshots left after t19")
+  }
+
+  test("streaming index probe in reliable mode: kill, restart, exactly-once, " +
+      "checkpoint files bounded") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    import graft.streaming.StreamIndexProbe
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val idx = Files.createTempDirectory("rel_sipr_idx").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx, parts = 16)
+    val arrivals = corpus.filter(col("doc_id") < 6)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" tail")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def stage(landing: String, name: String, docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").json(s"$landing/$name")
+    val landing = Files.createTempDirectory("rel_sipr_landing").toString
+    val out = Files.createTempDirectory("rel_sipr_out").toString
+    val ckpt = Files.createTempDirectory("rel_sipr_ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def startStream() = StreamIndexProbe.start(
+      spark.readStream.schema(schema).json(s"$landing/*/"),
+      idx, out, ckpt, "doc_id", "text", threshold = 0.5)
+
+    val (rows, snapshots) = withReliableDir {
+      // ---- run 1: one committed epoch, then "crash" between the epoch
+      // write and its commit marker (the StreamIndexProbeSpec kill shape,
+      // here with every interior checkpoint living as reliable FILES)
+      stage(landing, "b0", arrivals.take(3))
+      val q1 = startStream()
+      try q1.processAllAvailable() finally q1.stop()
+      val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+      assert(Files.exists(commit0), "expected a committed epoch 0")
+      Files.delete(commit0)
+      Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+      Seq((999999L, 999999L, 0.999)).toDF("probe_id", "index_id", "jaccard")
+        .write.mode("append").parquet(s"$out/batch=0")
+      // ---- run 2 (restart): epoch 0 replays and overwrites itself,
+      // epoch 1 processes the new arrivals
+      stage(landing, "b1", arrivals.drop(3))
+      val q2 = startStream()
+      try q2.processAllAvailable() finally q2.stop()
+      spark.read.parquet(out)
+        .select("probe_id", "index_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    // exactly-once across the kill: no dup rows, no partial survivors,
+    // and the ledger equals a one-shot batch probe of everything
+    assert(rows.size === rows.distinct.size, "duplicate ledger rows")
+    assert(!rows.exists(_._1 == 999999L),
+      "the crashed attempt's partial output survived the replay")
+    val oneShot = Dedup.probeMinhashIndex(spark, idx,
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.toSet === oneShot)
+    // BOUNDED: the per-batch sweepAfter released every interior
+    // checkpoint's files — across 3 processed epochs and a restart,
+    // nothing may accumulate in the reliable store (without the sweep
+    // this is ~3 rdd-* snapshots PER BATCH, forever)
+    assert(snapshots === 0,
+      s"$snapshots reliable checkpoint snapshots left by the stream")
   }
 
 }
