@@ -179,4 +179,101 @@ class MultimodalCodecSpec extends SparkSuite {
     val meta = out.head.getStruct(3)
     assert(meta.getInt(0) === 64 && meta.getInt(1) === 7)
   }
+
+  // ---- the REAL audio decoder: graft.operators.WavCodec (JDK sampled) ----
+
+  /** Encode `n` 16-bit mono PCM samples (`f(i)` in [-32768, 32767]) as
+    * a real WAV container — in-test, zero fixtures. */
+  private def wavBytes(n: Int)(f: Int => Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.max(-32768, math.min(32767, f(i)))
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val N = 4000
+  // a square tone whose AMPLITUDE ramps up over time: the loudness
+  // envelope ascends stripe over stripe
+  private def ramp(i: Int): Int = (if (i % 20 < 10) 1 else -1) * (i * 8 + 64)
+  private def noisyRamp(i: Int): Int = ramp(i) + (i * 31 % 129) - 64
+
+  private def audioAssets = Seq(
+    (1L, wavBytes(N)(ramp)),
+    (2L, wavBytes(N)(noisyRamp)),                 // noisy re-render
+    (3L, wavBytes(N)(i => ramp(N - 1 - i))),      // time-reversed content
+    (4L, "definitely not audio".getBytes("UTF-8"))) // corrupt payload
+    .toDF("asset_id", "data").withColumn("kind", lit("audio"))
+
+  test("WavCodec decodes real PCM: amplitude-ramp stripe means ascend") {
+    val c = new graft.operators.WavCodec
+    c.init()
+    val acc = c.accumulators(wavBytes(N)(ramp), 8)
+    assert(acc.sliding(2).forall(p => p(0) < p(1)), acc.toSeq.toString)
+    // mean |amp| of the loudest stripe ~ 29k, quietest ~ 2k — decoded
+    // sample scale, not container-byte folds
+    assert(acc.head < 6000L && acc.last > 20000L && acc.last < 32768L,
+      acc.toSeq.toString)
+  }
+
+  test("real decoded-sample pHash: noisy re-render near-dups, reversed audio does not") {
+    val pairs = Multimodal.phashPairs(audioAssets, maxHamming = 3,
+      codec = new graft.operators.WavCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"noisy re-render must near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"reversed audio must not near-dup: $pairs")
+  }
+
+  test("8-bit WAV widens to the 16-bit grid: same content, same fingerprint") {
+    // the SAME ramp rendered at 8-bit depth (unsigned, biased at 128)
+    val fmt8 = new javax.sound.sampled.AudioFormat(16000f, 8, 1, false, false)
+    val data8 = Array.tabulate(N)(i =>
+      ((math.max(-32768, math.min(32767, ramp(i))) >> 8) + 128).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data8), fmt8, N.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val c = new graft.operators.WavCodec
+    c.init()
+    val a16 = c.accumulators(wavBytes(N)(ramp), 17)
+    val a8 = c.accumulators(bos.toByteArray, 17)
+    // quantization shifts stripe means by < one 8-bit step (256 on the
+    // 16-bit grid); the envelope ORDERING — what the dHash compares —
+    // survives exactly
+    assert(a16.indices.forall(d => math.abs(a16(d) - a8(d)) < 300),
+      s"16-bit ${a16.toSeq} vs 8-bit ${a8.toSeq}")
+    val h = (acc: Array[Long]) => acc.sliding(2).map(p => p(0) > p(1)).toSeq
+    assert(h(a16) === h(a8))
+  }
+
+  test("undecodable audio payloads fall back to the stub fold") {
+    val c = new graft.operators.WavCodec
+    c.init()
+    val junk = "definitely not audio".getBytes("UTF-8")
+    assert(c.accumulators(junk, 6).toSeq ===
+      graft.operators.Multimodal.stubAccumulators(junk, 6).toSeq)
+    assert(c.accumulators(Array.emptyByteArray, 3).toSeq === Seq(0L, 0L, 0L))
+  }
+
+  test("decodeFeatures over real audio (m02 shape): deterministic, normalized") {
+    val out = Multimodal.decodeFeatures(audioAssets, dims = 8,
+      codec = new graft.operators.WavCodec).orderBy("asset_id").collect()
+    assert(out.length === 4)
+    val feats = out.map(_.getSeq[Float](3))
+    assert(feats.forall(_.forall(v => v >= 0f && v < 1.02f)))
+    val again = Multimodal.decodeFeatures(audioAssets, dims = 8,
+      codec = new graft.operators.WavCodec)
+      .orderBy("asset_id").collect().map(_.getLong(4))
+    assert(again.toSeq === out.map(_.getLong(4)).toSeq)
+  }
 }
