@@ -85,12 +85,63 @@ class CachesSpec extends SparkSuite {
     val n = 13L
     val docs = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.dupClusters(docs, "doc_id", pairs, maxRounds = 20)
+    // forced distributed: the local union-find finish would otherwise
+    // skip the rounds whose release discipline this test pins
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
+    val out =
+      try Dedup.dupClusters(docs, "doc_id", pairs, maxRounds = 20)
+      finally spark.conf.unset("spark.graft.cc.localFinishEdges")
     assert(out.select(countDistinct(col("cluster_id"))).head.getLong(0) === 1L,
       "one chain, one component")
     assert(persistedIds.size <= 3,
       s"superseded per-round state leaked: ${persistedIds.size} RDDs resident " +
         "after a ~12-round propagation (expected edges + final labels only)")
+    Caches.releaseAllPersistent(spark)
+  }
+
+  test("withIterationConf restores the session conf, even on failure") {
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    Caches.withIterationConf(spark, stateRows = 1000L) {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "false")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "1")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+    // an exception inside the loop must not leave the session de-AQE'd
+    intercept[RuntimeException] {
+      Caches.withIterationConf(spark, stateRows = 10L) {
+        throw new RuntimeException("mid-fit failure")
+      }
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+    // partition sizing follows the known state count: ~64 MB per
+    // partition of 32 B rows, capped
+    Caches.withIterationConf(spark, stateRows = 10_000_000_000L) {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(p > 1000 && p <= 20000, s"partitions $p")
+    }
+  }
+
+  test("sweepAfter releases exactly its own scope's checkpoints; nesting is scoped") {
+    Caches.releaseAllPersistent(spark)
+    val outside = Caches.eager(Seq((1L, "keep")).toDF("id", "v"))
+    val before = persistedIds.size
+    Caches.sweepAfter {
+      val inner = Caches.eager(Seq((2L, "drop")).toDF("id", "v"))
+      assert(inner.count() === 1)
+      Caches.sweepAfter {
+        val nested = Caches.eager(Seq((3L, "drop2")).toDF("id", "v"))
+        assert(nested.count() === 1)
+      }
+      // the nested scope released ITS frame only; inner is still live
+      assert(inner.count() === 1)
+    }
+    // both swept frames' blocks are gone; the outside frame survives
+    assert(persistedIds.size === before,
+      s"sweepAfter leaked or over-released: ${persistedIds.size} vs $before")
+    assert(outside.count() === 1, "sweepAfter released a frame outside its scope")
     Caches.releaseAllPersistent(spark)
   }
 }
