@@ -11,13 +11,18 @@ import org.apache.spark.sql.types._
 
 /** Bounded bottom-k state: the k LOWEST values seen (a max-heap, so
   * the largest kept value — the k-th smallest overall — is O(1) at the
-  * root) plus the total population count. Memory is `min(seen, k)`
+  * root) plus the total population count. Memory is `O(min(seen, k))`
   * longs no matter how many rows flow through — the property that
   * makes the hot-bucket threshold a partial aggregate instead of a
-  * per-bucket sort. */
+  * per-bucket sort. The backing array starts at 8 slots and DOUBLES up
+  * to k as values arrive: the aggregation keeps one buffer per GROUP,
+  * and honest groups hold far fewer than k members — eagerly
+  * allocating k slots per group would cost `groups · 8k` bytes
+  * (65 536 sign-LSH buckets × 4096 longs = 2 GiB) for state that is
+  * almost entirely empty. */
 private[functions] final class BottomKState(val k: Int) {
   var n: Long = 0L
-  val heap: Array[Long] = new Array[Long](k)
+  var heap: Array[Long] = new Array[Long](math.min(8, k))
   var size: Int = 0
 
   /** Heap update WITHOUT the population count — merge() replays kept
@@ -25,6 +30,12 @@ private[functions] final class BottomKState(val k: Int) {
     * are never double-counted. */
   def addValue(v: Long): Unit = {
     if (size < k) {
+      if (size == heap.length) {
+        // amortized doubling, never past k
+        val next = new Array[Long](math.min(k, heap.length * 2))
+        System.arraycopy(heap, 0, next, 0, size)
+        heap = next
+      }
       // grow: append then sift up
       var i = size
       heap(i) = v
