@@ -220,36 +220,43 @@ private[graft] object Caches {
 
   /** Loop-local SQL conf for an iterative fit whose per-iteration state
     * has a KNOWN row count (rank/label/frontier/edge tables — the
-    * caller materialized and counted it). Two overrides, restored on
+    * caller materialized and counted it), applied ONLY in the
+    * broadcast-state regime (`stateRows ≤ spark.graft.broadcast
+    * .maxRows`, the same cap that gates [[broadcastIfSmall]]). In that
+    * regime every per-round join is a broadcast pass over co-located
+    * cached data and every exchange carries at most state-sized rows —
+    * there is nothing for AQE to size or skew-split, yet under AQE
+    * every exchange of every per-iteration plan materializes as its
+    * OWN Spark job plus a driver re-optimization round trip, and an
+    * iterative fit multiplies that by its round count (measured: e12's
+    * 5-iteration fit ran 23 stage-jobs for its 3 checkpoint actions;
+    * the log-star loop ~8 jobs a round). Two overrides, restored on
     * exit:
     *
-    *  - **AQE off.** Under AQE every exchange of every per-iteration
-    *    plan materializes as its OWN Spark job plus a driver
-    *    re-optimization round trip; an iterative fit multiplies that by
-    *    its round count (measured: e12's 5-iteration fit ran 23 stage-
-    *    jobs for its 3 checkpoint actions; the log-star loop ~8 jobs a
-    *    round). With AQE off each checkpoint materialization is ONE job
-    *    whose stages the classic scheduler pipelines back-to-back. AQE's
-    *    runtime value — sizing UNKNOWN intermediates, splitting
-    *    unexpected skew — buys nothing here: every interior is state of
-    *    known count, the data-side joins are broadcast-hinted off those
-    *    counts ([[broadcastIfSmall]]), and hub keys are absorbed by
-    *    map-side partial aggregation.
-    *  - **Shuffle partitions sized from the state count** (`rows ·
-    *    bytesPerRow / 64 MB`, capped at 20k): the session default is
-    *    sized for data-scale scans, so a node-sized exchange at bench
-    *    scale burns 32 near-empty tasks per stage per round — while at
-    *    a 10⁹-node fit the same formula yields hundreds of genuinely
-    *    full partitions. Parallelism follows the state, not a constant.
+    *  - **AQE off**: each checkpoint materialization becomes ONE job
+    *    whose stages the classic scheduler pipelines back-to-back;
+    *  - **shuffle partitions sized from the state count** (`rows ·
+    *    bytesPerRow / 64 MB`, so ≤ 2 in-regime): the session default
+    *    is sized for data-scale scans and burns 32 near-empty tasks
+    *    per stage per round on node-sized exchanges.
+    *
+    * ABOVE the cap — a 10⁹-node rank table, an over-cap component
+    * graph — this is a NO-OP: per-round exchanges are genuinely large,
+    * hub skew is real, and AQE's runtime re-planning earns its job
+    * overhead; the session posture governs.
     *
     * The loop body must contain every per-iteration ACTION (checkpoints,
     * counts, convergence probes); one-shot setup/teardown plans outside
-    * keep the session's AQE posture. */
+    * keep the session's AQE posture either way. */
   def withIterationConf[A](spark: org.apache.spark.sql.SparkSession,
       stateRows: Long, bytesPerRow: Long = 32L)(body: => A): A = {
-    // dev escape hatch for same-window A/B measurement and for any
-    // environment where the session's AQE posture must win
-    if (sys.env.contains("SPARK_GRAFT_NO_ITERCONF")) return body
+    val cap = scala.util.Try(spark.conf
+      .get("spark.graft.broadcast.maxRows", "2000000").toLong)
+      .getOrElse(2000000L)
+    // over-cap fits keep the session's AQE posture; the env var is the
+    // dev escape hatch for same-window A/B measurement
+    if (stateRows > cap || sys.env.contains("SPARK_GRAFT_NO_ITERCONF"))
+      return body
     val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     val prev = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
     val parts = math.min(20000L,

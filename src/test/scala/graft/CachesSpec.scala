@@ -116,11 +116,12 @@ class CachesSpec extends SparkSuite {
     }
     assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
-    // partition sizing follows the known state count: ~64 MB per
-    // partition of 32 B rows, capped
+    // ABOVE the broadcast-state cap the override is a NO-OP: per-round
+    // exchanges are genuinely large there and AQE's skew handling must
+    // keep governing
     Caches.withIterationConf(spark, stateRows = 10_000_000_000L) {
-      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      assert(p > 1000 && p <= 20000, s"partitions $p")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
     }
   }
 
