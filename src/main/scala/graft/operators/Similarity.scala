@@ -286,6 +286,23 @@ object Similarity {
     // skip the threshold scan entirely instead of paying a provably
     // no-op aggregation
     if (maxBucket == Int.MaxValue) return bucketed
+    // every ENGINE path carries integral ids (requireIntegralId at
+    // index build, long vec_ids inline), but the inline tier accepts
+    // any id type — for those the long-cast threshold trick would
+    // null out and silently DISABLE the guard, so non-integral ids
+    // keep the ranked-window formulation (same lowest-id semantics;
+    // the single-task-sort caveat only ever applied to mass-duplicate
+    // corpora, which are integral-id engine corpora)
+    val idType = bucketed.schema("neighbor_id").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    if (!integral) {
+      val w = Window.partitionBy("bucket").orderBy("neighbor_id")
+      return bucketed.withColumn("__brank", row_number().over(w))
+        .filter(col("__brank") <= maxBucket)
+        .drop("__brank")
+    }
     val id = col("neighbor_id").cast("long")
     val thresholds = bucketed.groupBy("bucket")
       .agg(graft.functions.BottomKThresholdAgg

@@ -105,6 +105,20 @@ class LshHotBucketSpec extends SparkSuite {
     }
   }
 
+  test("non-integral ids fall back to the ranked window, still capped") {
+    // no engine path produces string ids, but the inline tier accepts
+    // them — the guard must CAP (window formulation), not silently
+    // disable because the long-cast threshold nulled out
+    val bucketed = ((0L until 50L).map(i => (f"id$i%03d", 1L)) ++
+      Seq(("z1", 2L))).toDF("neighbor_id", "bucket")
+    val capped = Similarity.capServeBuckets(bucketed, 8)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max("neighbor_id").as("max_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(capped(1L) === ((8L, "id007")), "8 lexicographically-lowest ids")
+    assert(capped(2L) === ((1L, "z1")))
+  }
+
   test("bottomk_threshold: k-th lowest id for overflowed groups, NULL otherwise") {
     import graft.functions.BottomKThresholdAgg.bottomKThreshold
     // 1000-member group (threshold = 32nd lowest = 31 for ids 0..999),
