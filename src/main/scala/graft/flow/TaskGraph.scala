@@ -144,6 +144,20 @@ class TaskGraph(clock: () => Timestamp = () =>
   }
 
   /** information_schema.task_history (ST11, A4:425-431). */
+  /** `SHOW TASKS` (A4:641): one row per registered task with its
+    * suspend state — the introspection result the reference pipes into
+    * `result_scan(last_query_id())` to audit a pipeline teardown
+    * ([[graft.core.QueryHistory]] replays that exact composition;
+    * SessionCtxSpec). Metadata-scale by construction. */
+  def showTasks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tasks.values.toSeq.map(t => (t.name,
+        if (suspended(t.name)) "suspended" else "started",
+        t.schedule.map(_.toString).getOrElse(""),
+        t.after.mkString(",")))
+      .toDF("name", "state", "schedule", "after")
+  }
+
   def history: Seq[TaskRun] = runs.toSeq
 
   def historyDf(spark: SparkSession): DataFrame = {
