@@ -47,11 +47,16 @@ final class ImageIoCodec extends Multimodal.AssetCodec {
       val h = img.getHeight
       val sum = new Array[Long](dims)
       val cnt = new Array[Long](dims)
+      // one bulk sRGB row per getRGB call (not per pixel: the per-call
+      // color-model conversion dominates a per-pixel loop) — row-sized
+      // buffer, so memory stays O(width) for any image
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           // Rec. 601 integer luma ×1000: 299R + 587G + 114B
           val luma = 299L * ((rgb >> 16) & 0xff) +
             587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
