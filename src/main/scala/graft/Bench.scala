@@ -260,7 +260,11 @@ object Bench {
         Thread.sleep(300) // bus quiesce — dev path only, not measured
         val jobs = l.drain()
         val inJobs = jobs.map(_._2).sum
-        val topN = sys.env.get("SPARK_GRAFT_JOBLOG_TOP").map(_.toInt).getOrElse(8)
+        // a malformed value (e.g. "all") must not abort the bench run
+        // mid-measurement — fall back to the default like every other
+        // env-driven knob
+        val topN = sys.env.get("SPARK_GRAFT_JOBLOG_TOP")
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
         val top = jobs.sortBy(-_._2).take(topN).map { case (id, s, nt, cs) =>
           f"j$id%d:$s%.2fs/$nt%dt[$cs%s]" }.mkString(" ")
         System.err.println(

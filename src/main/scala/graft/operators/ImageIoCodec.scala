@@ -39,8 +39,12 @@ final class ImageIoCodec extends Multimodal.AssetCodec {
     val img =
       if (bytes.isEmpty) null
       else
+        // NonFatal only: an OutOfMemoryError from a decompression-bomb
+        // image (BufferedImage allocates w*h*4 before any bound check)
+        // or an InterruptedException during task kill must propagate
+        // and fail/cancel the task, not quietly become a stub print
         try ImageIO.read(new ByteArrayInputStream(bytes))
-        catch { case _: Throwable => null }
+        catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) Multimodal.stubAccumulators(bytes, dims)
     else {
       val w = img.getWidth

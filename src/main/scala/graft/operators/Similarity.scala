@@ -275,10 +275,20 @@ object Similarity {
     * k ≤ maxBucket — the kept lowest-id members are the ones the
     * tie-break would have chosen anyway (LshHotBucketSpec pins both
     * properties). Corpora where the residual matters should raise the
-    * conf, not disable the guard. Ids are integral on every engine
-    * path (requireIntegralId at index build; the inline tier casts);
-    * duplicate ids within a bucket cannot arise because a corpus
-    * vector is bucketed exactly once per id. */
+    * conf, not disable the guard.
+    *
+    * Id preconditions, exactly: the cap is EXACT (kept == maxBucket)
+    * when ids are unique within a bucket — true on every engine path
+    * (requireIntegralId at index build; a corpus vector is bucketed
+    * exactly once per id). Duplicated ids (reachable only from the
+    * inline tier on arbitrary user frames) widen the kept set to "all
+    * rows whose cap key <= the k-th lowest key" — every duplicate of
+    * a kept id survives, so the bound loosens to maxBucket x the max
+    * duplicate multiplicity: still bounded, never the uncapped
+    * population. NULL ids sort as the LOWEST key on both branches
+    * (integral: Long.MinValue sentinel; hashed: xxhash64's
+    * null-as-seed), so they are capped like any member rather than
+    * silently dropped by a null comparison. */
   private[graft] def capServeBuckets(bucketed: DataFrame,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxServeBucket ($maxBucket) must be >= 1")
@@ -287,29 +297,30 @@ object Similarity {
     // no-op aggregation
     if (maxBucket == Int.MaxValue) return bucketed
     // every ENGINE path carries integral ids (requireIntegralId at
-    // index build, long vec_ids inline), but the inline tier accepts
-    // any id type — for those the long-cast threshold trick would
-    // null out and silently DISABLE the guard, so non-integral ids
-    // keep the ranked-window formulation (same lowest-id semantics;
-    // the single-task-sort caveat only ever applied to mass-duplicate
-    // corpora, which are integral-id engine corpora)
+    // index build, long vec_ids inline) and ranks by the id itself —
+    // the lowest-id members are exactly the ones cosineRank's tie-break
+    // would pick. The inline tier accepts ANY id type: those rank by
+    // xxhash64 of the string form — a deterministic total order over
+    // arbitrary ids (which members of an overflowed bucket survive is
+    // a recall heuristic, not a contract) that keeps the bounded-heap
+    // formulation for every id type. The earlier ranked-window fallback
+    // for non-integral ids sorted an overflowed bucket's full
+    // population in one task — the exact failure mode this guard
+    // exists to prevent.
     val idType = bucketed.schema("neighbor_id").dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.ShortType
-    if (!integral) {
-      val w = Window.partitionBy("bucket").orderBy("neighbor_id")
-      return bucketed.withColumn("__brank", row_number().over(w))
-        .filter(col("__brank") <= maxBucket)
-        .drop("__brank")
-    }
-    val id = col("neighbor_id").cast("long")
+    val key =
+      if (integral)
+        coalesce(col("neighbor_id").cast("long"), lit(Long.MinValue))
+      else xxhash64(col("neighbor_id").cast("string"))
     val thresholds = bucketed.groupBy("bucket")
       .agg(graft.functions.BottomKThresholdAgg
-        .bottomKThreshold(id, maxBucket).as("__thr"))
+        .bottomKThreshold(key, maxBucket).as("__thr"))
       .filter(col("__thr").isNotNull)
     bucketed.join(broadcast(thresholds), Seq("bucket"), "left_outer")
-      .filter(col("__thr").isNull || id <= col("__thr"))
+      .filter(col("__thr").isNull || key <= col("__thr"))
       // restore the caller's column order (the using-join moved the
       // bucket key first)
       .select(bucketed.columns.map(col): _*)

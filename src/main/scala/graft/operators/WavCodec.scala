@@ -33,8 +33,10 @@ final class WavCodec extends Multimodal.AssetCodec {
   override def accumulators(bytes: Array[Byte], dims: Int): Array[Long] = {
     if (bytes.isEmpty) return new Array[Long](dims)
     val in =
+      // NonFatal only: OOM / task-kill interrupts must propagate and
+      // fail the task rather than silently becoming a stub fingerprint
       try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (in == null) return Multimodal.stubAccumulators(bytes, dims)
     try {
       val fmt = in.getFormat
@@ -83,7 +85,8 @@ final class WavCodec extends Multimodal.AssetCodec {
       }
       acc
     } catch {
-      case _: Throwable => Multimodal.stubAccumulators(bytes, dims)
+      case scala.util.control.NonFatal(_) =>
+        Multimodal.stubAccumulators(bytes, dims)
     } finally in.close()
   }
 }

@@ -105,18 +105,54 @@ class LshHotBucketSpec extends SparkSuite {
     }
   }
 
-  test("non-integral ids fall back to the ranked window, still capped") {
+  test("non-integral ids cap through the same threshold agg — no window") {
     // no engine path produces string ids, but the inline tier accepts
-    // them — the guard must CAP (window formulation), not silently
-    // disable because the long-cast threshold nulled out
+    // them — the guard must CAP (ranked by xxhash64 of the id, a
+    // deterministic total order), not silently disable because a
+    // long-cast threshold nulled out, and not fall back to a
+    // bucket-keyed window whose sort funnels the overflowed bucket's
+    // full population into one task
     val bucketed = ((0L until 50L).map(i => (f"id$i%03d", 1L)) ++
       Seq(("z1", 2L))).toDF("neighbor_id", "bucket")
-    val capped = Similarity.capServeBuckets(bucketed, 8)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), max("neighbor_id").as("max_id"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-    assert(capped(1L) === ((8L, "id007")), "8 lexicographically-lowest ids")
-    assert(capped(2L) === ((1L, "z1")))
+    def run() = Similarity.capServeBuckets(bucketed, 8)
+    val counts = run().groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) === 8L, "overflowed string-id bucket capped exactly")
+    assert(counts(2L) === 1L, "honest bucket untouched")
+    // deterministic: the same 8 hash-lowest members every evaluation
+    val kept = run().collect().map(_.getString(0)).toSet
+    assert(kept === run().collect().map(_.getString(0)).toSet)
+    // the round-10 single-task caveat is gone: the string-id plan shows
+    // the partial bottom-k threshold aggregate and NO bucket window
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run().queryExecution.executedPlan.toString()
+      assert("ObjectHashAggregate.*partial_bottomk_threshold".r
+          .findFirstIn(plan).isDefined, plan.take(1200))
+      assert("windowspecdefinition\\(bucket".r.findFirstIn(plan).isEmpty,
+        "bucket-keyed window found on the string-id path:\n" +
+          plan.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("duplicate and NULL ids stay bounded, never silently dropped") {
+    // inline-tier arbitrary frames: duplicated ids keep every duplicate
+    // of a kept id (bound = cap x multiplicity, documented), and NULL
+    // ids sort lowest — capped like any member, not nulled out of the
+    // filter. 40 distinct ids x 3 duplicates + 2 NULLs in one bucket.
+    val rows = (0L until 40L).flatMap(i =>
+      Seq.fill(3)((java.lang.Long.valueOf(i), 1L))) ++
+      Seq((null.asInstanceOf[java.lang.Long], 1L),
+        (null.asInstanceOf[java.lang.Long], 1L))
+    val bucketed = rows.toDF("neighbor_id", "bucket")
+    val kept = Similarity.capServeBuckets(bucketed, 8).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    // NULLs rank below id 0: both kept; remaining budget fills with the
+    // lowest ids, each carrying its full multiplicity
+    assert(kept.count(_ == -1L) === 2, "NULL ids must survive the cap")
+    assert(kept.length <= 8 * 3, "bounded by cap x multiplicity")
+    assert(kept.toSet.subsetOf(Set(-1L, 0L, 1L, 2L, 3L, 4L, 5L, 6L)),
+      s"kept must be the lowest keys, got ${kept.toSet}")
   }
 
   test("bottomk_threshold: k-th lowest id for overflowed groups, NULL otherwise") {
