@@ -247,7 +247,19 @@ private[graft] object Caches {
     *
     * The loop body must contain every per-iteration ACTION (checkpoints,
     * counts, convergence probes); one-shot setup/teardown plans outside
-    * keep the session's AQE posture either way. */
+    * keep the session's AQE posture either way.
+    *
+    * CONCURRENCY CONTRACT: the override mutates THIS session's
+    * SessionState conf for the body's duration — the engine's iterative
+    * operators run every per-iteration action on the calling driver
+    * thread, and this engine submits one query at a time per session,
+    * so nothing else plans under the override. A query submitted
+    * concurrently through the SAME SparkSession object WOULD plan
+    * de-AQE'd at the loop width; a driver that interleaves unrelated
+    * work with an iterative fit must submit it through its own
+    * `spark.newSession()` clone (same SparkContext, same cached data,
+    * independent SessionState conf) — CachesSpec pins that a clone is
+    * untouched by an in-flight override. */
   def withIterationConf[A](spark: org.apache.spark.sql.SparkSession,
       stateRows: Long, bytesPerRow: Long = 32L)(body: => A): A = {
     val cap = scala.util.Try(spark.conf

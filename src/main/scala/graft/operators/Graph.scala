@@ -33,41 +33,107 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     Caches.scoped(edges) {
-      var visited = Seq((source, 0)).toDF("node", "hop").eagerCheckpoint()
-      var frontier = visited.select("node")
-      // frontier/visited are checkpoint-backed (unknown-size sentinel to
-      // the optimizer), so without the count-gated hints every hop
-      // re-shuffles the FULL edge list to meet a frontier-sized table.
-      // The counts replace the isEmpty probe (same one job per hop) and
-      // bound both build sides; the edge count (one job over the
-      // persisted set) gates worth-it — on a graph whose frontier or
-      // visited set approaches the edge count, the fixed broadcast cost
-      // loses to the narrow shuffle and the hint correctly stays off.
+      // one job over the persisted set: gates BOTH the local finish and
+      // the per-hop broadcast hints below
       val eCnt = edges.count()
-      var frontierCount = 1L
-      var visitedCount = 1L
-      var hop = 0
-      while (hop < maxHops && frontierCount > 0) {
-        hop += 1
-        frontier = edges
-          .join(Caches.broadcastIfWorthIt(
-            frontier.withColumnRenamed("node", "src"), frontierCount, eCnt),
-            "src")
-          .select(col("dst").as("node")).distinct()
-          .join(Caches.broadcastIfWorthIt(visited, visitedCount, eCnt),
-            Seq("node"), "left_anti")
-          .eagerCheckpoint()
-        frontierCount = frontier.count()
-        visitedCount += frontierCount
-        // visited is a LAZY union over the (already checkpointed)
-        // frontiers — depth is bounded by maxHops, so there is no
-        // lineage blow-up to truncate, and each hop saves one
-        // materialization job
-        visited = visited
-          .unionByName(frontier.withColumn("hop", lit(hop)))
+      localBfs(edges, eCnt, source, maxHops).getOrElse {
+        // sub-broadcast-cap graphs above the local-finish gate (or with
+        // the gate conf'd off) still run the frontier loop without
+        // per-hop AQE stage-jobs + driver re-plans — the same lever
+        // that took the CC/PageRank loops 2-4x down at bench scale; a
+        // no-op above the cap, where AQE earns its overhead
+        Caches.withIterationConf(spark, eCnt, bytesPerRow = 16L) {
+          var visited = Seq((source, 0)).toDF("node", "hop").eagerCheckpoint()
+          var frontier = visited.select("node")
+          // frontier/visited are checkpoint-backed (unknown-size sentinel to
+          // the optimizer), so without the count-gated hints every hop
+          // re-shuffles the FULL edge list to meet a frontier-sized table.
+          // The counts replace the isEmpty probe (same one job per hop) and
+          // bound both build sides; the edge count gates worth-it — on a
+          // graph whose frontier or visited set approaches the edge count,
+          // the fixed broadcast cost loses to the narrow shuffle and the
+          // hint correctly stays off.
+          var frontierCount = 1L
+          var visitedCount = 1L
+          var hop = 0
+          while (hop < maxHops && frontierCount > 0) {
+            hop += 1
+            frontier = edges
+              .join(Caches.broadcastIfWorthIt(
+                frontier.withColumnRenamed("node", "src"), frontierCount, eCnt),
+                "src")
+              .select(col("dst").as("node")).distinct()
+              .join(Caches.broadcastIfWorthIt(visited, visitedCount, eCnt),
+                Seq("node"), "left_anti")
+              .eagerCheckpoint()
+            frontierCount = frontier.count()
+            visitedCount += frontierCount
+            // visited is a LAZY union over the (already checkpointed)
+            // frontiers — depth is bounded by maxHops, so there is no
+            // lineage blow-up to truncate, and each hop saves one
+            // materialization job
+            visited = visited
+              .unionByName(frontier.withColumn("hop", lit(hop)))
+          }
+          visited
+        }
       }
-      visited
     }
+  }
+
+  /** Driver-side BFS finish for edge sets that PROVABLY fit on the
+    * driver — the [[graft.operators.Dedup]] `localMinLabels` discipline
+    * applied to the frontier loop: the distributed machinery exists for
+    * graphs that dwarf a machine, but once the canonical edge count —
+    * already in hand from the broadcast-gate bookkeeping — is bounded,
+    * `maxHops` rounds of join + distinct + anti-join + checkpoint are
+    * pure scheduling overhead against a millisecond adjacency walk.
+    *
+    * BOUNDED BY CONSTRUCTION: the collect is gated on the exact edge
+    * count against `spark.graft.bfs.localFinishEdges` (default 2M rows
+    * x 16 B = 32 MB on the driver; 0 disables, restoring the pure
+    * distributed path — GraphSpec pins local ≡ distributed). Above the
+    * cap the frontier loop runs unchanged.
+    *
+    * Hop counts are EXACTLY the distributed loop's: both assign each
+    * node the round of its FIRST visit, and round order is identical
+    * (level-synchronous BFS is deterministic). Returns None when the
+    * gate says distributed; Some((node, hop) as a LocalRelation)
+    * otherwise. */
+  private def localBfs(edges: DataFrame, nEdges: Long, source: Long,
+      maxHops: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cap = scala.util.Try(spark.conf
+      .get("spark.graft.bfs.localFinishEdges", "2000000").toLong)
+      .getOrElse(2000000L)
+    if (nEdges <= 0 || nEdges > cap) return None
+    val rows = edges.select("src", "dst").collect() // gated above: <= cap
+    val adj = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Long]](2 * rows.length)
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+    }
+    val dist = new java.util.HashMap[java.lang.Long, Integer]()
+    dist.put(source, 0)
+    var frontier = Seq(source)
+    var hop = 0
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { n =>
+        val out = adj.get(n)
+        if (out != null) out.foreach { m =>
+          if (!dist.containsKey(m)) { dist.put(m, hop); next += m }
+        }
+      }
+      frontier = next.toSeq
+    }
+    import scala.jdk.CollectionConverters._
+    Some(dist.entrySet.asScala.toSeq
+      .map(e => (e.getKey.longValue, e.getValue.intValue))
+      .toDF("node", "hop"))
   }
 
   /** DuckDB twin over an edge CTE named `e` (src, dst, distinct): a

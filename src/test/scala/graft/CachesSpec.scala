@@ -125,6 +125,35 @@ class CachesSpec extends SparkSuite {
     }
   }
 
+  test("withIterationConf: the concurrency contract — session-scoped, clone-isolated") {
+    // the override mutates THIS SessionState's conf for the body's
+    // duration (the documented single-driver-thread contract: every
+    // per-iteration action runs on the calling thread), so a query
+    // submitted concurrently through the SAME session object would plan
+    // under it. The escape hatch the contract names: SQL conf lives on
+    // the SessionState, so a newSession() clone — same SparkContext,
+    // same cached data — is provably untouched. A multi-tenant driver
+    // that interleaves unrelated work with an iterative fit submits it
+    // through its own session and never sees the override.
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    Caches.withIterationConf(spark, stateRows = 1000L) {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "false")
+      val other = spark.newSession()
+      assert(other.conf.get("spark.sql.adaptive.enabled") === aqe0,
+        "a newSession clone must not inherit the loop override")
+      assert(other.conf.get("spark.sql.shuffle.partitions") === parts0)
+      // and the override genuinely drives planning where it applies:
+      // the PARENT session's shuffle runs at the loop width (AQE off,
+      // so nothing re-coalesces it), while the clone's conf still
+      // reads the session default the assertions above pinned
+      val parent = spark.range(100).groupBy(col("id") % 7).count()
+      assert(parent.rdd.getNumPartitions === 1,
+        "parent-session shuffle must run at the loop's override width")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+  }
+
   test("sweepAfter releases exactly its own scope's checkpoints; nesting is scoped") {
     Caches.releaseAllPersistent(spark)
     val outside = Caches.eager(Seq((1L, "keep")).toDF("id", "v"))

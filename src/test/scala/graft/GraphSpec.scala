@@ -51,4 +51,23 @@ class GraphSpec extends SparkSuite {
     val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L))
     assert(run(edges, 0L, maxHops = 5) === Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
+
+  test("driver local finish ≡ distributed frontier loop") {
+    // the localBfs gate (spark.graft.bfs.localFinishEdges) must be a
+    // pure execution-strategy switch: same (node, hop) rows whether the
+    // walk runs on the driver (default: these fixtures are under the
+    // cap) or through the frontier-expansion joins (gate conf'd off)
+    val rng = new scala.util.Random(41)
+    val n = 60
+    val edges = (0 until n * 3).map(_ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    val local = run(edges, 0L, maxHops = 4)
+    val distributed =
+      try {
+        spark.conf.set("spark.graft.bfs.localFinishEdges", "0")
+        run(edges, 0L, maxHops = 4)
+      } finally spark.conf.unset("spark.graft.bfs.localFinishEdges")
+    assert(local === distributed)
+    assert(local === ref(edges, 0L, maxHops = 4))
+  }
 }
