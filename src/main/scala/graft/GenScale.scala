@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence corpus generator: writes a seeded ~Nx replica of a
+  * testdata SF directory (default 10x of sf0.1 ≈ "sf1") to a scratch
+  * dir (`target/`, never checked in — TESTDATA.md data stays
+  * read-only), so the SCALING sweep gains a leg where DATA dominates
+  * constants: sf0.01→sf0.1 proves absence-of-quadratic but cannot
+  * separate linear from n·log n, and the iterative-tier gates
+  * (broadcast caps, local finishes, iteration conf) were tuned at
+  * overhead-bound sizes. At ~sf1 the over-cap paths genuinely engage
+  * (e13's edge set crosses the 2M local-finish/iterconf caps).
+  *
+  * Replication is STRUCTURE-PRESERVING per replica and
+  * structure-breaking across replicas, so per-query work scales
+  * linearly instead of quadratically exploding or trivially deduping:
+  *
+  *  - ids/FKs shift by `replica * stride` consistently on both sides
+  *    of every join (order⋈lineitem, order⋈customer, lineitem⋈part/
+  *    supplier stay per-replica; selectivities unchanged);
+  *  - document TEXT maps through a per-replica TOKEN BIJECTION (every
+  *    word gets a replica suffix; replica 0 verbatim): n-gram/shingle
+  *    Jaccard, MinHash band structure, and dup-span layout are EXACTLY
+  *    preserved within a replica, while cross-replica shingle overlap
+  *    is zero — near-dup pair counts scale x N, not x N²;
+  *  - EMBEDDINGS map through a per-replica signed permutation (an
+  *    orthogonal transform): within-replica cosines/kNN structure are
+  *    bit-exactly preserved, cross-replica similarities scramble;
+  *  - events/users replicate with shifted user/event ids at identical
+  *    timestamps: sessions, windows and rate shapes replicate
+  *    per-replica.
+  *
+  * Seeded (constant PERM_SEED) + deterministic transforms — the same
+  * corpus every run, every partition layout. */
+object GenScale {
+
+  private val PermSeed = 20260816L
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/sfgen1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, replicas)
+    spark.stop()
+  }
+
+  /** One id-space stride shared by every key family: far above any
+    * source table's max id, so replica key ranges never collide. */
+  private val Stride = 100000000L
+
+  private def shifted(c: String): org.apache.spark.sql.Column =
+    col(c) + col("__r") * Stride
+
+  /** Cross-join the frame with replica ids 0..n-1 (broadcast 10-row
+    * side — a pure fanout, no shuffle of the big side). */
+  private def fanout(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.crossJoin(broadcast((0L until n.toLong).toDF("__r")))
+  }
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    import graft.core.Tables
+    def src(name: String): DataFrame = Tables.table(spark, srcDir, name)
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    // dims replicate verbatim (a 100 TB warehouse still has 25 nations)
+    write(src("region"), "region")
+    write(src("nation"), "nation")
+
+    write(fanout(src("customer"), replicas)
+      .select(shifted("c_custkey").as("c_custkey"),
+        concat(col("c_name"), lit("#"), col("__r")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer")
+
+    write(fanout(src("supplier"), replicas)
+      .select(shifted("s_suppkey").as("s_suppkey"),
+        concat(col("s_name"), lit("#"), col("__r")).as("s_name"),
+        col("s_nationkey"), col("s_acctbal")),
+      "supplier")
+
+    write(fanout(src("part"), replicas)
+      .select(shifted("p_partkey").as("p_partkey"),
+        concat(col("p_name"), lit("#"), col("__r")).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part")
+
+    write(fanout(src("orders"), replicas)
+      .select(shifted("o_orderkey").as("o_orderkey"),
+        shifted("o_custkey").as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")),
+      "orders")
+
+    write(fanout(src("lineitem"), replicas)
+      .select(shifted("l_orderkey").as("l_orderkey"),
+        shifted("l_partkey").as("l_partkey"),
+        shifted("l_suppkey").as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")),
+      "lineitem")
+
+    write(fanout(src("events"), replicas)
+      .select(shifted("event_id").as("event_id"), col("ts"),
+        shifted("user_id").as("user_id"),
+        col("event_type"), col("value"), col("props")),
+      "events")
+
+    // token bijection: replica 0 verbatim; replica r suffixes every
+    // whitespace token with "~r" — n-gram/shingle structure preserved
+    // within a replica, zero shingle overlap across replicas
+    write(fanout(src("documents"), replicas)
+      .withColumn("text",
+        when(col("__r") === 0L, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit("~"), col("__r"))), " ")))
+      .select(shifted("doc_id").as("doc_id"), col("text"), col("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars")),
+      "documents")
+
+    // signed permutation per replica: an orthogonal transform, so
+    // within-replica dot products / cosines are EXACT (up to float
+    // addition order, which transform preserves: one value per slot)
+    val dim = src("embeddings").select(size(col("embedding")))
+      .first().getInt(0)
+    val rng = new scala.util.Random(PermSeed)
+    val perms = (0 until replicas).map { r =>
+      if (r == 0) (0L, (0 until dim).toArray, Array.fill(dim)(1.0f))
+      else (r.toLong, rng.shuffle((0 until dim).toList).toArray,
+        Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val permDf = perms.toDF("__r", "__perm", "__sign")
+    write(src("embeddings")
+      .crossJoin(broadcast(permDf))
+      .withColumn("embedding",
+        transform(col("__perm"), (p, i) =>
+          element_at(col("embedding"), p.cast("int") + 1) *
+            element_at(col("__sign"), i + 1)))
+      .select(shifted("vec_id").as("vec_id"), col("embedding"), col("label")),
+      "embeddings")
+  }
+}

@@ -817,6 +817,33 @@ object CoreQueries {
         q47Scd2(s, dir), lit("2024-07-01").cast("date"))
       .orderBy("c_custkey")
 
+  /** S10+P7 composed: the q14 timestamp-range shape served from a
+    * date-partitioned warehouse copy ([[Tables.ctas]] with
+    * `partitionDateCol` — the `p_date` convention the retention tier
+    * drops by). The declared proof that the partition seam PRUNES: the
+    * scan plans `PartitionFilters` on `p_date`, so untouched days'
+    * files are never listed or read (plans/q64_warehouse_prune.txt
+    * snapshots the pruned scan; DatePartitionSpec additionally asserts
+    * the files-read metric). Values are oracled against the RAW events
+    * table — partitioning is layout, never semantics. */
+  def q64WarehousePrune(s: SparkSession, dir: String): DataFrame = {
+    // scratch warehouse copy keyed by the SF dir (idempotent overwrite;
+    // the copy is the operator under test, so building it is the query)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warehouse_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    Tables.ctas(t(s, dir, "events"), scratch, partitionDateCol = Some("ts"))
+    val lo = "2024-01-10"
+    val hi = "2024-01-12"
+    s.read.parquet(scratch)
+      .filter(col("p_date") >= lit(lo).cast("date") &&
+        col("p_date") < lit(hi).cast("date") &&
+        col("ts") >= lit(s"$lo 00:00:00").cast("timestamp") &&
+        col("ts") < lit(s"$hi 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** CDC apply (ST1-ST3 materialization): a deterministic change batch
     * — updates at two sequence positions (latest wins), deletes, and
     * inserts — applied to the customer snapshot via
@@ -1291,6 +1318,7 @@ object CoreQueries {
     "q61_hll_intersect" -> q61HllIntersect,
     "q62_assoc_rules" -> q62AssocRules,
     "q63_asof_snapshot" -> q63AsofSnapshot,
+    "q64_warehouse_prune" -> q64WarehousePrune,
   )
 
   /** DuckDB-dialect oracle SQL, column-name aligned with [[all]]. */
@@ -1510,6 +1538,13 @@ object CoreQueries {
          |WHERE valid_from <= DATE '2024-07-01'
          |  AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')
          |ORDER BY c_custkey""".stripMargin),
+    // the oracle reads the RAW events table: the Spark side's
+    // date-partitioned copy + p_date pruning must be pure layout
+    "q64_warehouse_prune" ->
+      ("""SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
     "e04_funnel" ->
       ("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id

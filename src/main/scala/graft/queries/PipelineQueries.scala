@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Bpe, Caches, Dedup, EditDistance, Multimodal, Projection, Quantiles, Sampling, Similarity, Tfidf}
+import graft.operators.{Bpe, Caches, Dedup, EditDistance, Multimodal, MultimodalFixtures, Projection, Quantiles, Sampling, Similarity, Tfidf}
 
 /** Training-data pipeline operators exposed as declared queries over the
   * driver's `documents` / `embeddings` tables: deduplication (exact,
@@ -1433,6 +1433,91 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- m07-m10: the REAL codecs under the driver contract ----
+  //
+  // m01-m06 hash on the deterministic StubCodec so DuckDB can replay
+  // the fold; these four run the REAL decoders (ImageIoCodec on JDK
+  // ImageIO pixels, WavCodec on JDK sampled PCM) over generated REAL
+  // PNG/JPEG/WAV payloads (MultimodalFixtures — seeded, encoded on the
+  // executors) and aggregate DECODED-CONTENT invariants no container-
+  // byte fold can produce. DuckDB cannot decode media, so they are
+  // declared rows-only (the s01/s02 regime); MultimodalCodecSpec pins
+  // the exact aggregate rows.
+
+  /** Stripe-mean monotonicity recovered from real PNG pixels: 24 groups
+    * x {ascending gradient, descending gradient, flat} decode through
+    * [[graft.operators.ImageIoCodec]] to exactly 24/24/24 envelope
+    * classes. */
+  def m07RealImageDecode(s: SparkSession, dir: String): DataFrame =
+    envelopeCounts(Multimodal.decodeFeatures(
+      MultimodalFixtures.imageMonotoneAssets(s, nGroups = 24),
+      dims = 8, codec = new graft.operators.ImageIoCodec))
+
+  /** Perceptual near-dup structure over real decoded pixels: 16 groups
+    * x {PNG, noisy PNG, JPEG re-encode, reversed content}; the three
+    * same-content renderings pair within hamming 3, reversed and
+    * cross-group content pair with nothing. */
+  def m08RealImagePhash(s: SparkSession, dir: String): DataFrame =
+    phashPairTypes(Multimodal.phashPairs(
+        MultimodalFixtures.imagePhashAssets(s, nGroups = 16),
+        maxHamming = 3, codec = new graft.operators.ImageIoCodec),
+      coreVariants = 2)
+
+  /** Amplitude-envelope monotonicity recovered from real WAV PCM: 24
+    * groups x {ascending, descending, flat} through
+    * [[graft.operators.WavCodec]]. */
+  def m09RealAudioDecode(s: SparkSession, dir: String): DataFrame =
+    envelopeCounts(Multimodal.decodeFeatures(
+      MultimodalFixtures.audioMonotoneAssets(s, nGroups = 24),
+      dims = 8, codec = new graft.operators.WavCodec))
+
+  /** Perceptual near-dup structure over real decoded samples: 16
+    * groups x {base tone, noisy, time-reversed}; base+noisy pair,
+    * reversed and cross-group content do not. */
+  def m10RealAudioPhash(s: SparkSession, dir: String): DataFrame =
+    phashPairTypes(Multimodal.phashPairs(
+        MultimodalFixtures.audioPhashAssets(s, nGroups = 16),
+        maxHamming = 3, codec = new graft.operators.WavCodec),
+      coreVariants = 1)
+
+  /** Shared m07/m09 aggregate: classify each decoded feature vector's
+    * stripe envelope (strictly ascending / strictly descending / flat /
+    * mixed) and count per class — the invariant the REAL decode must
+    * recover from content. */
+  private def envelopeCounts(decoded: DataFrame): DataFrame = {
+    val adjacent = (cmp: String) => expr(
+      s"forall(zip_with(slice(feature, 1, 7), slice(feature, 2, 7), (a, b) -> a $cmp b), x -> x)")
+    decoded.withColumn("envelope",
+        when(adjacent("<"), "ascending")
+          .when(adjacent(">"), "descending")
+          .when(adjacent("="), "flat")
+          .otherwise("mixed"))
+      .groupBy("envelope").agg(count(lit(1)).as("n"))
+      .orderBy("envelope")
+  }
+
+  /** Shared m08/m10 aggregate: bucket each near-dup pair by what it
+    * connects — same-group core renderings (variants <= coreVariants:
+    * the SAME content re-rendered, expected to pair), a reversed-
+    * content member of the group (must not pair), or cross-group
+    * (must not pair) — with the summed hamming distance. asset_id =
+    * group*10 + variant (MultimodalFixtures.generate). */
+  private def phashPairTypes(pairs: DataFrame, coreVariants: Int): DataFrame =
+    pairs
+      .withColumn("ga", floor(col("id_a") / 10))
+      .withColumn("gb", floor(col("id_b") / 10))
+      .withColumn("va", pmod(col("id_a"), lit(10)))
+      .withColumn("vb", pmod(col("id_b"), lit(10)))
+      .withColumn("pair_type",
+        when(col("ga") === col("gb") &&
+            col("va") <= coreVariants && col("vb") <= coreVariants,
+          "same_content")
+          .when(col("ga") === col("gb"), "reversed_in_group")
+          .otherwise("cross_content"))
+      .groupBy("pair_type")
+      .agg(count(lit(1)).as("n"), sum("hamming").as("total_hamming"))
+      .orderBy("pair_type")
+
   /** Transitive near-dup reach on the Spark 4 `WITH RECURSIVE` SQL
     * surface (the declarative recursion operator whose procedural twin
     * is e13's frontier BFS): hop distance from a flagged seed set
@@ -1568,6 +1653,12 @@ object PipelineQueries {
     "m04_frame_dedup" -> m04FrameDedup,
     "m05_resize" -> m05Resize,
     "m06_phash_pairs" -> m06PhashPairs,
+    // rows-only (no DuckDB oracle — real media decode): exact
+    // aggregate rows pinned in MultimodalCodecSpec
+    "m07_real_image_decode" -> m07RealImageDecode,
+    "m08_real_image_phash" -> m08RealImagePhash,
+    "m09_real_audio_decode" -> m09RealAudioDecode,
+    "m10_real_audio_phash" -> m10RealAudioPhash,
     "d17_dup_reach" -> d17DupReach,
     "v31_hybrid_rrf" -> v31HybridRrf,
   )

@@ -276,4 +276,46 @@ class MultimodalCodecSpec extends SparkSuite {
       .orderBy("asset_id").collect().map(_.getLong(4))
     assert(again.toSeq === out.map(_.getLong(4)).toSeq)
   }
+
+  // ---- the m07-m10 declared queries (rows-only under the driver) ----
+  //
+  // DuckDB cannot decode media, so the driver records these rows-only;
+  // THIS is their correctness gate — the exact aggregate rows the
+  // declared query functions return, pinned.
+
+  private def declared(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("m07: real PNG decode recovers 24/24/24 stripe-envelope classes") {
+    val rows = declared("m07_real_image_decode").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows === Seq("ascending" -> 24L, "descending" -> 24L,
+      "flat" -> 24L))
+  }
+
+  test("m09: real WAV decode recovers 24/24/24 amplitude-envelope classes") {
+    val rows = declared("m09_real_audio_decode").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows === Seq("ascending" -> 24L, "descending" -> 24L,
+      "flat" -> 24L))
+  }
+
+  test("m08: real pixel pHash pairs exactly the same-content renderings") {
+    val rows = declared("m08_real_image_phash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 16 groups x C(3,2) same-content rendering pairs (PNG, noisy PNG,
+    // JPEG) and NOTHING else: no reversed-content pair, no cross-group
+    // pair survives the hamming-3 gate
+    assert(rows.map(r => (r._1, r._2)) === Seq(("same_content", 48L)))
+    // the renderings land within the gate by construction (profile gaps
+    // dwarf noise + JPEG quantization); total hamming stays tiny
+    assert(rows.head._3 <= 48L * 3, s"total hamming ${rows.head._3}")
+  }
+
+  test("m10: real PCM pHash pairs exactly the base+noisy tone per group") {
+    val rows = declared("m10_real_audio_phash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => (r._1, r._2)) === Seq(("same_content", 16L)))
+    assert(rows.head._3 <= 16L * 3, s"total hamming ${rows.head._3}")
+  }
 }
