@@ -20,11 +20,18 @@ import org.apache.spark.sql.functions._
   *  - ids/FKs shift by `replica * stride` consistently on both sides
   *    of every join (order⋈lineitem, order⋈customer, lineitem⋈part/
   *    supplier stay per-replica; selectivities unchanged);
-  *  - document TEXT maps through a per-replica TOKEN BIJECTION (every
-  *    word gets a replica suffix; replica 0 verbatim): n-gram/shingle
-  *    Jaccard, MinHash band structure, and dup-span layout are EXACTLY
-  *    preserved within a replica, while cross-replica shingle overlap
-  *    is zero — near-dup pair counts scale x N, not x N²;
+  *  - document TEXT maps through a per-replica CHARACTER BIJECTION (a
+  *    distinct alphabet/digit rotation per replica; replica 0
+  *    verbatim): word identity, n-gram/shingle Jaccard, MinHash band
+  *    structure, dup-span layout AND character-level edit distances
+  *    are EXACTLY preserved within a replica (a bijective char map
+  *    preserves Levenshtein), while across replicas both tokens and
+  *    SUBSTRINGS diverge — so shingle-blocked near-dup pairs AND
+  *    PassJoin segment candidates scale x N, not x N². (A word-suffix
+  *    bijection was measured failing exactly there: cross-replica
+  *    texts still shared long substrings, so d14's segment candidates
+  *    exploded x10 per doc — exponent 1.48 — before verification
+  *    rejected them all.);
   *  - EMBEDDINGS map through a per-replica signed permutation (an
   *    orthogonal transform): within-replica cosines/kNN structure are
   *    bit-exactly preserved, cross-replica similarities scramble;
@@ -123,17 +130,31 @@ object GenScale {
         col("event_type"), col("value"), col("props")),
       "events")
 
-    // token bijection: replica 0 verbatim; replica r suffixes every
-    // whitespace token with "~r" — n-gram/shingle structure preserved
-    // within a replica, zero shingle overlap across replicas
+    // character bijection: replica 0 verbatim; replica r rotates the
+    // lowercase/uppercase/digit alphabets by distinct coprime steps —
+    // lengths, token boundaries, shingle structure and edit distances
+    // preserved exactly within a replica; across replicas letters (and
+    // hence tokens AND substrings) are disjoint
+    val lowerAb = "abcdefghijklmnopqrstuvwxyz"
+    val upperAb = lowerAb.toUpperCase
+    val digitAb = "0123456789"
+    val alphabet = lowerAb + upperAb + digitAb
+    def rot(s: String, k: Int): String = {
+      val m = math.floorMod(k, s.length); s.drop(m) + s.take(m)
+    }
+    // 7 is coprime with 26 and 3 with 10, so replicas 0..9 get ten
+    // DISTINCT rotations and no two replicas share a mapping
+    def target(r: Int): String =
+      rot(lowerAb, 7 * r) + rot(upperAb, 7 * r) + rot(digitAb, 3 * r)
+    val rotated = (1 until replicas).foldLeft(
+      when(col("__r") === 0L, col("text"))) { (acc, r) =>
+      acc.when(col("__r") === r.toLong,
+        translate(col("text"), alphabet, target(r)))
+    }.otherwise(col("text"))
     write(fanout(src("documents"), replicas)
-      .withColumn("text",
-        when(col("__r") === 0L, col("text"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "),
-              w => concat(w, lit("~"), col("__r"))), " ")))
+      .withColumn("text", rotated)
       .select(shifted("doc_id").as("doc_id"), col("text"), col("lang"),
-        col("source"), length(col("text")).cast("long").as("n_chars")),
+        col("source"), col("n_chars")),
       "documents")
 
     // signed permutation per replica: an orthogonal transform, so
