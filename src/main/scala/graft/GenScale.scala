@@ -81,14 +81,21 @@ object GenScale {
       replicas: Int): Unit = {
     import graft.core.Tables
     def src(name: String): DataFrame = Tables.table(spark, srcDir, name)
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // fact tables repartition before write: the broadcast fanout
+    // preserves the SOURCE file's split count, so a 10x table would
+    // otherwise land as one ~100 MB single-row-group file that every
+    // downstream scan reads in ONE task (measured: e12's edge build
+    // carried a 5 s single-task stage). Real corpora arrive as many
+    // files; 32 parts makes the generated leg scan-parallel like one.
+    def write(df: DataFrame, name: String, parts: Int = 32): Unit = {
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }
 
     // dims replicate verbatim (a 100 TB warehouse still has 25 nations)
-    write(src("region"), "region")
-    write(src("nation"), "nation")
+    write(src("region"), "region", parts = 1)
+    write(src("nation"), "nation", parts = 1)
 
     write(fanout(src("customer"), replicas)
       .select(shifted("c_custkey").as("c_custkey"),

@@ -271,8 +271,18 @@ private[graft] object Caches {
       return body
     val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     val prev = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    // width = max(bytes-based, ROWS-based) + 1: state exchanges are
+    // byte-light, but the reduce side of a per-iteration aggregate does
+    // real per-row compute (e12's exact-decimal rank sums measured
+    // ~10 µs/row) — at 160k+ state rows a single reduce task is a
+    // 1.5 s/iteration serial floor that the byte sizing alone would
+    // never widen. ~25k rows/task keeps tiny states at width 1 (the
+    // whole point of the override) while larger in-regime states fan
+    // out; results are unaffected (the per-iteration aggregates are
+    // associative sums/mins — partitioning cannot change them).
     val parts = math.min(20000L,
-      math.max(0L, stateRows) * bytesPerRow / (64L << 20) + 1).toInt
+      math.max(math.max(0L, stateRows) * bytesPerRow / (64L << 20),
+        math.max(0L, stateRows) / 25000L) + 1).toInt
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try body

@@ -87,6 +87,13 @@ object EditDistance {
         .select(col("id"), col("pre"), length(col("pre")).cast("int").as("lp")),
       col("id"))
 
+    // pinned exchange width for the byte-light/compute-dense stages
+    // below (candidate pairing, dedup, verify) — the session's
+    // configured shuffle width, immune to AQE's size-based folding
+    val w = scala.util.Try(docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "").toInt)
+      .getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
+
     // ---- segment geometry (shared by index and probe sides) ----
     // canonical even partition of a length-`ls` string into m
     // segments: the first m - (ls % m) get floor(ls/m) chars, the
@@ -140,13 +147,22 @@ object EditDistance {
 
       val idxDf = idx.join(dfTab, "kk")
       val prbDf = prb.join(dfTab, "kk") // probe keys absent from idx die here
-      def pairUp(a: DataFrame, b: DataFrame, extraKey: Seq[String]) =
-        a.as("a").join(b.as("b"),
+      // both pairing inputs repartition PINNED on the join keys: the
+      // exploded key postings are ~16 B/row, so AQE folds the pairing
+      // join's exchanges to one task on byte count alone — but the join
+      // is the operator's candidate-quadratic step (measured: a 4.8 s
+      // single-task sort-merge at the ~sf1 leg). Same distribution the
+      // join demands, so no extra exchange — only the width survives.
+      def pairUp(a: DataFrame, b: DataFrame, extraKey: Seq[String]) = {
+        def pin(df: DataFrame) =
+          df.repartition(w, (col("kk") +: extraKey.map(col)): _*)
+        pin(a).as("a").join(pin(b).as("b"),
             (Seq(col("a.kk") === col("b.kk")) ++
               extraKey.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _) &&
               col("a.id") =!= col("b.id"))
           .select(least(col("a.id"), col("b.id")).as("id_a"),
             greatest(col("a.id"), col("b.id")).as("id_b"))
+      }
       val cold = pairUp(idxDf.filter(col("df") <= lit(hotDf.toLong)),
         prbDf.filter(col("df") <= lit(hotDf.toLong)), Nil)
       val hotI = idxDf.filter(col("df") > lit(hotDf.toLong))
@@ -170,9 +186,24 @@ object EditDistance {
           greatest(col("id"), col("__rid")).as("id_b"))
 
       // ---- verify: banded levenshtein on the candidate prefixes ----
-      val cands = longCands.unionByName(shortCands).distinct()
+      // PINNED width through the whole verify chain: candidate rows
+      // are 16 bytes, so AQE's size-based coalescing folds the
+      // distinct and both prefix-attach joins to ONE task — and the
+      // banded-levenshtein verify, the operator's densest per-row
+      // compute, runs serialized behind them (measured: an 8.6 s
+      // single-task stage carrying 63% of d14 at the ~sf1 leg). The
+      // repartition keys pre-satisfy each step's distribution
+      // (dedup on (id_a, id_b); joins on id_a then id_b), so the pins
+      // add no exchange beyond the ones the plan needed anyway — they
+      // only forbid folding their width away. Hot id_a/id_b values are
+      // bounded upstream by the hot-key salting + df cap, so the
+      // pinned hash layout cannot recreate the skew AQE would split.
+      val cands = longCands.unionByName(shortCands)
+        .repartition(w, col("id_a"), col("id_b")).dropDuplicates()
       cands
+        .repartition(w, col("id_a"))
         .join(reps.select(col("id").as("id_a"), col("pre").as("__pa")), "id_a")
+        .repartition(w, col("id_b"))
         .join(reps.select(col("id").as("id_b"), col("pre").as("__pb")), "id_b")
         .withColumn("dist",
           levenshtein(col("__pa"), col("__pb"), k).cast("long"))

@@ -404,7 +404,16 @@ object CoreQueries {
     * at scale the equi key carries the shuffle, so the non-equi band
     * never degenerates to a cartesian. */
   def e03BurstWindow(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    // spreadByKey: the band join's input is byte-TINY (24 B/row) but
+    // its output is per-user-quadratic-in-band compute — AQE's
+    // size-based coalescing folded the sfgen1 join to TWO partitions
+    // (10.9 s in one stage); the pinned user_id spread keeps the join
+    // at full width and pre-satisfies its distribution. At real scale
+    // the guard inverts: a corpus-sized events scan already splits
+    // wide and the spread becomes a no-op.
+    val e = graft.operators.Caches.spreadByKey(
+      t(s, dir, "events").select("event_id", "user_id", "ts"),
+      col("user_id"))
     e.as("a").join(e.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("b.ts") < col("a.ts") &&
