@@ -149,10 +149,23 @@ object GenScale {
     def rot(s: String, k: Int): String = {
       val m = math.floorMod(k, s.length); s.drop(m) + s.take(m)
     }
-    // 7 is coprime with 26 and 3 with 10, so replicas 0..9 get ten
-    // DISTINCT rotations and no two replicas share a mapping
-    def target(r: Int): String =
-      rot(lowerAb, 7 * r) + rot(upperAb, 7 * r) + rot(digitAb, 3 * r)
+    // distinct bijection per replica, for ANY replica count: rotations
+    // while they stay distinct (7 coprime with 26, 3 with 10 — letters
+    // r < 26, digits r < 10), seeded permutations beyond (a rotation
+    // wrapping would hand two replicas the SAME map, gluing their
+    // texts back into exact cross-replica duplicates). Uppercase is
+    // always the uppercased lowercase table, so the bijection commutes
+    // with lower() — the operators' case normalization sees identical
+    // structure in every replica.
+    def seededPerm(ab: String, r: Int): String = {
+      val rng = new scala.util.Random(PermSeed * 31 + r)
+      rng.shuffle(ab.toList).mkString
+    }
+    def target(r: Int): String = {
+      val lo = if (r < 26) rot(lowerAb, 7 * r) else seededPerm(lowerAb, r)
+      val dg = if (r < 10) rot(digitAb, 3 * r) else seededPerm(digitAb, r)
+      lo + lo.toUpperCase + dg
+    }
     val rotated = (1 until replicas).foldLeft(
       when(col("__r") === 0L, col("text"))) { (acc, r) =>
       acc.when(col("__r") === r.toLong,

@@ -89,6 +89,42 @@ object ScaleGates {
       "BYTE-IDENTICAL — the over-cap CC path runs the same answer at " +
       "the new size")
 
+    // ---- gate 3: LSH plane auto-sizing vs the fixed-plane config ----
+    // a FIXED plane count is quadratic-until-cap in the corpus (leg 3
+    // measured the pinned-6-plane v23 at exponent 2.7); the auto-sized
+    // path (Similarity.autoPlanes) grows planes with log(corpus) so the
+    // expected bucket population — and with it per-vector candidate
+    // work — stays constant. Run the self-kNN both ways' TIMES at the
+    // two generated sizes and report the growth.
+    def knnAuto(dir: String): (Long, Int, Double, Double) = {
+      val e = graft.core.Tables.table(spark, dir, "embeddings")
+      val n = e.count()
+      val planes = graft.operators.Similarity.autoPlanes(n,
+        targetBucket = 128)
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Similarity.lshTopKAuto(e, e, "vec_id",
+        "embedding", k = 2, targetBucket = 128, corpusRows = n).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.Caches.releaseAllPersistent(spark)
+      spark.catalog.clearCache()
+      (n, planes, dt, rows.toDouble)
+    }
+    val hugeDir = args.lift(2).getOrElse("target/sfgen3")
+    if (new java.io.File(hugeDir).isDirectory) {
+      val (nS, pS, tS, _) = knnAuto(bigDir)
+      val (nB, pB, tB, _) = knnAuto(hugeDir)
+      val growth = tB / tS
+      val sizeRatio = nB.toDouble / nS
+      log(f"[gate:lsh-planes] auto-sized self-kNN: $bigDir n=$nS%,d -> " +
+        f"$pS planes, $tS%.2f s; $hugeDir n=$nB%,d -> $pB planes, " +
+        f"$tB%.2f s — time grew $growth%.1fx for a $sizeRatio%.1fx " +
+        f"corpus (quadratic would be ${sizeRatio * sizeRatio}%.0fx); " +
+        "the fixed-plane declared config is the pinned-contract tier, " +
+        "auto-sizing is the scale default")
+      require(growth < sizeRatio * sizeRatio / 2,
+        "auto-plane self-kNN grew near-quadratically — plane sizing broke")
+    }
+
     try {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target"))

@@ -198,6 +198,43 @@ object Similarity {
       lshProbes(queries, idCol, vecCol, numPlanes, dim, seed), k,
       excludeSelf)
 
+  /** Plane count for a TARGET expected bucket population: ceil(log2(
+    * corpusRows / targetBucket)), clamped to [1, 24]. A FIXED plane
+    * count is a per-corpus tuning constant, not a scale posture: with
+    * p planes the bucket space is 2^p, so bucket population — and with
+    * it the self-join candidate count per vector — grows LINEARLY with
+    * the corpus, which makes the candidate total QUADRATIC until the
+    * hot-bucket cap truncates it (measured on the generated scaling
+    * legs: the fixed-6-plane v23 config ran exponent 2.7 from ~sf1 to
+    * ~sf3, exactly n²/2^p). Growing planes with log(corpus) pins the
+    * expected bucket population at `targetBucket`, so candidates stay
+    * ~n·targetBucket·(planes+2) — linear with a log factor from the
+    * multi-probe fanout. The recall trade: more planes split true
+    * neighbors across buckets more often; the 1-bit multi-probe
+    * recovers single-plane disagreements, and the in-engine recall
+    * gates (v08/v13-style) stay the measurement tool. */
+  def autoPlanes(corpusRows: Long, targetBucket: Int = 256): Int = {
+    require(targetBucket >= 1, s"targetBucket ($targetBucket) must be >= 1")
+    val buckets = math.max(1L, (corpusRows + targetBucket - 1) / targetBucket)
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(24, math.max(1, p))
+  }
+
+  /** [[lshTopK]] with the plane count derived from the CORPUS SIZE
+    * ([[autoPlanes]]) — the scale-safe default when no pinned-plane
+    * contract (an oracled replay, a frozen index) forces a constant.
+    * Costs one count job over the corpus; pass `corpusRows` if the
+    * caller already has it. */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, seed: Long = 42L, targetBucket: Int = 256,
+      excludeSelf: Boolean = true, corpusRows: Long = -1L): DataFrame = {
+    val n = if (corpusRows >= 0) corpusRows else corpus.count()
+    lshTopK(corpus, queries, idCol, vecCol, k,
+      numPlanes = autoPlanes(n, targetBucket), dim = dim, seed = seed,
+      excludeSelf = excludeSelf)
+  }
+
   /** The bucketed-corpus side of the LSH tier: (neighbor_id, v, vn,
     * bucket) — what [[buildLshIndex]] persists and [[lshTopK]] computes
     * inline. */

@@ -155,6 +155,32 @@ class LshHotBucketSpec extends SparkSuite {
       s"kept must be the lowest keys, got ${kept.toSet}")
   }
 
+  test("autoPlanes pins expected bucket population; lshTopKAuto ≡ lshTopK at the derived count") {
+    import Similarity.autoPlanes
+    // ceil(log2(corpus / target)), clamped: the plane count that keeps
+    // the EXPECTED bucket population at targetBucket no matter the
+    // corpus size — a fixed count is quadratic-until-cap in the corpus
+    // (the ~sf1 -> ~sf3 leg measured the pinned-6-plane config at
+    // exponent 2.7; SCALING.md leg 3)
+    assert(autoPlanes(100, 256) === 1, "sub-target corpora stay at 1 plane")
+    assert(autoPlanes(2560, 256) === 4) // 10 buckets -> 2^4
+    assert(autoPlanes(1000000, 256) === 12) // 3907 buckets -> 2^12
+    assert(autoPlanes(Long.MaxValue, 1) === 24, "clamped")
+    // 10x the corpus adds ~log2(10) ~ 3-4 planes: bucket population,
+    // and with it per-vector candidate work, stays ~constant
+    assert(autoPlanes(200000, 256) - autoPlanes(20000, 256) >= 3)
+    // the auto path is exactly the fixed path at the derived count
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 300L).map(i =>
+      i -> Seq.fill(8)(rng.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val p = autoPlanes(300, 64)
+    val auto = Similarity.lshTopKAuto(vecs, vecs, "vec_id", "embedding",
+      k = 2, dim = 8, targetBucket = 64).collect().map(_.toSeq).toSet
+    val fixed = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2, numPlanes = p, dim = 8).collect().map(_.toSeq).toSet
+    assert(auto === fixed)
+  }
+
   test("bottomk_threshold: k-th lowest id for overflowed groups, NULL otherwise") {
     import graft.functions.BottomKThresholdAgg.bottomKThreshold
     // 1000-member group (threshold = 32nd lowest = 31 for ids 0..999),
