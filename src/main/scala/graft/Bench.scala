@@ -123,7 +123,8 @@ object Bench {
     // dev aid: SPARK_GRAFT_REPEAT=3 times each query thrice and keeps the
     // LAST measurement — separates first-plan codegen cost from
     // steady-state throughput when hunting a slow query
-    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1))
     // BENCH ORDER: deterministic tier interleave, not name order. Name
     // order runs each tier as one contiguous block with the heavy v-tier
     // last — so a host throttle window late in the run (the observed
