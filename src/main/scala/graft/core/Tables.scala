@@ -78,6 +78,26 @@ object Tables {
       case None => df.write.mode("overwrite").parquet(dir)
     }
 
+  /** Register a scratch directory for recursive deletion at JVM exit —
+    * for per-process scratch copies (q64's warehouse CTAS) that should
+    * not accrete under java.io.tmpdir across runs. Idempotent per path;
+    * best-effort (a killed JVM leaves the residue, which the
+    * pid-keyed naming keeps from colliding with the next run). */
+  private val exitDeletions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def deleteRecursivelyOnExit(dir: String): Unit =
+    if (exitDeletions.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          val root = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(root))
+            scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+              w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+        } catch { case scala.util.control.NonFatal(_) => () }))
+    }
+
   /** S10 `CREATE TABLE IF NOT EXISTS ... LIKE` (A4:1038): an empty table
     * with the source's exact schema. */
   def createLike(spark: SparkSession, src: DataFrame, dir: String): Unit =

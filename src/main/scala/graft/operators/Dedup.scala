@@ -833,12 +833,16 @@ object Dedup {
     * phase was ~60 jobs at bench scale).
     *
     * BOUNDED BY CONSTRUCTION: the collect is gated on the exact edge
-    * count against `spark.graft.cc.localFinishEdges` (default 2M rows
-    * × 16 B = 32 MB on the driver; 0 disables, restoring the pure
-    * distributed path — the spec pins local ≡ distributed). Above the
-    * cap the caller's iterative loop runs unchanged — a 100 TB corpus
-    * whose near-dup graph genuinely exceeds the driver keeps the
-    * scale path.
+    * count against `spark.graft.cc.localFinishEdges` (default 2M).
+    * Honest memory math at the default: the typed collect materializes
+    * specialized (Long, Long) tuples — ~32 B each plus the pointer
+    * array, ~100 MB transient at 2M edges — and the union-find parent
+    * map is boxed-Long keyed but bounded by #nodes, not #edges
+    * (several hundred MB only if every edge touches two fresh nodes).
+    * 0 disables, restoring the pure distributed path — the spec pins
+    * local ≡ distributed. Above the cap the caller's iterative loop
+    * runs unchanged — a 100 TB corpus whose near-dup graph genuinely
+    * exceeds the driver keeps the scale path.
     *
     * Labels are EXACTLY the distributed fixed point's: union always
     * attaches the larger root under the smaller, so every root is its
@@ -855,7 +859,10 @@ object Dedup {
     val longIds = Seq("src", "dst").forall(c =>
       edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
     if (nEdges <= 0 || nEdges > cap || !longIds) return None
-    val rows = edges.select("src", "dst").collect() // gated above: <= cap
+    import spark.implicits._
+    // typed collect: specialized (Long, Long) tuples, not boxed Rows
+    val rows = edges.select(col("src"), col("dst"))
+      .as[(Long, Long)].collect() // gated above: <= cap
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
       2 * rows.length)
     def find(x0: Long): Long = {
@@ -872,8 +879,8 @@ object Dedup {
       x
     }
     rows.foreach { r =>
-      val ra = find(r.getLong(0))
-      val rb = find(r.getLong(1))
+      val ra = find(r._1)
+      val rb = find(r._2)
       // larger root under smaller: the root IS the component min
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)

@@ -90,9 +90,14 @@ object Graph {
     * pure scheduling overhead against a millisecond adjacency walk.
     *
     * BOUNDED BY CONSTRUCTION: the collect is gated on the exact edge
-    * count against `spark.graft.bfs.localFinishEdges` (default 2M rows
-    * x 16 B = 32 MB on the driver; 0 disables, restoring the pure
-    * distributed path — GraphSpec pins local ≡ distributed). Above the
+    * count against `spark.graft.bfs.localFinishEdges` (default 2M).
+    * Honest memory math at the default: the typed collect materializes
+    * specialized (Long, Long) tuples — ~32 B each plus the pointer
+    * array, ~100 MB transient at 2M edges — and the walk itself runs on
+    * a primitive CSR (one long[] of node ids, int[] offsets/targets,
+    * ~40 MB steady) with the only boxed structure the node→index map,
+    * bounded by #nodes, not #edges. 0 disables, restoring the pure
+    * distributed path — GraphSpec pins local ≡ distributed. Above the
     * cap the frontier loop runs unchanged.
     *
     * Hop counts are EXACTLY the distributed loop's: both assign each
@@ -108,32 +113,60 @@ object Graph {
       .get("spark.graft.bfs.localFinishEdges", "2000000").toLong)
       .getOrElse(2000000L)
     if (nEdges <= 0 || nEdges > cap) return None
-    val rows = edges.select("src", "dst").collect() // gated above: <= cap
-    val adj = new java.util.HashMap[java.lang.Long,
-      scala.collection.mutable.ArrayBuffer[Long]](2 * rows.length)
-    rows.foreach { r =>
-      adj.computeIfAbsent(r.getLong(0),
-        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+    // typed collect: specialized (Long, Long) tuples, not boxed Rows
+    val rows = edges.select(col("src"), col("dst"))
+      .as[(Long, Long)].collect() // gated above: <= cap
+    // node -> dense index (the one boxed structure, bounded by #nodes)
+    val nodeIdx = new java.util.HashMap[java.lang.Long, Integer](
+      2 * rows.length)
+    def idx(id: Long): Int = {
+      val i = nodeIdx.get(id)
+      if (i != null) i.intValue
+      else { val j = nodeIdx.size(); nodeIdx.put(id, j); j }
     }
-    val dist = new java.util.HashMap[java.lang.Long, Integer]()
-    dist.put(source, 0)
-    var frontier = Seq(source)
+    val m = rows.length
+    val es = new Array[Int](m)
+    val ed = new Array[Int](m)
+    var i = 0
+    while (i < m) { es(i) = idx(rows(i)._1); ed(i) = idx(rows(i)._2); i += 1 }
+    val n = nodeIdx.size()
+    val ids = new Array[Long](n)
+    nodeIdx.forEach((k, v) => ids(v.intValue) = k.longValue)
+    // CSR: counting sort of targets by source
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < m) { off(es(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](m)
+    i = 0; while (i < m) { adj(pos(es(i))) = ed(i); pos(es(i)) += 1; i += 1 }
+    // level-synchronous walk on int frontiers
+    val dist = new Array[Int](n)
+    java.util.Arrays.fill(dist, -1)
+    val srcIdx = nodeIdx.get(source)
+    var frontier = new Array[Int](0)
+    if (srcIdx != null) { dist(srcIdx.intValue) = 0; frontier = Array(srcIdx.intValue) }
     var hop = 0
+    val next = new scala.collection.mutable.ArrayBuilder.ofInt
     while (hop < maxHops && frontier.nonEmpty) {
       hop += 1
-      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
-      frontier.foreach { n =>
-        val out = adj.get(n)
-        if (out != null) out.foreach { m =>
-          if (!dist.containsKey(m)) { dist.put(m, hop); next += m }
+      next.clear()
+      frontier.foreach { u =>
+        var j = off(u)
+        while (j < off(u + 1)) {
+          val v = adj(j)
+          if (dist(v) < 0) { dist(v) = hop; next += v }
+          j += 1
         }
       }
-      frontier = next.toSeq
+      frontier = next.result()
     }
-    import scala.jdk.CollectionConverters._
-    Some(dist.entrySet.asScala.toSeq
-      .map(e => (e.getKey.longValue, e.getValue.intValue))
-      .toDF("node", "hop"))
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    i = 0
+    while (i < n) { if (dist(i) >= 0) outRows += ((ids(i), dist(i))); i += 1 }
+    // a source with no edge rows still reports itself at hop 0 — the
+    // distributed loop's seed-frontier behavior
+    if (srcIdx == null) outRows += ((source, 0))
+    Some(outRows.toSeq.toDF("node", "hop"))
   }
 
   /** DuckDB twin over an edge CTE named `e` (src, dst, distinct): a

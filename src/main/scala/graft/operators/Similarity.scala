@@ -351,7 +351,11 @@ object Similarity {
     val key =
       if (integral)
         coalesce(col("neighbor_id").cast("long"), lit(Long.MinValue))
-      else xxhash64(col("neighbor_id").cast("string"))
+      // xxhash64 of a NULL input returns the SEED (42) — a mid-range
+      // key, not a null — so the lowest-key promise needs the explicit
+      // NULL branch here, mirroring the integral sentinel
+      else when(col("neighbor_id").isNull, lit(Long.MinValue))
+        .otherwise(xxhash64(col("neighbor_id").cast("string")))
     val thresholds = bucketed.groupBy("bucket")
       .agg(graft.functions.BottomKThresholdAgg
         .bottomKThreshold(key, maxBucket).as("__thr"))

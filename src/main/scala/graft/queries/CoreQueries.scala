@@ -836,10 +836,17 @@ object CoreQueries {
     * the files-read metric). Values are oracled against the RAW events
     * table — partitioning is layout, never semantics. */
   def q64WarehousePrune(s: SparkSession, dir: String): DataFrame = {
-    // scratch warehouse copy keyed by the SF dir (idempotent overwrite;
-    // the copy is the operator under test, so building it is the query)
+    // scratch warehouse copy keyed by SF dir AND process: two drivers
+    // running concurrently against the same SF dir must not race one
+    // shared path (one's mode-overwrite CTAS deleting files under the
+    // other's scan). Within a process the path is stable, so repeat
+    // invocations stay idempotent-overwrite and Bench's repeat runs
+    // reuse the layout. The residue is one events-sized copy per
+    // process under java.io.tmpdir, deleted on JVM exit.
     val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_warehouse_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft_warehouse_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_pid" + ProcessHandle.current().pid()).toString
+    Tables.deleteRecursivelyOnExit(scratch)
     Tables.ctas(t(s, dir, "events"), scratch, partitionDateCol = Some("ts"))
     val lo = "2024-01-10"
     val hi = "2024-01-12"

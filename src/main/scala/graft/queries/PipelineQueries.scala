@@ -26,6 +26,23 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
+  /** Plane count for the declared LSH-tier ANN queries (v02/v03/v08/
+    * v12/v23/v32/v33): [[Similarity.autoPlanes]] over the embeddings
+    * corpus, NOT a pinned constant. A fixed plane count keeps the
+    * bucket space constant while the corpus grows, so the candidate
+    * self-join is quadratic until the hot-bucket cap (the ~sf1→~sf3
+    * scaling leg measured the fixed-6-plane config at exponent 2.7);
+    * deriving p from n pins the expected bucket population instead.
+    * The DuckDB oracles recompute the identical p from count(*) (the
+    * `np` CTE below), so the replay contract survives the derivation.
+    * Cached per dir — the count is parquet-footer metadata, one cheap
+    * job, but 7 queries share it within a run. */
+  private val annPlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def annAutoPlanes(s: SparkSession, dir: String): Int =
+    annPlanesCache.computeIfAbsent(dir,
+      d => Int.box(Similarity.autoPlanes(emb(s, d).count()))).intValue
+
   // ---- text analysis ----
 
   def t01Tokens(s: SparkSession, dir: String): DataFrame =
@@ -914,7 +931,7 @@ object PipelineQueries {
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 3, numPlanes = 6, dim = 64)
+        "vec_id", "embedding", k = 3, numPlanes = annAutoPlanes(s, dir), dim = 64)
       .orderBy("query_id", "rank")
   }
 
@@ -927,7 +944,7 @@ object PipelineQueries {
 
   def v03CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, numPlanes = 6, dim = 64)
+        threshold = 0.4, numPlanes = annAutoPlanes(s, dir), dim = 64)
       .orderBy("id_a", "id_b")
 
   /** Recall\@k gate for the ANN tier, computed in-engine: the LSH top-3
@@ -942,7 +959,7 @@ object PipelineQueries {
     Similarity.recallAtK(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
         Similarity.lshTopK(e, q, "vec_id", "embedding",
-          k = 3, numPlanes = 6, dim = 64))
+          k = 3, numPlanes = annAutoPlanes(s, dir), dim = 64))
       .orderBy("query_id")
   }
 
@@ -1093,7 +1110,7 @@ object PipelineQueries {
     val e = emb(s, dir)
     val edges = Similarity.mutualKnnEdges(
       Similarity.lshTopK(e, e, "vec_id", "embedding", k = 2,
-        numPlanes = 6, dim = 64))
+        numPlanes = annAutoPlanes(s, dir), dim = 64))
     val comp = Dedup.dupClustersLogStar(e.select("vec_id"), "vec_id", edges)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("comp_size"))
     comp.join(sizes, "cluster_id")
@@ -1112,7 +1129,7 @@ object PipelineQueries {
     val e = emb(s, dir)
     Similarity.marginMining(e.filter(col("label") < 5),
         e.filter(col("label") >= 5), "vec_id", "embedding",
-        k = 4, threshold = 1.05, numPlanes = 6, dim = 64)
+        k = 4, threshold = 1.05, numPlanes = annAutoPlanes(s, dir), dim = 64)
       .orderBy("src_id")
   }
 
@@ -1125,7 +1142,7 @@ object PipelineQueries {
     * a classifier on them). */
   def v33LabelPurity(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelAgreement(emb(s, dir), "vec_id", "embedding",
-        "label", k = 4, numPlanes = 6, dim = 64)
+        "label", k = 4, numPlanes = annAutoPlanes(s, dir), dim = 64)
       .select(col("id").as("vec_id"), col("label"), col("n_nbrs"),
         col("purity"))
       .orderBy("vec_id")
@@ -1343,7 +1360,7 @@ object PipelineQueries {
   def v12HardNegatives(s: SparkSession, dir: String): DataFrame = {
     val labels = emb(s, dir).select(col("vec_id"), col("label"))
     Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.3, numPlanes = 6, dim = 64)
+        threshold = 0.3, numPlanes = annAutoPlanes(s, dir), dim = 64)
       .join(labels.select(col("vec_id").as("id_a"), col("label").as("label_a")), "id_a")
       .join(labels.select(col("vec_id").as("id_b"), col("label").as("label_b")), "id_b")
       .filter(col("label_a") =!= col("label_b"))
@@ -1702,37 +1719,63 @@ object PipelineQueries {
   // replay the exact same bucketing, probing, and re-ranking as the
   // Spark plan — sign/ordering decisions ride on well-separated doubles
   // (min top-k gap ≈ 2e-4 on this corpus, float noise ≈ 1e-15).
+  //
+  // The PLANE COUNT is not pinned: the Spark side runs the scale-safe
+  // [[Similarity.autoPlanes]] count ([[annAutoPlanes]]), and the oracle
+  // recomputes the identical count IN SQL from count(*) — `np.p` below,
+  // the exact integer twin of autoPlanes (bit-length of buckets-1,
+  // validated term-for-term in LshHotBucketSpec). Because hyperplanes()
+  // draws planes sequentially from one splitmix64 stream, hyperplanes(p)
+  // is a PREFIX of hyperplanes(24) (also pinned in LshHotBucketSpec), so
+  // the SQL embeds the 24-plane master and gates each plane's term on
+  // `i < np.p` — the replay stays literal while p scales with the corpus.
 
   private def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
 
-  private def bucketSql(vc: String, planes: Array[Array[Double]]): String =
-    planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product($vc, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+  /** Plane-i bucket term, active only when i < np.p — every CTE using
+    * it cross-joins the 1-row `np` relation. */
+  private def bucketSql(vc: String): String =
+    annPlanesMaster.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN $i < np.p AND list_dot_product($vc, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  private lazy val annPlanes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+  private lazy val annPlanesMaster =
+    Similarity.hyperplanes(numPlanes = 24, dim = 64, seed = 42L)
+
+  /** SQL twin of [[Similarity.autoPlanes]](count(*), 256): buckets =
+    * ceil(n/256); p = bit-length(max(1, buckets-1)) clamped to [1,24].
+    * Integer arithmetic only (bin() string length, not float log2) so
+    * it can never disagree with the Scala side at a power-of-2 edge. */
+  private val npCte: String =
+    "np AS (SELECT LEAST(24, GREATEST(1, length(bin(GREATEST(1, (count(*) + 255) // 256 - 1))))) AS p FROM embeddings)"
+
+  /** Multi-probe masks for the 24-plane master: self (0) plus every
+    * 1-bit flip below 2^p — `WHERE m < (1 << np.p)` keeps exactly the
+    * active planes' flips. */
+  private val probeMasks: String =
+    (Seq(0L) ++ (0 until 24).map(i => 1L << i)).mkString(", ")
 
   /** v02 on the shared [[lshTopCte]] block — ONE copy of the LSH
     * multi-probe candidate arithmetic gates v02/v32/v33 alike. */
   private lazy val v02OracleSql: String =
-    s"""WITH ${lshTopCte("s", "1 = 1", "vec_id < 5", 3)}
+    s"""WITH $npCte,
+       |${lshTopCte("s", "1 = 1", "vec_id < 5", 3)}
        |SELECT query_id, neighbor_id, sim4 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM top_s ORDER BY query_id, rank""".stripMargin
 
   /** The v02 oracle's LSH-multi-probe top-k pipeline as a reusable CTE
     * block, parameterized by corpus/query predicates so the two mining
     * directions (and the self-kNN case) replay the IDENTICAL candidate
-    * arithmetic. `top_<side>` carries the 4dp-rounded sim — exactly
-    * what the Spark `cosineRank` emits — ranked on the raw sim with the
-    * neighbor-id tie-break. */
+    * arithmetic. Callers supply the `np` CTE once. `top_<side>` carries
+    * the 4dp-rounded sim — exactly what the Spark `cosineRank` emits —
+    * ranked on the raw sim with the neighbor-id tie-break. */
   private def lshTopCte(side: String, corpusPred: String,
       queryPred: String, k: Int): String = {
-    val probes = (Seq(0L) ++ (0 until 6).map(i => 1L << i)).mkString(", ")
     s"""c_$side AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $corpusPred),
-       |cb_$side AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v", annPlanes)} AS bucket FROM c_$side),
+       |cb_$side AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v")} AS bucket FROM c_$side, np),
        |q_$side AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE $queryPred),
-       |qb_$side AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn, ${bucketSql("qv", annPlanes)} AS bucket0 FROM q_$side),
-       |qp_$side AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket FROM qb_$side, (SELECT unnest([$probes]) AS m)),
+       |qb_$side AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn, ${bucketSql("qv")} AS bucket0 FROM q_$side, np),
+       |qp_$side AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket FROM qb_$side, np, (SELECT unnest([$probeMasks]) AS m) WHERE m < (CAST(1 AS BIGINT) << np.p)),
        |cand_$side AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn FROM qp_$side JOIN cb_$side USING (bucket) WHERE query_id <> neighbor_id),
        |scored_$side AS (SELECT query_id, neighbor_id, list_dot_product(qv, v) / NULLIF(qn * vn, 0.0) AS sim FROM cand_$side),
        |top_$side AS (SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim4, rank FROM (
@@ -1746,7 +1789,8 @@ object PipelineQueries {
     * (exact — the same order-free discipline as the Spark side), margin
     * ranked rounded with the tgt-id tie-break. */
   private lazy val v32OracleSql: String =
-    s"""WITH ${lshTopCte("f", "label >= 5", "label < 5", 4)},
+    s"""WITH $npCte,
+       |${lshTopCte("f", "label >= 5", "label < 5", 4)},
        |${lshTopCte("b", "label < 5", "label >= 5", 4)},
        |den_f AS (SELECT query_id AS src_id,
        |    CAST(SUM(CAST(sim4 AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS deg_src
@@ -1767,7 +1811,8 @@ object PipelineQueries {
   /** DuckDB twin of [[Similarity.knnLabelAgreement]]: the self-kNN LSH
     * block, labels attached by id, purity as exact integer ratio. */
   private lazy val v33OracleSql: String =
-    s"""WITH ${lshTopCte("s", "1 = 1", "1 = 1", 4)},
+    s"""WITH $npCte,
+       |${lshTopCte("s", "1 = 1", "1 = 1", 4)},
        |lab AS (SELECT vec_id, label FROM embeddings)
        |SELECT t.query_id AS vec_id, ql.label, CAST(count(*) AS BIGINT) AS n_nbrs,
        |  ROUND(CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS purity
@@ -1927,8 +1972,9 @@ object PipelineQueries {
   }
 
   private lazy val v03OracleSql: String =
-    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v", annPlanes)} AS bucket FROM c)
+    s"""WITH $npCte,
+       |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v")} AS bucket FROM c, np)
        |SELECT a.id AS id_a, bb.id AS id_b,
        |  ROUND(list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0), 4) AS sim
        |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
@@ -2491,16 +2537,17 @@ object PipelineQueries {
     * mutuality join, and the component closure as a recursive CTE
     * (d05's pattern). */
   private lazy val v23OracleSql: String = {
-    val probes = (Seq(0L) ++ (0 until 6).map(i => 1L << i)).mkString(", ")
-    s"""WITH RECURSIVE c AS (
+    s"""WITH RECURSIVE $npCte,
+      |c AS (
       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cb AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn,
-      |       ${bucketSql("v", annPlanes)} AS bucket FROM c),
+      |       ${bucketSql("v")} AS bucket FROM c, np),
       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
       |qb AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn,
-      |       ${bucketSql("qv", annPlanes)} AS bucket0 FROM q),
+      |       ${bucketSql("qv")} AS bucket0 FROM q, np),
       |qp AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket
-      |       FROM qb, (SELECT unnest([$probes]) AS m)),
+      |       FROM qb, np, (SELECT unnest([$probeMasks]) AS m)
+      |       WHERE m < (CAST(1 AS BIGINT) << np.p)),
       |cand AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn
       |         FROM qp JOIN cb USING (bucket) WHERE query_id <> neighbor_id),
       |scored AS (SELECT query_id AS qa, neighbor_id AS qb,
@@ -2567,8 +2614,9 @@ object PipelineQueries {
     "v10_semantic_leak" -> v10OracleSql,
     "v11_mmr_rerank" -> v11OracleSql,
     "v12_hard_negatives" ->
-      s"""WITH c AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT id, label, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v", annPlanes)} AS bucket FROM c)
+      s"""WITH $npCte,
+         |c AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT id, label, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v")} AS bucket FROM c, np)
          |SELECT a.id AS id_a, bb.id AS id_b, a.label AS label_a, bb.label AS label_b,
          |  ROUND(list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0), 4) AS sim
          |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id

@@ -155,6 +155,22 @@ class LshHotBucketSpec extends SparkSuite {
       s"kept must be the lowest keys, got ${kept.toSet}")
   }
 
+  test("NULL string ids sort lowest on the hashed branch too") {
+    // xxhash64 of a NULL input returns the SEED (a mid-range signed-64
+    // value), not NULL — without the explicit isNull branch a NULL
+    // string id would be capped at a hash-arbitrary rank instead of the
+    // documented lowest-key position. 50 string ids + 2 NULLs, cap 8:
+    // both NULLs must be among the kept.
+    val rows = (0L until 50L).map(i => (f"id$i%03d": String, 1L)) ++
+      Seq((null.asInstanceOf[String], 1L), (null.asInstanceOf[String], 1L))
+    val bucketed = rows.toDF("neighbor_id", "bucket")
+    val kept = Similarity.capServeBuckets(bucketed, 8).collect()
+      .map(r => Option(r.getString(0)))
+    assert(kept.count(_.isEmpty) === 2,
+      "NULL string ids must survive the cap as the lowest keys")
+    assert(kept.length === 8, "cap exact — 2 NULLs + 6 hash-lowest ids")
+  }
+
   test("autoPlanes pins expected bucket population; lshTopKAuto ≡ lshTopK at the derived count") {
     import Similarity.autoPlanes
     // ceil(log2(corpus / target)), clamped: the plane count that keeps
@@ -179,6 +195,39 @@ class LshHotBucketSpec extends SparkSuite {
     val fixed = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 2, numPlanes = p, dim = 8).collect().map(_.toSeq).toSet
     assert(auto === fixed)
+  }
+
+  test("hyperplanes(p) is a prefix of hyperplanes(24) — the oracle's gated-master replay is sound") {
+    // PipelineQueries' ANN oracles embed the 24-plane master as SQL
+    // literals and gate plane i on `i < p` (p SQL-derived from
+    // count(*)). That replay equals the Spark side's hyperplanes(p)
+    // ONLY because the splitmix64 stream fills planes sequentially —
+    // plane i's 64 dims occupy stream positions [64i, 64i+64) whatever
+    // the requested count. Pin it for every p the clamp allows.
+    val master = Similarity.hyperplanes(numPlanes = 24, dim = 64, seed = 42L)
+    for (p <- 1 to 24) {
+      val sub = Similarity.hyperplanes(numPlanes = p, dim = 64, seed = 42L)
+      assert(sub.length === p)
+      for (i <- 0 until p)
+        assert(sub(i).sameElements(master(i)), s"plane $i diverges at p=$p")
+    }
+  }
+
+  test("autoPlanes ≡ the oracles' SQL np formula (bit-length of buckets-1)") {
+    // The `np` CTE computes LEAST(24, GREATEST(1, length(bin(
+    // GREATEST(1, (n + 255) // 256 - 1))))). bin()'s string length is
+    // Long.toBinaryString's length; pin the integer twin against
+    // autoPlanes across the edges that a float log2 would miss.
+    def sqlNp(n: Long): Int = {
+      val bucketsM1 = math.max(1L, (n + 255L) / 256L - 1L)
+      math.min(24, math.max(1, java.lang.Long.toBinaryString(bucketsM1).length))
+    }
+    val edges = Seq(1L, 255L, 256L, 257L, 511L, 512L, 513L, 4096L,
+      65535L, 65536L, 65537L, 1L << 30, 123456789L, 1L << 40)
+    val rng = new scala.util.Random(11)
+    val fuzz = Seq.fill(500)(math.abs(rng.nextLong()) % (1L << 44) + 1L)
+    for (n <- edges ++ fuzz)
+      assert(Similarity.autoPlanes(n, 256) === sqlNp(n), s"n=$n")
   }
 
   test("bottomk_threshold: k-th lowest id for overflowed groups, NULL otherwise") {
