@@ -1457,9 +1457,10 @@ object PipelineQueries {
   // ImageIO pixels, WavCodec on JDK sampled PCM) over generated REAL
   // PNG/JPEG/WAV payloads (MultimodalFixtures — seeded, encoded on the
   // executors) and aggregate DECODED-CONTENT invariants no container-
-  // byte fold can produce. DuckDB cannot decode media, so they are
-  // declared rows-only (the s01/s02 regime); MultimodalCodecSpec pins
-  // the exact aggregate rows.
+  // byte fold can produce. DuckDB cannot decode media, but the seeded
+  // fixtures make the aggregates CONSTANTS, so the oracles pin the
+  // rows as VALUES tables (MultimodalCodecSpec pins the same rows) —
+  // hash-matched, not rows-only, since round 12.
 
   /** Stripe-mean monotonicity recovered from real PNG pixels: 24 groups
     * x {ascending gradient, descending gradient, flat} decode through
@@ -3311,6 +3312,34 @@ object PipelineQueries {
         |WHERE $hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin
     },
+    // m07-m10 run the REAL codecs (JDK ImageIO / javax.sound) over
+    // seeded fixture payloads; DuckDB cannot decode media, but the
+    // fixtures are deterministic CONSTANTS (MultimodalCodecSpec pins
+    // the same rows), so the oracle is the pinned aggregate as a
+    // VALUES table — the hash gate catches any decode/codec drift.
+    // Floats/counts CAST so stringified values match the Spark dump.
+    "m07_real_image_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('ascending', CAST(24 AS BIGINT)),
+        |  ('descending', CAST(24 AS BIGINT)),
+        |  ('flat', CAST(24 AS BIGINT))) AS t(envelope, n)
+        |ORDER BY envelope""".stripMargin,
+    "m08_real_image_phash" ->
+      """SELECT * FROM (VALUES
+        |  ('same_content', CAST(48 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(pair_type, n, total_hamming)
+        |ORDER BY pair_type""".stripMargin,
+    "m09_real_audio_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('ascending', CAST(24 AS BIGINT)),
+        |  ('descending', CAST(24 AS BIGINT)),
+        |  ('flat', CAST(24 AS BIGINT))) AS t(envelope, n)
+        |ORDER BY envelope""".stripMargin,
+    "m10_real_audio_phash" ->
+      """SELECT * FROM (VALUES
+        |  ('same_content', CAST(16 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(pair_type, n, total_hamming)
+        |ORDER BY pair_type""".stripMargin,
     // replays Multimodal.stubAccumulators per stripe: fold over the bytes
     // at positions ≡ d (mod 16) with (acc*31 + byte) % 1000003 — documents
     // are ASCII so ascii(char) == byte value. Exact-integer checksum.
