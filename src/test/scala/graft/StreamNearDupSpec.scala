@@ -155,6 +155,83 @@ class StreamNearDupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mid-batch kill: uncommitted epoch replays, sink log dedups, pairs == batch twin across two restarts") {
+    // the reliable-mode chain its two siblings already have
+    // (StreamIndexProbeSpec, StreamTokenStatsSpec): file source + real
+    // checkpoint + parquet sink, killed between the sink write and the
+    // epoch commit, restarted twice. The LSH bucket state is the part
+    // with real state to lose — the replayed epoch must recompute from
+    // the checkpointed state version and the sink's transaction log
+    // must keep the output exactly-once.
+    import java.nio.file.{Files, Paths}
+    val landing = Files.createTempDirectory("neardup_landing").toString
+    val out = Files.createTempDirectory("neardup_out").toString
+    val ckpt = Files.createTempDirectory("neardup_ckpt").toString
+    def stage(name: String, docs: Seq[Doc]): Unit =
+      docs.toDF().coalesce(1).write.mode("overwrite").json(s"$landing/$name")
+    val schema = org.apache.spark.sql.Encoders.product[Doc].schema
+    def startStream() =
+      StreamNearDup.candidatePairs(
+          spark.readStream.schema(schema).json(s"$landing/*/"),
+          "doc_id", "ts", "text", threshold = 0.5,
+          watermark = "2 hours", horizonMinutes = 240)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // epoch 0: docs 0,1 — emits the (0,1) family pairs into bucket state
+    stage("b0", corpus.take(2))
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // kill AFTER batch 0's sink write but BEFORE its epoch commit: drop
+    // the commit marker (the crashed run never wrote it) ...
+    val commit0 = Paths.get(ckpt, "commits", "0")
+    assert(Files.exists(commit0), "expected a committed epoch 0")
+    Files.delete(commit0)
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+    // ... and plant the dying attempt's orphan part file: it is not in
+    // the sink's _spark_metadata log, so readers must never see it
+    Seq(graft.streaming.NearDupPair(999998L, 999999L, 0.9999, 0)).toDS()
+      .write.mode("append").parquet(out)
+
+    // restart 1: epoch 0 REPLAYS from checkpointed offsets + state
+    // version 0; the sink log already holds batch 0 and skips the
+    // rewrite (exactly-once). epoch 1 then pairs docs 2,3.
+    stage("b1", corpus.slice(2, 4))
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // restart 2: epoch 2's doc 4 must pair with docs 0 and 1 — bucket
+    // state written in epoch 0 survives BOTH restarts
+    stage("b2", corpus.drop(4))
+    val q3 = startStream()
+    try q3.processAllAvailable() finally q3.stop()
+
+    assert(Files.exists(Paths.get(ckpt, "commits", "2")),
+      "expected three committed epochs")
+    val rows = spark.read.parquet(out)
+      .select("id_a", "id_b", "jaccard", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    // one bucket per (doc, band): a pair meets at most once per band,
+    // so ANY exact duplicate row means a double-committed epoch
+    assert(rows.size === rows.distinct.size,
+      "duplicate sink rows after the replay")
+    assert(!rows.exists(_._1 == 999998L),
+      "the crashed attempt's orphan part file surfaced through the sink log")
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet === batchPairs,
+      "cross-restart pair set must equal the batch twin")
+    // checkpoint footprint stays bounded: offsets/commits/state for 3
+    // epochs at 4 shuffle partitions — a leak (per-epoch snapshots never
+    // cleaned, tmp files left behind) shows up as runaway file count
+    val ckFiles = scala.util.Using.resource(Files.walk(Paths.get(ckpt))) {
+      w => w.filter(Files.isRegularFile(_)).count()
+    }
+    assert(ckFiles <= 150,
+      s"$ckFiles checkpoint files after 3 epochs — unbounded growth")
+  }
+
   test("per-row signature is bit-identical to the batch aggregate signature") {
     val hs = corpus.toDF()
       .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 3).as("hs"))
