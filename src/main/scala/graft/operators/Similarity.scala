@@ -1036,8 +1036,11 @@ object Similarity {
     // iterative-fit input caching and releases with the result hot
     Caches.scoped(cPrep) {
       val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
+      // the codebook feeds the corpus encode pass AND the query LUTs;
+      // it is broadcast-scale (m·nCodes rows) but its subtree is a
+      // corpus-wide md5 sample — checkpoint so the sample runs once
       val codebook = pqCodebook(cPrep.select(col("id"), col("v")), m, dsub,
-        nCodes)
+        nCodes).eagerCheckpoint()
       val codes = pqEncodeAgainst(cPrep.select(col("id"), col("v")),
           codebook, m, dsub)
         .join(assignToCentroids(
@@ -1139,7 +1142,10 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, dsub: Int = 8, nCodes: Int = 16): DataFrame = {
     val c = pqPrepare(requirePqDim(corpus, vecCol, m, dsub), idCol, vecCol)
-    val codebook = pqCodebook(c, m, dsub, nCodes)
+    // three consumers (pqMeta's collect, the encode pass, the query
+    // LUTs) would each re-run the corpus-wide md5 sample behind the
+    // codebook — checkpoint the broadcast-scale table once
+    val codebook = pqCodebook(c, m, dsub, nCodes).eagerCheckpoint()
     // the lut stride is the DENSE codebook size — smaller than the
     // requested nCodes when the corpus has fewer rows; striding by the
     // request would walk the wrong subspace's entries

@@ -990,7 +990,12 @@ object PipelineQueries {
   def v28IvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 50)
-    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+    // the truth table feeds BOTH recall joins (trained and sampled
+    // legs); without the checkpoint each leg re-runs the full
+    // brute-force scan+window — the most expensive subtree in the
+    // query, twice. 150 rows, values unchanged.
+    val truth = graft.operators.Caches.eager(
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3))
     Similarity.recallAtK(truth,
         Similarity.ivfTrainedTopK(e, q, "vec_id", "embedding", k = 3,
           nCentroids = 16, nProbe = 4, iters = 3))
