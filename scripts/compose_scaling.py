@@ -7,13 +7,17 @@
          per-query constants, so exponents separate linear from
          overhead-bound, and the size-gated paths (BFS/CC local
          finishes, iteration conf) run their OVER-cap forms
-  leg 3 (optional): the heaviest queries, ~sf1 -> ~sf3 (30x sf0.1) —
+  leg 3 (optional): the full heavy tier, ~sf1 -> ~sf3 (30x sf0.1) —
          a third point so the heavy-tier trend is a series, not a
          single ratio
+  leg 4 (optional): the steepest near-linear queries, ~sf3 -> ~sf10
+         (100x sf0.1) — one more ~3x step to separate linear from
+         n·log n on the queries leg 3 measured near exponent 0.8-0.9
 
 Usage:
   scripts/compose_scaling.py --leg1 lo.json hi.json \
       --leg2 lo.json hi.json [--leg3 lo.json hi.json --leg3-ratio 3] \
+      [--leg4 lo.json hi.json --leg4-ratio 3.33] \
       [--gates gates.txt] > SCALING.md
 """
 import argparse
@@ -38,14 +42,16 @@ ap.add_argument("--leg1", nargs=2, required=True)
 ap.add_argument("--leg2", nargs=2, required=True)
 ap.add_argument("--leg3", nargs=2)
 ap.add_argument("--leg3-ratio", type=float, default=3.0)
+ap.add_argument("--leg4", nargs=2)
+ap.add_argument("--leg4-ratio", type=float, default=10.0 / 3.0)
 ap.add_argument("--gates")
 args = ap.parse_args()
 
 print("# SCALING — multi-leg scaling sweep")
 print()
 print("Leg 1 spans the driver testdata (sf0.01 -> sf0.1, every declared")
-print("query); legs 2-3 extend the sweep past the driver data with")
-print("seeded ~10x / ~30x corpora (`graft.GenScale`, structure-preserving")
+print("query); legs 2-4 extend the sweep past the driver data with")
+print("seeded ~10x / ~30x / ~100x corpora (`graft.GenScale`, structure-preserving")
 print("per replica, structure-breaking across replicas, written under")
 print("`target/` only) over the heavy d/e/v/t tier — the legs where data")
 print("volume dominates per-query constants AND the size-gated paths")
@@ -62,24 +68,38 @@ print()
 print(leg(args.leg2[0], args.leg2[1], 10))
 if args.leg3:
     print()
-    print("## Leg 3: ~sf1 -> ~sf3 (heaviest queries, GenScale 30x corpus)")
+    print("## Leg 3: ~sf1 -> ~sf3 (full heavy tier, GenScale 30x corpus)")
     print()
     print(leg(args.leg3[0], args.leg3[1], args.leg3_ratio))
     print()
-    print("**On the v23 flag (fixed-plane LSH is quadratic-until-cap by")
-    print("construction):** the declared v23 pins `numPlanes = 6` because")
-    print("its DuckDB oracle replays those literal hyperplanes — with a")
-    print("FIXED plane count the bucket space is constant (2^6 = 64), so")
-    print("bucket population grows linearly with the corpus and the")
-    print("self-join candidate total grows as n²/2^p until the hot-bucket")
-    print("cap (4096) truncates it. That is a property of the pinned")
-    print("CONFIG, not the operator: the engine's scale default,")
-    print("`Similarity.lshTopKAuto`/`autoPlanes`, grows planes with")
-    print("log(corpus) to hold the expected bucket population constant —")
-    print("the `[gate:lsh-planes]` line below measures it near-linear")
-    print("(~4x time for 3x corpus, where the fixed config ran ~20x), and")
+    print("**On v23 (the round-11 FLAG, closed in round 12):** the round-11")
+    print("leg measured the then-declared fixed-plane config (`numPlanes=6`)")
+    print("at exponent 2.72 (12.5 s -> 248 s for a 3x corpus) — with a")
+    print("FIXED plane count the bucket space is constant (2^p), so bucket")
+    print("population grows linearly with the corpus and the self-join")
+    print("candidate total grows as n²/2^p until the hot-bucket cap (4096)")
+    print("truncates it. Round 12 re-pinned every LSH-tier declared query")
+    print("(v02/v03/v08/v12/v23/v32/v33) on `Similarity.autoPlanes` —")
+    print("planes grow with log(corpus), holding expected bucket population")
+    print("constant — with the DuckDB oracle re-deriving the identical")
+    print("plane count IN SQL from count(*) (gated 24-plane master; see")
+    print("PipelineQueries `npCte`), so the replay contract survives. The")
+    print("leg-3 v23 row above now measures the DECLARED config;")
     print("LshHotBucketSpec pins the sizing math plus auto ≡ fixed at the")
     print("derived count.")
+if args.leg4:
+    print()
+    print("## Leg 4: ~sf3 -> ~sf10 (steepest near-linear queries, GenScale 100x corpus)")
+    print()
+    print(leg(args.leg4[0], args.leg4[1], args.leg4_ratio))
+    print()
+    print("Leg 4 exists to separate LINEAR from n·log n on the queries leg")
+    print("3 measured steepest (d04 0.89, d11 0.89, t36 0.82, d14 0.81):")
+    print("one more ~3.3x step at sizes where data already dominates")
+    print("constants. An exponent holding near 1 across legs 3 AND 4 is")
+    print("linear-with-overhead; a rising series would be the n·log n (or")
+    print("worse) signature; anything above 1.2 gets the v23 treatment")
+    print("(structural analysis + in-engine mitigation + disclosure).")
 if args.gates:
     print()
     print("## Size-gate crossover evidence (graft.ScaleGates)")

@@ -193,9 +193,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
-      excludeSelf: Boolean = true): DataFrame =
-    lshSearch(lshBucketed(corpus, idCol, vecCol, numPlanes, dim, seed),
-      lshProbes(queries, idCol, vecCol, numPlanes, dim, seed), k,
+      excludeSelf: Boolean = true, numBuckets: Long = 0L): DataFrame =
+    lshSearch(
+      lshBucketed(corpus, idCol, vecCol, numPlanes, dim, seed, numBuckets),
+      lshProbes(queries, idCol, vecCol, numPlanes, dim, seed, numBuckets), k,
       excludeSelf)
 
   /** Plane count for a TARGET expected bucket population: ceil(log2(
@@ -213,11 +214,33 @@ object Similarity {
     * neighbors across buckets more often; the 1-bit multi-probe
     * recovers single-plane disagreements, and the in-engine recall
     * gates (v08/v13-style) stay the measurement tool. */
-  def autoPlanes(corpusRows: Long, targetBucket: Int = 256): Int = {
+  def autoPlanes(corpusRows: Long, targetBucket: Int = 128): Int = {
     require(targetBucket >= 1, s"targetBucket ($targetBucket) must be >= 1")
-    val buckets = math.max(1L, (corpusRows + targetBucket - 1) / targetBucket)
+    val buckets = autoBuckets(corpusRows, targetBucket)
     val p = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
     math.min(24, math.max(1, p))
+  }
+
+  /** Bucket count for a TARGET expected population: ceil(n / target),
+    * NOT rounded to a power of two. [[autoPlanes]] alone pins the
+    * population only up to a factor of 2 — the signature space is
+    * 2^p, so population oscillates in [target/2, target] as the corpus
+    * grows, and a single ~3x scaling step that straddles a plane
+    * increment measures population x1.5 AND probes x(p+2)/(p+1) at
+    * once (the generated leg 3 measured the plain autoPlanes self-kNN
+    * at exponent 1.8 on exactly such a step). Folding the signature
+    * `sig mod B` with B = autoBuckets(n) pins the EXPECTED population
+    * at target for ANY n: candidate work per query is ~target x
+    * (planes+1), growing only by the +1-probe log factor (~1.1
+    * exponent on a 3x step, for any step). Recall can only improve at
+    * equal planes: signature equality implies fold equality, so every
+    * pure-2^p candidate pair survives folding (the fold merges cells,
+    * never splits them), and the 1-bit multi-probe flips fold the same
+    * way on both sides. Pass as `numBuckets` to the LSH entry points
+    * (0 keeps the pure 2^p space — the pinned-contract/index tier). */
+  def autoBuckets(corpusRows: Long, targetBucket: Int = 128): Long = {
+    require(targetBucket >= 1, s"targetBucket ($targetBucket) must be >= 1")
+    math.max(1L, (corpusRows + targetBucket - 1) / targetBucket)
   }
 
   /** [[lshTopK]] with the plane count derived from the CORPUS SIZE
@@ -227,23 +250,31 @@ object Similarity {
     * caller already has it. */
   def lshTopKAuto(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Int = 64, seed: Long = 42L, targetBucket: Int = 256,
+      dim: Int = 64, seed: Long = 42L, targetBucket: Int = 128,
       excludeSelf: Boolean = true, corpusRows: Long = -1L): DataFrame = {
     val n = if (corpusRows >= 0) corpusRows else corpus.count()
     lshTopK(corpus, queries, idCol, vecCol, k,
       numPlanes = autoPlanes(n, targetBucket), dim = dim, seed = seed,
-      excludeSelf = excludeSelf)
+      excludeSelf = excludeSelf, numBuckets = autoBuckets(n, targetBucket))
   }
 
   /** The bucketed-corpus side of the LSH tier: (neighbor_id, v, vn,
     * bucket) — what [[buildLshIndex]] persists and [[lshTopK]] computes
     * inline. */
   private def lshBucketed(corpus: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, dim: Int, seed: Long): DataFrame =
+      numPlanes: Int, dim: Int, seed: Long,
+      numBuckets: Long = 0L): DataFrame =
     Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("vn"),
-        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+        foldBucket(lshBucket(col(vecCol), numPlanes, dim, seed), numBuckets)
+          .as("bucket"))
+
+  /** [[autoBuckets]] signature fold: `sig mod B` (sig is a sum of
+    * non-negative 2^i bits, so plain % never goes negative); 0 = no
+    * fold (the pure 2^p space). */
+  private def foldBucket(sig: Column, numBuckets: Long): Column =
+    if (numBuckets > 0L) sig % lit(numBuckets) else sig
 
   /** The multi-probe query side: each query fans out to its own bucket
     * plus every 1-bit-flip — (query_id, qv, qn, bucket), |Q|·(planes+1)
@@ -255,14 +286,17 @@ object Similarity {
     * for a corpus self-kNN whose build-side choice flipped. At corpus
     * scale the scan is already parallel and the spread skips itself. */
   private def lshProbes(queries: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, dim: Int, seed: Long): DataFrame = {
+      numPlanes: Int, dim: Int, seed: Long,
+      numBuckets: Long = 0L): DataFrame = {
     val probeOffsets = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
     Caches.spreadByKey(queries, col(idCol)).select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"), l2Norm(asDouble(col(vecCol))).as("qn"),
         lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
+      // fold INSIDE the distinct: two flips can land in the same folded
+      // bucket — probing it twice would double-score its candidates
       .withColumn("bucket",
         explode(array_distinct(transform(array(probeOffsets: _*),
-          m => col("bucket0").bitwiseXOR(m)))))
+          m => foldBucket(col("bucket0").bitwiseXOR(m), numBuckets)))))
       .drop("bucket0")
   }
 
@@ -371,7 +405,8 @@ object Similarity {
     * served LSH paths — one definition so serve ≡ inline can't fork
     * (and so the [[capServeBuckets]] hot-bucket guard covers both). */
   private def lshSearch(rawBucketed: DataFrame, probes: DataFrame,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, excludeSelf: Boolean = true,
+      forceDedup: Boolean = false): DataFrame = {
     val maxBucket = scala.util.Try(rawBucketed.sparkSession.conf
       .get("spark.graft.lsh.maxServeBucket", DefaultMaxServeBucket.toString)
       .toInt).getOrElse(DefaultMaxServeBucket)
@@ -390,10 +425,33 @@ object Similarity {
     val candidates =
       if (excludeSelf) met.filter(col("query_id") =!= col("neighbor_id"))
       else met
-    val scored = candidates
+    val scoredRaw = candidates
       .withColumn("sim", dot(col("qv"), col("v")) /
         nullif(col("qn") * col("vn"), lit(0.0)))
-      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+      .select("query_id", "neighbor_id", "sim")
+    // the (query, neighbor) max-dedup exists ONLY for frames that can
+    // surface a pair twice. The inline tier with unique ids can't: a
+    // corpus vector is bucketed exactly once and the probe buckets are
+    // distinct (array_distinct AFTER the fold), so each pair meets at
+    // most once — there the agg is a full exchange + two hash passes
+    // over the candidate set that combine NOTHING (measured at the
+    // generated ~sf3 leg: 29.8 s -> 16.7 s for the v23 self-kNN when
+    // dropped — ~100M rows of hash-table pressure for zero merges).
+    // So: the SERVED path forces it (append epochs can re-add an id,
+    // and the merge-on-read union then carries that id twice — the
+    // serve doc relies on this collapse); the inline tier skips it
+    // under the same id contract every index build enforces
+    // (requireIntegralId / one-row-per-id), overridable with
+    // spark.graft.lsh.dedupCandidates=true for arbitrary frames with
+    // duplicated ids (duplicates then max-collapse instead of ranking
+    // twice; LshHotBucketSpec pins both behaviors).
+    val dedup = forceDedup || scala.util.Try(rawBucketed.sparkSession.conf
+      .get("spark.graft.lsh.dedupCandidates", "false").toBoolean)
+      .getOrElse(false)
+    val scored =
+      if (dedup)
+        scoredRaw.groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+      else scoredRaw
     cosineRank(scored, k)
   }
 
@@ -505,7 +563,8 @@ object Similarity {
       else bucketRows(s"$indexDir/bucketed")
     val bucketed = graft.core.Tables.antiTombstones(spark,
       s"$indexDir/tombstones", rows, "neighbor_id")
-    lshSearch(bucketed, probes, k)
+    // forceDedup: an id present in base AND a delta epoch must collapse
+    lshSearch(bucketed, probes, k, forceDedup = true)
   }
 
   /** The bucketed/delta row schema, explicit so reads of a dir holding
@@ -1719,16 +1778,16 @@ object Similarity {
     * margin with a tgt-id tie-break for the same reason. */
   def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int, threshold: Double, numPlanes: Int = 8,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, numBuckets: Long = 0L): DataFrame = {
     // cross-corpus searches keep equal-id pairs (excludeSelf=false):
     // src and tgt are different corpora, and with both numbered 0..N-1
     // (the normal parallel-corpus layout) the aligned pair (i, i) is
     // typically the true translation — the self-exclusion built for
     // self-kNN would silently discard every diagonal pair
     val fwd = lshTopK(tgt, src, idCol, vecCol, k, numPlanes, dim, seed,
-      excludeSelf = false)
+      excludeSelf = false, numBuckets = numBuckets)
     val bwd = lshTopK(src, tgt, idCol, vecCol, k, numPlanes, dim, seed,
-      excludeSelf = false)
+      excludeSelf = false, numBuckets = numBuckets)
     // both deg computations ride the query_id partitioning the rank
     // window inside lshTopK just established: the fwd average attaches
     // as a whole-partition window (no exchange, no self-join) and the
@@ -1766,9 +1825,10 @@ object Similarity {
     * vectors. purity = same/|nbrs| is integer math, engine-exact. */
   def knnLabelAgreement(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, numBuckets: Long = 0L): DataFrame = {
     val labels = vecs.select(col(idCol).as("__lid"), col(labelCol).as("__l"))
-    lshTopK(vecs, vecs, idCol, vecCol, k, numPlanes, dim, seed)
+    lshTopK(vecs, vecs, idCol, vecCol, k, numPlanes, dim, seed,
+        numBuckets = numBuckets)
       .join(labels.select(col("__lid").as("query_id"), col("__l").as("label")),
         "query_id")
       .join(labels.select(col("__lid").as("neighbor_id"),
@@ -1789,7 +1849,8 @@ object Similarity {
     * withBucketStats docstring. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = Dedup.DefaultMaxBucket,
+      numBuckets: Long = 0L): DataFrame = {
     require(maxBucket >= 1, s"maxBucket ($maxBucket) must be >= 1")
     // cached for the self-join (signature lineage runs once, not twice),
     // released on return; per-row norms so each candidate pair pays one
@@ -1798,7 +1859,8 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"),
         asDouble(col(vecCol)).as("v"), l2Norm(asDouble(col(vecCol))).as("n"),
-        lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+        foldBucket(lshBucket(col(vecCol), numPlanes, dim, seed), numBuckets)
+          .as("bucket"))
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__rep", min(struct(col("id"), col("v"), col("n"))).over(w))
     Caches.scoped(c) {

@@ -26,22 +26,30 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
-  /** Plane count for the declared LSH-tier ANN queries (v02/v03/v08/
-    * v12/v23/v32/v33): [[Similarity.autoPlanes]] over the embeddings
-    * corpus, NOT a pinned constant. A fixed plane count keeps the
-    * bucket space constant while the corpus grows, so the candidate
-    * self-join is quadratic until the hot-bucket cap (the ~sf1→~sf3
-    * scaling leg measured the fixed-6-plane config at exponent 2.7);
-    * deriving p from n pins the expected bucket population instead.
-    * The DuckDB oracles recompute the identical p from count(*) (the
-    * `np` CTE below), so the replay contract survives the derivation.
-    * Cached per dir — the count is parquet-footer metadata, one cheap
-    * job, but 7 queries share it within a run. */
-  private val annPlanesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Plane and bucket counts for the declared LSH-tier ANN queries
+    * (v02/v03/v08/v12/v23/v32/v33): [[Similarity.autoPlanes]] /
+    * [[Similarity.autoBuckets]] over the embeddings corpus, NOT pinned
+    * constants. A fixed plane count keeps the bucket space constant
+    * while the corpus grows, so the candidate self-join is quadratic
+    * until the hot-bucket cap (the ~sf1→~sf3 scaling leg measured the
+    * fixed-6-plane config at exponent 2.7); deriving p from n pins the
+    * expected population only within a factor of 2 (power-of-2
+    * stepping — the same leg then measured exponent 1.8 on a step that
+    * straddled a plane increment), and the mod-B signature fold
+    * (numBuckets = ceil(n/128)) pins it EXACTLY. The DuckDB oracles
+    * recompute the identical p and B from count(*) (the `np` CTE
+    * below), so the replay contract survives the derivation. Cached
+    * per dir — the count is parquet-footer metadata, one cheap job,
+    * but 7 queries share it within a run. */
+  private val annRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def annRows(s: SparkSession, dir: String): Long =
+    annRowsCache.computeIfAbsent(dir,
+      d => Long.box(emb(s, d).count())).longValue
   private def annAutoPlanes(s: SparkSession, dir: String): Int =
-    annPlanesCache.computeIfAbsent(dir,
-      d => Int.box(Similarity.autoPlanes(emb(s, d).count()))).intValue
+    Similarity.autoPlanes(annRows(s, dir))
+  private def annAutoBuckets(s: SparkSession, dir: String): Long =
+    Similarity.autoBuckets(annRows(s, dir))
 
   // ---- text analysis ----
 
@@ -931,7 +939,8 @@ object PipelineQueries {
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 3, numPlanes = annAutoPlanes(s, dir), dim = 64)
+        "vec_id", "embedding", k = 3, numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir))
       .orderBy("query_id", "rank")
   }
 
@@ -944,7 +953,8 @@ object PipelineQueries {
 
   def v03CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, numPlanes = annAutoPlanes(s, dir), dim = 64)
+        threshold = 0.4, numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir))
       .orderBy("id_a", "id_b")
 
   /** Recall\@k gate for the ANN tier, computed in-engine: the LSH top-3
@@ -959,7 +969,8 @@ object PipelineQueries {
     Similarity.recallAtK(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3),
         Similarity.lshTopK(e, q, "vec_id", "embedding",
-          k = 3, numPlanes = annAutoPlanes(s, dir), dim = 64))
+          k = 3, numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir)))
       .orderBy("query_id")
   }
 
@@ -1107,15 +1118,17 @@ object PipelineQueries {
     * 100 TB shape, and [[Similarity.mutualKnnEdges]] is agnostic to
     * which index serves the lists. The mutuality join and the
     * component rounds only ever shuffle id pairs, never vectors.
-    * k = 2: on this corpus a mutual-4NN graph percolates into one
-    * 477-node blob — structure-free — where mutual-2NN yields ~100
-    * components of size 2-14; the standard sparsify-until-it-shatters
+    * k = 2: a mutual-4NN graph percolates into one corpus-spanning
+    * blob — structure-free — where mutual-2NN shatters it (at sf0.01
+    * under the auto-sized planes: ~98 multi-node components of size
+    * 2-14 plus singletons); the standard sparsify-until-it-shatters
     * dial, and the dial is the point. */
   def v23KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val edges = Similarity.mutualKnnEdges(
       Similarity.lshTopK(e, e, "vec_id", "embedding", k = 2,
-        numPlanes = annAutoPlanes(s, dir), dim = 64))
+        numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir)))
     val comp = Dedup.dupClustersLogStar(e.select("vec_id"), "vec_id", edges)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("comp_size"))
     comp.join(sizes, "cluster_id")
@@ -1134,7 +1147,8 @@ object PipelineQueries {
     val e = emb(s, dir)
     Similarity.marginMining(e.filter(col("label") < 5),
         e.filter(col("label") >= 5), "vec_id", "embedding",
-        k = 4, threshold = 1.05, numPlanes = annAutoPlanes(s, dir), dim = 64)
+        k = 4, threshold = 1.05, numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir))
       .orderBy("src_id")
   }
 
@@ -1147,7 +1161,8 @@ object PipelineQueries {
     * a classifier on them). */
   def v33LabelPurity(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelAgreement(emb(s, dir), "vec_id", "embedding",
-        "label", k = 4, numPlanes = annAutoPlanes(s, dir), dim = 64)
+        "label", k = 4, numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir))
       .select(col("id").as("vec_id"), col("label"), col("n_nbrs"),
         col("purity"))
       .orderBy("vec_id")
@@ -1365,7 +1380,8 @@ object PipelineQueries {
   def v12HardNegatives(s: SparkSession, dir: String): DataFrame = {
     val labels = emb(s, dir).select(col("vec_id"), col("label"))
     Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.3, numPlanes = annAutoPlanes(s, dir), dim = 64)
+        threshold = 0.3, numPlanes = annAutoPlanes(s, dir), dim = 64,
+        numBuckets = annAutoBuckets(s, dir))
       .join(labels.select(col("vec_id").as("id_a"), col("label").as("label_a")), "id_a")
       .join(labels.select(col("vec_id").as("id_b"), col("label").as("label_b")), "id_b")
       .filter(col("label_a") =!= col("label_b"))
@@ -1748,12 +1764,15 @@ object PipelineQueries {
   private lazy val annPlanesMaster =
     Similarity.hyperplanes(numPlanes = 24, dim = 64, seed = 42L)
 
-  /** SQL twin of [[Similarity.autoPlanes]](count(*), 256): buckets =
-    * ceil(n/256); p = bit-length(max(1, buckets-1)) clamped to [1,24].
-    * Integer arithmetic only (bin() string length, not float log2) so
-    * it can never disagree with the Scala side at a power-of-2 edge. */
+  /** SQL twin of [[Similarity.autoPlanes]]/[[Similarity.autoBuckets]]
+    * at (count(*), 128): b = ceil(n/128) — the mod-B signature fold
+    * that pins expected bucket population exactly — and p =
+    * bit-length(max(1, b-1)) clamped to [1,24]. Integer arithmetic
+    * only (bin() string length, not float log2) so it can never
+    * disagree with the Scala side at a power-of-2 edge. */
   private val npCte: String =
-    "np AS (SELECT LEAST(24, GREATEST(1, length(bin(GREATEST(1, (count(*) + 255) // 256 - 1))))) AS p FROM embeddings)"
+    "np AS (SELECT GREATEST(1, (count(*) + 127) // 128) AS b, " +
+      "LEAST(24, GREATEST(1, length(bin(GREATEST(1, (count(*) + 127) // 128 - 1))))) AS p FROM embeddings)"
 
   /** Multi-probe masks for the 24-plane master: self (0) plus every
     * 1-bit flip below 2^p — `WHERE m < (1 << np.p)` keeps exactly the
@@ -1778,10 +1797,10 @@ object PipelineQueries {
   private def lshTopCte(side: String, corpusPred: String,
       queryPred: String, k: Int): String = {
     s"""c_$side AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $corpusPred),
-       |cb_$side AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v")} AS bucket FROM c_$side, np),
+       |cb_$side AS (SELECT neighbor_id, v, vn, sig % np.b AS bucket FROM (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn, ${bucketSql("v")} AS sig FROM c_$side, np), np),
        |q_$side AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE $queryPred),
        |qb_$side AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn, ${bucketSql("qv")} AS bucket0 FROM q_$side, np),
-       |qp_$side AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket FROM qb_$side, np, (SELECT unnest([$probeMasks]) AS m) WHERE m < (CAST(1 AS BIGINT) << np.p)),
+       |qp_$side AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) % np.b AS bucket FROM qb_$side, np, (SELECT unnest([$probeMasks]) AS m) WHERE m < (CAST(1 AS BIGINT) << np.p)),
        |cand_$side AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn FROM qp_$side JOIN cb_$side USING (bucket) WHERE query_id <> neighbor_id),
        |scored_$side AS (SELECT query_id, neighbor_id, list_dot_product(qv, v) / NULLIF(qn * vn, 0.0) AS sim FROM cand_$side),
        |top_$side AS (SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim4, rank FROM (
@@ -1980,7 +1999,7 @@ object PipelineQueries {
   private lazy val v03OracleSql: String =
     s"""WITH $npCte,
        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v")} AS bucket FROM c, np)
+       |b AS (SELECT id, v, n, sig % np.b AS bucket FROM (SELECT id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v")} AS sig FROM c, np), np)
        |SELECT a.id AS id_a, bb.id AS id_b,
        |  ROUND(list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0), 4) AS sim
        |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
@@ -2546,12 +2565,13 @@ object PipelineQueries {
     s"""WITH RECURSIVE $npCte,
       |c AS (
       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cb AS (SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn,
-      |       ${bucketSql("v")} AS bucket FROM c, np),
+      |cb AS (SELECT neighbor_id, v, vn, sig % np.b AS bucket FROM (
+      |       SELECT neighbor_id, v, sqrt(list_dot_product(v, v)) AS vn,
+      |         ${bucketSql("v")} AS sig FROM c, np), np),
       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
       |qb AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qn,
       |       ${bucketSql("qv")} AS bucket0 FROM q, np),
-      |qp AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) AS bucket
+      |qp AS (SELECT DISTINCT query_id, qv, qn, xor(bucket0, m) % np.b AS bucket
       |       FROM qb, np, (SELECT unnest([$probeMasks]) AS m)
       |       WHERE m < (CAST(1 AS BIGINT) << np.p)),
       |cand AS (SELECT DISTINCT query_id, neighbor_id, qv, qn, v, vn
@@ -2622,7 +2642,7 @@ object PipelineQueries {
     "v12_hard_negatives" ->
       s"""WITH $npCte,
          |c AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT id, label, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v")} AS bucket FROM c, np)
+         |b AS (SELECT id, label, v, n, sig % np.b AS bucket FROM (SELECT id, label, v, sqrt(list_dot_product(v, v)) AS n, ${bucketSql("v")} AS sig FROM c, np), np)
          |SELECT a.id AS id_a, bb.id AS id_b, a.label AS label_a, bb.label AS label_b,
          |  ROUND(list_dot_product(a.v, bb.v) / NULLIF(a.n * bb.n, 0.0), 4) AS sim
          |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id

@@ -171,6 +171,38 @@ class LshHotBucketSpec extends SparkSuite {
     assert(kept.length === 8, "cap exact — 2 NULLs + 6 hash-lowest ids")
   }
 
+  test("inline no-dedup ≡ forced dedup on unique ids; duplicate ids collapse under the conf") {
+    // unique ids: a pair meets at most once (one bucket per corpus
+    // vector, distinct probe buckets), so skipping the (query, neighbor)
+    // max-agg — the inline default since the ~sf3 leg measured it as
+    // ~100M rows of zero-merge hash pressure — must be result-identical
+    // to running it
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 200L).map(i =>
+      i -> Seq.fill(8)(rng.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    def run() = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, numPlanes = 3, dim = 8, numBuckets = 5L)
+      .collect().map(_.toSeq).toSet
+    val skipped = run()
+    spark.conf.set("spark.graft.lsh.dedupCandidates", "true")
+    val dedupped =
+      try run() finally spark.conf.unset("spark.graft.lsh.dedupCandidates")
+    assert(skipped === dedupped)
+    // duplicated id, conf on: the duplicate max-collapses to ONE
+    // neighbor row instead of occupying two ranks
+    val dup = vecs.unionByName(vecs.filter(col("vec_id") === 7L))
+    val q = vecs.filter(col("vec_id") === 8L)
+    def topOf(conf: Boolean) = {
+      if (conf) spark.conf.set("spark.graft.lsh.dedupCandidates", "true")
+      try Similarity.lshTopK(dup, q, "vec_id", "embedding", k = 5,
+          numPlanes = 1, dim = 8)
+        .collect().map(r => r.getLong(1)).toSeq
+      finally if (conf) spark.conf.unset("spark.graft.lsh.dedupCandidates")
+    }
+    assert(topOf(conf = true).count(_ == 7L) <= 1,
+      "conf=true must max-collapse the duplicated id")
+  }
+
   test("autoPlanes pins expected bucket population; lshTopKAuto ≡ lshTopK at the derived count") {
     import Similarity.autoPlanes
     // ceil(log2(corpus / target)), clamped: the plane count that keeps
@@ -185,16 +217,58 @@ class LshHotBucketSpec extends SparkSuite {
     // 10x the corpus adds ~log2(10) ~ 3-4 planes: bucket population,
     // and with it per-vector candidate work, stays ~constant
     assert(autoPlanes(200000, 256) - autoPlanes(20000, 256) >= 3)
-    // the auto path is exactly the fixed path at the derived count
+    // the auto path is exactly the fixed path at the derived counts —
+    // note autoBuckets(300, 64) = 5, a NON-power-of-2, so this also
+    // pins that the auto tier runs the mod-B fold, not the pure space
     val rng = new scala.util.Random(7)
     val vecs = (0L until 300L).map(i =>
       i -> Seq.fill(8)(rng.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
     val p = autoPlanes(300, 64)
+    val b = Similarity.autoBuckets(300, 64)
+    assert(b === 5L)
     val auto = Similarity.lshTopKAuto(vecs, vecs, "vec_id", "embedding",
       k = 2, dim = 8, targetBucket = 64).collect().map(_.toSeq).toSet
     val fixed = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
-      k = 2, numPlanes = p, dim = 8).collect().map(_.toSeq).toSet
+      k = 2, numPlanes = p, dim = 8, numBuckets = b)
+      .collect().map(_.toSeq).toSet
     assert(auto === fixed)
+    val pure = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2, numPlanes = p, dim = 8).collect().map(_.toSeq).toSet
+    assert(auto !== pure,
+      "the non-power-of-2 fold must actually change the bucket space " +
+        "on this fixture — identical results mean the fold is a no-op")
+  }
+
+  test("mod-B fold: population pinned exactly; candidates a superset of the pure space") {
+    import Similarity.autoBuckets
+    // ceil(n/target) buckets for ANY n — no power-of-2 rounding, so the
+    // expected population is target exactly and a 3x corpus step can
+    // never measure the x1.5 population wobble the pure 2^p space has
+    // (leg 3 caught plain autoPlanes at exponent 1.8 on exactly such a
+    // step; with the fold the only growth beyond linear is the +1-probe
+    // log factor)
+    assert(autoBuckets(300, 64) === 5L)
+    assert(autoBuckets(20000, 128) === 157L)
+    assert(autoBuckets(60000, 128) === 469L)
+    assert(autoBuckets(1, 128) === 1L)
+    // candidate-superset: signature equality implies fold equality, so
+    // every pure-space candidate survives folding — per (query, rank)
+    // the folded top-k sim can never be LOWER than the pure top-k sim
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 400L).map(i =>
+      i -> Seq.fill(8)(rng.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    def top1(numBuckets: Long) =
+      Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 1,
+          numPlanes = 4, dim = 8, numBuckets = numBuckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pure = top1(0L)
+    val folded = top1(13L) // 16 cells folded into 13 buckets
+    assert(pure.keySet.subsetOf(folded.keySet),
+      "folding dropped a query that had a pure-space neighbor")
+    val worse = pure.filter { case (q, s) => folded(q) < s - 1e-9 }
+    assert(worse.isEmpty,
+      s"folded rank-1 sim dropped below pure for ${worse.take(3)}")
+    assert(folded.size >= pure.size)
   }
 
   test("hyperplanes(p) is a prefix of hyperplanes(24) — the oracle's gated-master replay is sound") {
@@ -213,21 +287,25 @@ class LshHotBucketSpec extends SparkSuite {
     }
   }
 
-  test("autoPlanes ≡ the oracles' SQL np formula (bit-length of buckets-1)") {
-    // The `np` CTE computes LEAST(24, GREATEST(1, length(bin(
-    // GREATEST(1, (n + 255) // 256 - 1))))). bin()'s string length is
-    // Long.toBinaryString's length; pin the integer twin against
-    // autoPlanes across the edges that a float log2 would miss.
+  test("autoPlanes/autoBuckets ≡ the oracles' SQL np formula") {
+    // The `np` CTE computes b = GREATEST(1, (n + 127) // 128) and
+    // p = LEAST(24, GREATEST(1, length(bin(GREATEST(1, b - 1))))).
+    // bin()'s string length is Long.toBinaryString's length; pin the
+    // integer twins against autoPlanes/autoBuckets across the edges a
+    // float log2 would miss.
+    def sqlB(n: Long): Long = math.max(1L, (n + 127L) / 128L)
     def sqlNp(n: Long): Int = {
-      val bucketsM1 = math.max(1L, (n + 255L) / 256L - 1L)
+      val bucketsM1 = math.max(1L, sqlB(n) - 1L)
       math.min(24, math.max(1, java.lang.Long.toBinaryString(bucketsM1).length))
     }
     val edges = Seq(1L, 255L, 256L, 257L, 511L, 512L, 513L, 4096L,
       65535L, 65536L, 65537L, 1L << 30, 123456789L, 1L << 40)
     val rng = new scala.util.Random(11)
     val fuzz = Seq.fill(500)(math.abs(rng.nextLong()) % (1L << 44) + 1L)
-    for (n <- edges ++ fuzz)
-      assert(Similarity.autoPlanes(n, 256) === sqlNp(n), s"n=$n")
+    for (n <- edges ++ fuzz) {
+      assert(Similarity.autoPlanes(n, 128) === sqlNp(n), s"n=$n")
+      assert(Similarity.autoBuckets(n, 128) === sqlB(n), s"n=$n")
+    }
   }
 
   test("bottomk_threshold: k-th lowest id for overflowed groups, NULL otherwise") {
