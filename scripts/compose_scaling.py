@@ -79,14 +79,37 @@ if args.leg3:
     print("population grows linearly with the corpus and the self-join")
     print("candidate total grows as n²/2^p until the hot-bucket cap (4096)")
     print("truncates it. Round 12 re-pinned every LSH-tier declared query")
-    print("(v02/v03/v08/v12/v23/v32/v33) on `Similarity.autoPlanes` —")
-    print("planes grow with log(corpus), holding expected bucket population")
-    print("constant — with the DuckDB oracle re-deriving the identical")
-    print("plane count IN SQL from count(*) (gated 24-plane master; see")
-    print("PipelineQueries `npCte`), so the replay contract survives. The")
-    print("leg-3 v23 row above now measures the DECLARED config;")
-    print("LshHotBucketSpec pins the sizing math plus auto ≡ fixed at the")
-    print("derived count.")
+    print("(v02/v03/v08/v12/v23/v32/v33) on the scale-safe derivation, in")
+    print("three measured steps, each oracle-replayed (the DuckDB `np` CTE")
+    print("re-derives the identical plane/bucket counts from count(*) over")
+    print("a gated 24-plane literal master — see PipelineQueries):")
+    print()
+    print("1. `Similarity.autoPlanes` alone (planes ~ log2(n/target)):")
+    print("   exponent 2.72 -> 1.81. Still flagged — power-of-2 bucket")
+    print("   stepping lets expected population oscillate in [target/2,")
+    print("   target], and this particular 3x step straddles a plane")
+    print("   increment (population x1.5 AND probes x9/8 at once).")
+    print("2. mod-B signature fold (`Similarity.autoBuckets`): bucket =")
+    print("   sig % B with B = ceil(n/128) — population pinned EXACTLY at")
+    print("   target for any n; recall can only improve (signature equality")
+    print("   implies fold equality, so every pure-space candidate")
+    print("   survives the fold). Analytic candidate counts (numpy replay")
+    print("   of the exact planes over the generated corpora): 27.6M ->")
+    print("   102.8M, ratio 3.73 for the 3x corpus — exponent 1.20 at the")
+    print("   candidate level, the residual over 3.0x being measured bucket")
+    print("   skew (max population 326 -> 569).")
+    print("3. zero-merge dedup elision: the (query, neighbor) max-agg only")
+    print("   runs where a pair CAN meet twice (the served path's append")
+    print("   epochs). Inline, a corpus vector is bucketed once and probe")
+    print("   buckets are distinct, so the agg was a full exchange + two")
+    print("   hash passes over ~100M candidate rows combining nothing —")
+    print("   measured 29.8 -> 16.7 s at ~sf3 when dropped.")
+    print()
+    print("Final declared config: 5.7 s (~sf1) -> 18.4 s (~sf3), exponent")
+    print("~1.07 — linear with the +1-probe log factor, 13x faster absolute")
+    print("at ~sf3 than the round-11 config. LshHotBucketSpec pins the")
+    print("sizing math, fold-superset semantics, inline no-dedup ≡ dedup on")
+    print("unique ids, and auto ≡ fixed at the derived counts.")
 if args.leg4:
     print()
     print("## Leg 4: ~sf3 -> ~sf10 (steepest near-linear queries, GenScale 100x corpus)")
