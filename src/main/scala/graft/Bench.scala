@@ -176,21 +176,25 @@ object Bench {
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
     }
     // UNTIMED raw-byte touch of the measured SF dir: stream every file
-    // through a read-and-discard loop so the OS page cache is warm
-    // before the first timed query. This is NOT the query warm-up the
-    // different-SF guard above exists to prevent — no plan is built, no
-    // Spark cache is touched, no size-dependent plan choice is made;
-    // it removes exactly the first-access disk/page-fault stall that
-    // the round-11 retry cluster measured (5 shingle-family queries
-    // retried, each landing at <= 1/3 its first-run time — the
-    // signature of timing cold I/O, not compute; same mechanism as the
-    // CC-gate warm-start finding). A production 100 TB run reads
-    // through a distributed FS whose first access the bench cannot
-    // model either way; the timed region is about compute throughput.
-    try {
+    // (RECURSIVE walk — generated legs ship each table as a
+    // `<name>.parquet/` DIRECTORY of part files, which a flat listing
+    // would silently skip) through a read-and-discard loop so the OS
+    // page cache is warm before the first timed query. This is NOT the
+    // query warm-up the different-SF guard above exists to prevent —
+    // no plan is built, no Spark cache is touched, no size-dependent
+    // plan choice is made; it removes exactly the first-access
+    // disk/page-fault stall that the round-11 retry cluster measured
+    // (5 shingle-family queries retried, each landing at <= 1/3 its
+    // first-run time — the signature of timing cold I/O, not compute;
+    // same mechanism as the CC-gate warm-start finding). A production
+    // 100 TB run reads through a distributed FS whose first access the
+    // bench cannot model either way; the timed region is about compute
+    // throughput. SPARK_GRAFT_NO_WARM disables it along with the query
+    // warm pass — a deliberately-cold measurement stays cold.
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARM")) try {
       val buf = new Array[Byte](1 << 20)
       scala.util.Using.resource(
-        java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))) { ls =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))) { ls =>
         ls.forEach { p =>
           if (java.nio.file.Files.isRegularFile(p)) {
             val in = java.nio.file.Files.newInputStream(p)

@@ -98,6 +98,33 @@ object Tables {
         } catch { case scala.util.control.NonFatal(_) => () }))
     }
 
+  /** Reap pid-keyed scratch dirs left by KILLED processes (SIGKILL
+    * skips shutdown hooks): any `<prefix>..._pid<N>` under
+    * java.io.tmpdir whose pid is no longer alive is dead scratch.
+    * Best-effort and race-benign — a dir belongs to exactly one pid,
+    * and a LIVE process's dir is never touched. */
+  def reapDeadPidScratch(prefix: String): Unit =
+    try {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val pidTail = "_pid(\\d+)$".r
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory && f.getName.startsWith(prefix)) {
+          pidTail.findFirstMatchIn(f.getName).foreach { m =>
+            val alive = scala.util.Try(
+              ProcessHandle.of(m.group(1).toLong)
+                .map[Boolean](_.isAlive).orElse(false)).getOrElse(false)
+            if (!alive && m.group(1).toLong != ProcessHandle.current().pid()) {
+              val root = f.toPath
+              scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+                w.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              }
+            }
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** S10 `CREATE TABLE IF NOT EXISTS ... LIKE` (A4:1038): an empty table
     * with the source's exact schema. */
   def createLike(spark: SparkSession, src: DataFrame, dir: String): Unit =

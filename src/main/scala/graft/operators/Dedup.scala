@@ -888,7 +888,6 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val labels = parent.keySet.asScala.toSeq
       .map(k => (k.longValue, find(k.longValue)))
-    import spark.implicits._
     Some((labels.toDF("id", "__root"), labels.size.toLong))
   }
 

@@ -847,6 +847,11 @@ object CoreQueries {
       "graft_warehouse_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
         "_pid" + ProcessHandle.current().pid()).toString
     Tables.deleteRecursivelyOnExit(scratch)
+    // reap residue from KILLED runs (SIGKILL skips the shutdown hook):
+    // any sibling graft_warehouse_*_pid<N> whose pid is no longer alive
+    // is dead scratch — without the sweep each killed run would leave
+    // one events-sized copy behind, unbounded across CI timeouts
+    Tables.reapDeadPidScratch("graft_warehouse_")
     Tables.ctas(t(s, dir, "events"), scratch, partitionDateCol = Some("ts"))
     val lo = "2024-01-10"
     val hi = "2024-01-12"

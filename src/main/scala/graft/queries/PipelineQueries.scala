@@ -43,9 +43,21 @@ object PipelineQueries {
     * but 7 queries share it within a run. */
   private val annRowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def annRows(s: SparkSession, dir: String): Long =
-    annRowsCache.computeIfAbsent(dir,
-      d => Long.box(emb(s, d).count())).longValue
+  private def annRows(s: SparkSession, dir: String): Long = {
+    // cache key carries the table's on-disk fingerprint (total length +
+    // max mtime), not just the path: a long-lived JVM that re-generates
+    // a corpus at the SAME path must re-derive p/B, or Spark would
+    // bucket with a stale count while the oracle re-derives from the
+    // live count(*)
+    val fp = try {
+      val root = new java.io.File(dir, "embeddings.parquet")
+      val files = if (root.isDirectory) root.listFiles() else Array(root)
+      files.foldLeft((0L, 0L)) { case ((len, mt), f) =>
+        (len + f.length(), math.max(mt, f.lastModified())) }.toString
+    } catch { case scala.util.control.NonFatal(_) => "" }
+    annRowsCache.computeIfAbsent(s"$dir#$fp",
+      _ => Long.box(emb(s, dir).count())).longValue
+  }
   private def annAutoPlanes(s: SparkSession, dir: String): Int =
     Similarity.autoPlanes(annRows(s, dir))
   private def annAutoBuckets(s: SparkSession, dir: String): Long =
