@@ -162,8 +162,18 @@ object Bench {
     // numbers, exactly what the different-SF warm-up exists to avoid)
     def canon(p: String) =
       try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    // warm-pass / touch forensics, emitted in the artifact: the round-12
+    // driver run retried 7 queries DESPITE the corpus touch, and the
+    // artifact carried no evidence of whether (or how slowly) the
+    // warm-up machinery itself ran in that environment. These fields
+    // make the next stall decomposable from the artifact alone.
+    var warmSec = -1.0
+    var touchFiles = -1L
+    var touchMb = -1.0
+    var touchSec = -1.0
     if (!sys.env.contains("SPARK_GRAFT_NO_WARM") &&
         new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
+      val w0 = System.nanoTime()
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -174,6 +184,7 @@ object Bench {
       }
       spark.catalog.clearCache()
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
+      warmSec = (System.nanoTime() - w0) / 1e9
     }
     // UNTIMED raw-byte touch of the measured SF dir: stream every file
     // (RECURSIVE walk — generated legs ship each table as a
@@ -192,16 +203,26 @@ object Bench {
     // throughput. SPARK_GRAFT_NO_WARM disables it along with the query
     // warm pass — a deliberately-cold measurement stays cold.
     if (!sys.env.contains("SPARK_GRAFT_NO_WARM")) try {
+      val t0 = System.nanoTime()
+      var nFiles = 0L
+      var nBytes = 0L
       val buf = new Array[Byte](1 << 20)
       scala.util.Using.resource(
         java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))) { ls =>
         ls.forEach { p =>
           if (java.nio.file.Files.isRegularFile(p)) {
+            nFiles += 1
             val in = java.nio.file.Files.newInputStream(p)
-            try { while (in.read(buf) >= 0) () } finally in.close()
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { nBytes += math.max(n, 0); n = in.read(buf) }
+            } finally in.close()
           }
         }
       }
+      touchFiles = nFiles
+      touchMb = nBytes / 1048576.0
+      touchSec = (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => () }
     // the one inter-measurement sweep discipline (checkpoint blocks +
     // SQL cache + garbage), shared by the retry path and the per-query
@@ -239,16 +260,58 @@ object Bench {
           java.nio.file.Files.readAllLines(path).asScala.toSeq, sfDir, canon)
       } catch { case _: Throwable => Map.empty }
     }
-    // SPARK_GRAFT_JOBLOG=1 (dev): per-query job breakdown on stderr —
-    // job count, time inside jobs vs the measured wall (the difference
-    // is driver-side planning/codegen/collect), and the top jobs. Reads
-    // the listener bus after each query; measurement itself is untouched.
-    val jobLog: Option[JobLog] =
-      if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
-        val l = new JobLog
-        spark.sparkContext.addSparkListener(l)
-        Some(l)
-      } else None
+    // The job/stage listener is now ALWAYS attached (it only appends
+    // tuples to in-memory buffers on the async bus thread — never in the
+    // measured path), because the round-12 driver artifact carried 7
+    // first-run stalls with NO decomposition: the env-gated JOBLOG was
+    // off in the driver environment, so "was the 10 s inside tasks
+    // (I/O / skew / executor starvation) or in the driver gap
+    // (planning / codegen / GC)" stayed inference. With the listener
+    // always on, every anomaly-retried query's observations — the
+    // stalled first run included — are drained into `retry_diag` in the
+    // artifact. SPARK_GRAFT_JOBLOG=1 additionally prints the verbose
+    // per-query stderr breakdown for every query (dev profiling), as
+    // before. Drains happen outside the timed region.
+    val jobLog = new JobLog
+    spark.sparkContext.addSparkListener(jobLog)
+    val verbose = sys.env.contains("SPARK_GRAFT_JOBLOG")
+    // drain the listener for the run that just finished and render one
+    // compact JSON diagnostic: wall vs sum-of-job-durations (the gap is
+    // driver-side planning/codegen/GC; concurrent jobs — AQE broadcast
+    // subtrees — can overlap, so a small NEGATIVE gap just means
+    // parallel jobs, not an accounting bug), job count, the heaviest job
+    // (with its call-site tag), and the heaviest stage with its
+    // executor-run sum (run ≈ wall on 1 task = serialized/skewed or
+    // cold-I/O; wall >> run = scheduler/executor starvation — the host
+    // throttle signature). The 250 ms bus quiesce runs OUTSIDE the
+    // timed region and only on anomaly/verbose paths.
+    def diagJson(name: String, wall: Double): String = {
+      Thread.sleep(250)
+      val jobs = jobLog.drain()
+      val stgs = jobLog.drainStages()
+      val inJobs = jobs.map(_._2).sum
+      val top = jobs.sortBy(-_._2).headOption.map { case (id, s, nt, cs) =>
+        f"j$id%d:$s%.2fs/$nt%dt[$cs%s]" }.getOrElse("")
+      val topStage = stgs.sortBy(-_._2).headOption.map { case (id, s, nt, run, nm) =>
+        f"s$id%d:$s%.2fs/$nt%dt run=$run%.2f $nm%s" }.getOrElse("")
+      if (verbose) {
+        val topN = sys.env.get("SPARK_GRAFT_JOBLOG_TOP")
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
+        val tops = jobs.sortBy(-_._2).take(topN).map { case (id, s, nt, cs) =>
+          f"j$id%d:$s%.2fs/$nt%dt[$cs%s]" }.mkString(" ")
+        System.err.println(
+          f"JOBLOG $name%-26s wall=$wall%6.2f jobs=${jobs.size}%3d " +
+          f"injob=$inJobs%6.2f gap=${wall - inJobs}%6.2f top: $tops")
+        stgs.filter(_._2 >= 0.15).sortBy(-_._2).take(10)
+          .foreach { case (id, s, nt, run, nm) =>
+            System.err.println(
+              f"  STAGE s$id%d $s%.2fs/$nt%dt run=$run%.2f $nm%s") }
+      }
+      String.format(java.util.Locale.ROOT,
+        """{"wall":%.3f,"injob":%.3f,"gap":%.3f,"jobs":%d,"top":"%s","stage":"%s"}""",
+        Double.box(wall), Double.box(inJobs), Double.box(wall - inJobs),
+        Integer.valueOf(jobs.size), esc(top), esc(topStage))
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // anomaly retries, fully disclosed in the output line: every
     // observation, in measurement order (the kept value — their median —
@@ -257,6 +320,9 @@ object Bench {
     // a rerun that CRASHED during the anomaly retry: the query still
     // passes (a completed measurement exists) but the crash is disclosed
     val retryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-observation job/stage decomposition of every anomaly-retried
+    // query, keyed like `retries` — the stalled first run included
+    val retryDiag = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
       var elapsed = 0.0
@@ -278,32 +344,19 @@ object Bench {
         if (ok) errors.remove(name)
       }
       (1 to repeat).foreach { i =>
-        // drain everything queued before this run (warm pass, prior
-        // repeats) so the report covers exactly the LAST timed run
-        jobLog.foreach { l =>
-          if (i == repeat) { Thread.sleep(300); l.drain(); l.drainStages(); () }
+        // drain everything queued before this run (previous query's
+        // stragglers, prior repeats) so a later diag drain covers
+        // exactly the LAST timed run. No sleep outside verbose mode:
+        // sub-ms bus lag can at worst leak a straggler event into a
+        // RETRIED query's diag, never into a measurement.
+        if (i == repeat) {
+          if (verbose) Thread.sleep(300)
+          jobLog.drain(); jobLog.drainStages(); ()
         }
         timedRun()
       }
-      jobLog.foreach { l =>
-        Thread.sleep(300) // bus quiesce — dev path only, not measured
-        val jobs = l.drain()
-        val inJobs = jobs.map(_._2).sum
-        // a malformed value (e.g. "all") must not abort the bench run
-        // mid-measurement — fall back to the default like every other
-        // env-driven knob
-        val topN = sys.env.get("SPARK_GRAFT_JOBLOG_TOP")
-          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
-        val top = jobs.sortBy(-_._2).take(topN).map { case (id, s, nt, cs) =>
-          f"j$id%d:$s%.2fs/$nt%dt[$cs%s]" }.mkString(" ")
-        System.err.println(
-          f"JOBLOG $name%-26s wall=$elapsed%6.2f jobs=${jobs.size}%3d " +
-          f"injob=$inJobs%6.2f gap=${elapsed - inJobs}%6.2f top: $top")
-        l.drainStages().filter(_._2 >= 0.15).sortBy(-_._2).take(10)
-          .foreach { case (id, s, nt, run, nm) =>
-            System.err.println(
-              f"  STAGE s$id%d $s%.2fs/$nt%dt run=$run%.2f $nm%s") }
-      }
+      var firstDiag: String = null
+      if (verbose && ok) firstDiag = diagJson(name, elapsed)
       // single-measurement anomaly guard: a transient host stall (IO
       // freeze, neighbor burst, GC storm) can inflate exactly one query
       // by 10-20x in a one-shot run — round 7's official artifact
@@ -330,11 +383,17 @@ object Bench {
         BenchPolicy.anomalous(steady, name, elapsed, acc.values)
       if (anomalous) {
         val obs = scala.collection.mutable.ArrayBuffer(elapsed)
+        // decompose the stalled first run (unless verbose already
+        // drained it) and every retry observation — this is what turns
+        // a driver-environment stall into data instead of inference
+        val diags = scala.collection.mutable.ArrayBuffer(
+          if (firstDiag != null) firstDiag else diagJson(name, elapsed))
         while (ok && BenchPolicy.needMore(steady, name, obs.toSeq, acc.values)) {
           interQueryCleanup()
           timedRun()
-          if (ok) obs += elapsed
+          if (ok) { obs += elapsed; diags += diagJson(name, elapsed) }
         }
+        retryDiag(name) = diags.toSeq
         // a rerun crash keeps the successful observations and stays a
         // pass (the query demonstrably ran to completion) — but the
         // crash itself must not vanish from the artifact: it moves to
@@ -385,7 +444,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val retryErrJson = retryErrors.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"retries":$retryJson,"retry_errors":$retryErrJson,"sf":"${esc(sfDir)}"}"""
+    // diag values are pre-rendered JSON objects — splice raw, not quoted
+    val retryDiagJson = retryDiag.map { case (k, ds) =>
+      "\"" + esc(k) + "\":[" + ds.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    def num(v: Double): String =
+      if (v < 0) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val warmJson =
+      s"""{"warm_sec":${num(warmSec)},"touch_files":${if (touchFiles < 0) "null" else touchFiles.toString},"touch_mb":${num(touchMb)},"touch_sec":${num(touchSec)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"retries":$retryJson,"retry_diag":$retryDiagJson,"retry_errors":$retryErrJson,"warm":$warmJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the full line above exceeds tail-window captures at ~90 queries
     // (a consumer keeping only the last N chars of stdout sees it
