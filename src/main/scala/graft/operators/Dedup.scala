@@ -743,6 +743,35 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .eagerCheckpoint() // reused every round; pair lists are small
+    val nEdges = edges.count()
+    // bounded-small edge set: finish on the driver (identical labels —
+    // min-label propagation's fixed point IS the component min; see
+    // [[localMinLabels]]); the propagation rounds below remain the
+    // over-cap scale path. `edges` carries both directions, so the
+    // union-find sees every pair (twice — harmless). ONE semantic
+    // caveat, probed before committing: label-prop leaves pair-ids
+    // absent from `docs` INERT (they neither receive nor forward
+    // labels), while union-find transits them — so the local result
+    // only stands when every edge endpoint is a doc id (the engine
+    // shape: pair generators derive ids from the corpus). Any phantom
+    // endpoint falls back to the distributed rounds.
+    // Probed BEFORE the corpus-id label state is built: the fast path
+    // needs only the bare id projection (scanned twice — against the
+    // caller's cached/cheap docs frame that is cheaper than the label
+    // checkpoint's own materialization + count jobs, ~4 scheduler
+    // round-trips saved per query on the d05/d10/t19/t41 family).
+    localMinLabels(edges, nEdges) match {
+      case Some((lbl, nLbl)) =>
+        val ids = docs.select(col(idCol).as("id"))
+        val matched = ids
+          .join(Caches.broadcastIfSmall(lbl, 2 * nEdges), Seq("id")).count()
+        if (matched == nLbl)
+          return ids
+            .join(Caches.broadcastIfSmall(lbl, 2 * nEdges), Seq("id"), "left")
+            .select(col("id").as(idCol),
+              coalesce(col("__root"), col("id")).as("cluster_id"))
+      case None => ()
+    }
     var labels = Caches.spreadByKey(docs.select(col(idCol).as("id")), col("id"))
       .withColumn("label", col("id"))
       .eagerCheckpoint()
@@ -756,29 +785,6 @@ object Dedup {
     // (broadcast labels) — and past the cap both ways, the two-narrow-
     // shuffles-per-round posture stands.
     val nNodes = labels.count()
-    val nEdges = edges.count()
-    // bounded-small edge set: finish on the driver (identical labels —
-    // min-label propagation's fixed point IS the component min; see
-    // [[localMinLabels]]); the propagation rounds below remain the
-    // over-cap scale path. `edges` carries both directions, so the
-    // union-find sees every pair (twice — harmless). ONE semantic
-    // caveat, probed before committing: label-prop leaves pair-ids
-    // absent from `docs` INERT (they neither receive nor forward
-    // labels), while union-find transits them — so the local result
-    // only stands when every edge endpoint is a doc id (the engine
-    // shape: pair generators derive ids from the corpus). Any phantom
-    // endpoint falls back to the distributed rounds.
-    localMinLabels(edges, nEdges) match {
-      case Some((lbl, nLbl)) =>
-        val matched = labels
-          .join(Caches.broadcastIfSmall(lbl, 2 * nEdges), Seq("id")).count()
-        if (matched == nLbl)
-          return labels.select(col("id"))
-            .join(Caches.broadcastIfSmall(lbl, 2 * nEdges), Seq("id"), "left")
-            .select(col("id").as(idCol),
-              coalesce(col("__root"), col("id")).as("cluster_id"))
-      case None => ()
-    }
     var round = 0
     var converged = nEdges == 0
     while (!converged && round < maxRounds) {
