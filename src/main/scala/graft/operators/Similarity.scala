@@ -189,7 +189,17 @@ object Similarity {
     * bucketed once and the candidate join stays an equi-join on the
     * bucket key, bounded by bucket sizes, never |Q|·|N|. Exact cosine
     * re-ranks within candidates. Recall tunable by numPlanes (fewer
-    * planes → bigger buckets → higher recall, more compute). */
+    * planes → bigger buckets → higher recall, more compute).
+    *
+    * ID CONTRACT: `idCol` must be UNIQUE per row in both frames — the
+    * same one-row-per-id contract every index build enforces
+    * (requireIntegralId). Under it each (query, neighbor) pair meets
+    * at most once, so this inline path skips the (query, neighbor)
+    * max-dedup the served path performs (append epochs can re-add an
+    * id there). A frame with duplicated ids therefore ranks each copy
+    * separately — set `spark.graft.lsh.dedupCandidates=true` to
+    * max-collapse duplicates instead (LshHotBucketSpec pins both
+    * behaviors). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
