@@ -301,6 +301,49 @@ private[graft] object Caches {
   // same-window A/B). If a future operator's cache materialization
   // serializes, prefer restructuring the cache's own partitioning.
 
+  /** Cap-gated typed edge collect — the ONE funnel for every
+    * bounded-driver-finish algorithm (CC union-find in
+    * [[graft.operators.Dedup]], BFS adjacency walk in
+    * [[graft.operators.Graph]]): the distributed machinery exists for
+    * edge sets that dwarf a machine, but once the canonical edge
+    * count — already in hand from the caller's convergence/broadcast
+    * bookkeeping — fits comfortably on the driver, O(rounds) more
+    * distributed jobs are pure scheduling overhead against a
+    * millisecond driver-side pass.
+    *
+    * BOUNDED BY CONSTRUCTION: the collect is gated on the EXACT edge
+    * count against the caller's conf key (operator-specific so the two
+    * paths stay independently tunable; default 2M; 0 disables,
+    * restoring the pure distributed path — DedupSpec/GraphSpec pin
+    * local ≡ distributed either way). Honest memory math at the
+    * default cap: the typed collect materializes specialized
+    * (Long, Long) tuples — ~32 B each plus the pointer array, ~100 MB
+    * transient at 2M edges. What the caller builds on top adds its own
+    * bound: the union-find parent map and the BFS node→index map are
+    * each keyed by #nodes, not #edges (several hundred MB only if
+    * every edge touches two fresh nodes); the BFS CSR arrays are
+    * primitive int/long (~40 MB steady at the cap).
+    *
+    * Returns None when the gate (or a non-long id column) says
+    * distributed; Some(edge array) otherwise. */
+  def boundedEdgeCollect(edges: DataFrame, nEdges: Long,
+      confKey: String): Option[Array[(Long, Long)]] = {
+    val spark = edges.sparkSession
+    val cap = scala.util.Try(
+      spark.conf.get(confKey, "2000000").toLong).getOrElse(2000000L)
+    val longIds = Seq("src", "dst").forall(c =>
+      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges <= 0 || nEdges > cap || !longIds) None
+    else {
+      import spark.implicits._
+      // typed collect: specialized (Long, Long) tuples, not boxed Rows
+      Some(edges.select(
+        org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst"))
+        .as[(Long, Long)].collect()) // gated above: <= cap
+    }
+  }
+
   /** Spread a compute-heavy-but-byte-light input across the cluster.
     *
     * A small parquet file arrives as ONE scan split, so per-row-expensive

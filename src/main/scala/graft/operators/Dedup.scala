@@ -838,17 +838,15 @@ object Dedup {
     * × ~8 jobs of cluster round trips (measured: the v23 component
     * phase was ~60 jobs at bench scale).
     *
-    * BOUNDED BY CONSTRUCTION: the collect is gated on the exact edge
-    * count against `spark.graft.cc.localFinishEdges` (default 2M).
-    * Honest memory math at the default: the typed collect materializes
-    * specialized (Long, Long) tuples — ~32 B each plus the pointer
-    * array, ~100 MB transient at 2M edges — and the union-find parent
-    * map is boxed-Long keyed but bounded by #nodes, not #edges
-    * (several hundred MB only if every edge touches two fresh nodes).
-    * 0 disables, restoring the pure distributed path — the spec pins
-    * local ≡ distributed. Above the cap the caller's iterative loop
-    * runs unchanged — a 100 TB corpus whose near-dup graph genuinely
-    * exceeds the driver keeps the scale path.
+    * BOUNDED BY CONSTRUCTION: gate + typed collect via the shared
+    * [[Caches.boundedEdgeCollect]] funnel (cap conf
+    * `spark.graft.cc.localFinishEdges`, honest memory math documented
+    * there); the union-find parent map on top is boxed-Long keyed but
+    * bounded by #nodes, not #edges. 0 disables, restoring the pure
+    * distributed path — the spec pins local ≡ distributed. Above the
+    * cap the caller's iterative loop runs unchanged — a 100 TB corpus
+    * whose near-dup graph genuinely exceeds the driver keeps the
+    * scale path.
     *
     * Labels are EXACTLY the distributed fixed point's: union always
     * attaches the larger root under the smaller, so every root is its
@@ -859,16 +857,14 @@ object Dedup {
   private def localMinLabels(edges: DataFrame,
       nEdges: Long): Option[(DataFrame, Long)] = {
     val spark = edges.sparkSession
-    val cap = scala.util.Try(spark.conf
-      .get("spark.graft.cc.localFinishEdges", "2000000").toLong)
-      .getOrElse(2000000L)
-    val longIds = Seq("src", "dst").forall(c =>
-      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (nEdges <= 0 || nEdges > cap || !longIds) return None
     import spark.implicits._
-    // typed collect: specialized (Long, Long) tuples, not boxed Rows
-    val rows = edges.select(col("src"), col("dst"))
-      .as[(Long, Long)].collect() // gated above: <= cap
+    // gate + typed collect live in the shared funnel (honest memory
+    // math documented there); the union-find below is this path's own
+    val rows = Caches.boundedEdgeCollect(edges, nEdges,
+      "spark.graft.cc.localFinishEdges") match {
+      case Some(r) => r
+      case None => return None
+    }
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
       2 * rows.length)
     def find(x0: Long): Long = {

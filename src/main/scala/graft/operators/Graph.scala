@@ -82,23 +82,14 @@ object Graph {
   }
 
   /** Driver-side BFS finish for edge sets that PROVABLY fit on the
-    * driver — the [[graft.operators.Dedup]] `localMinLabels` discipline
-    * applied to the frontier loop: the distributed machinery exists for
-    * graphs that dwarf a machine, but once the canonical edge count —
-    * already in hand from the broadcast-gate bookkeeping — is bounded,
-    * `maxHops` rounds of join + distinct + anti-join + checkpoint are
-    * pure scheduling overhead against a millisecond adjacency walk.
-    *
-    * BOUNDED BY CONSTRUCTION: the collect is gated on the exact edge
-    * count against `spark.graft.bfs.localFinishEdges` (default 2M).
-    * Honest memory math at the default: the typed collect materializes
-    * specialized (Long, Long) tuples — ~32 B each plus the pointer
-    * array, ~100 MB transient at 2M edges — and the walk itself runs on
-    * a primitive CSR (one long[] of node ids, int[] offsets/targets,
-    * ~40 MB steady) with the only boxed structure the node→index map,
-    * bounded by #nodes, not #edges. 0 disables, restoring the pure
-    * distributed path — GraphSpec pins local ≡ distributed. Above the
-    * cap the frontier loop runs unchanged.
+    * driver — gate + typed collect via the shared
+    * [[Caches.boundedEdgeCollect]] funnel (cap conf
+    * `spark.graft.bfs.localFinishEdges`, honest memory math documented
+    * there); the walk itself runs on a primitive CSR (one long[] of
+    * node ids, int[] offsets/targets, ~40 MB steady at the cap) with
+    * the only boxed structure the node→index map, bounded by #nodes,
+    * not #edges. Above the cap (or with the conf at 0) the frontier
+    * loop runs unchanged — GraphSpec pins local ≡ distributed.
     *
     * Hop counts are EXACTLY the distributed loop's: both assign each
     * node the round of its FIRST visit, and round order is identical
@@ -109,13 +100,11 @@ object Graph {
       maxHops: Int): Option[DataFrame] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val cap = scala.util.Try(spark.conf
-      .get("spark.graft.bfs.localFinishEdges", "2000000").toLong)
-      .getOrElse(2000000L)
-    if (nEdges <= 0 || nEdges > cap) return None
-    // typed collect: specialized (Long, Long) tuples, not boxed Rows
-    val rows = edges.select(col("src"), col("dst"))
-      .as[(Long, Long)].collect() // gated above: <= cap
+    val rows = Caches.boundedEdgeCollect(edges, nEdges,
+      "spark.graft.bfs.localFinishEdges") match {
+      case Some(r) => r
+      case None => return None
+    }
     // node -> dense index (the one boxed structure, bounded by #nodes)
     val nodeIdx = new java.util.HashMap[java.lang.Long, Integer](
       2 * rows.length)
