@@ -69,16 +69,22 @@ object GenScale {
   private def shifted(c: String): org.apache.spark.sql.Column =
     col(c) + col("__r") * Stride
 
-  /** Cross-join the frame with replica ids 0..n-1 (broadcast 10-row
-    * side — a pure fanout, no shuffle of the big side). */
-  private def fanout(df: DataFrame, n: Int): DataFrame = {
+  /** Cross-join the frame with replica ids start..start+n-1 (broadcast
+    * tiny side — a pure fanout, no shuffle of the big side). */
+  private def fanout(df: DataFrame, n: Int, start: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.crossJoin(broadcast((0L until n.toLong).toDF("__r")))
+    df.crossJoin(broadcast((start until start + n.toLong).toDF("__r")))
   }
 
+  /** `startReplica` shifts the replica-id range to start..start+n-1:
+    * with startReplica >= 1 NO verbatim copy of the source is emitted —
+    * every replica is char-bijected / sign-permuted / id-shifted. That
+    * is the warm-twin shape ([[Bench]]): a corpus at the SAME scale as
+    * the measured one (same plan choices, same generated code) whose
+    * data shares nothing the measurement could be flattered by. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-      replicas: Int): Unit = {
+      replicas: Int, startReplica: Long = 0L): Unit = {
     import graft.core.Tables
     def src(name: String): DataFrame = Tables.table(spark, srcDir, name)
     // fact tables repartition before write: the broadcast fanout
@@ -90,39 +96,41 @@ object GenScale {
     def write(df: DataFrame, name: String, parts: Int = 32): Unit = {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[genscale] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+      // stderr: Bench builds warm twins mid-run and its stdout must
+      // stay pure JSON lines
+      System.err.println(s"[genscale] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }
 
     // dims replicate verbatim (a 100 TB warehouse still has 25 nations)
     write(src("region"), "region", parts = 1)
     write(src("nation"), "nation", parts = 1)
 
-    write(fanout(src("customer"), replicas)
+    write(fanout(src("customer"), replicas, startReplica)
       .select(shifted("c_custkey").as("c_custkey"),
         concat(col("c_name"), lit("#"), col("__r")).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       "customer")
 
-    write(fanout(src("supplier"), replicas)
+    write(fanout(src("supplier"), replicas, startReplica)
       .select(shifted("s_suppkey").as("s_suppkey"),
         concat(col("s_name"), lit("#"), col("__r")).as("s_name"),
         col("s_nationkey"), col("s_acctbal")),
       "supplier")
 
-    write(fanout(src("part"), replicas)
+    write(fanout(src("part"), replicas, startReplica)
       .select(shifted("p_partkey").as("p_partkey"),
         concat(col("p_name"), lit("#"), col("__r")).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part")
 
-    write(fanout(src("orders"), replicas)
+    write(fanout(src("orders"), replicas, startReplica)
       .select(shifted("o_orderkey").as("o_orderkey"),
         shifted("o_custkey").as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
       "orders")
 
-    write(fanout(src("lineitem"), replicas)
+    write(fanout(src("lineitem"), replicas, startReplica)
       .select(shifted("l_orderkey").as("l_orderkey"),
         shifted("l_partkey").as("l_partkey"),
         shifted("l_suppkey").as("l_suppkey"),
@@ -131,7 +139,7 @@ object GenScale {
         col("l_linestatus"), col("l_shipdate")),
       "lineitem")
 
-    write(fanout(src("events"), replicas)
+    write(fanout(src("events"), replicas, startReplica)
       .select(shifted("event_id").as("event_id"), col("ts"),
         shifted("user_id").as("user_id"),
         col("event_type"), col("value"), col("props")),
@@ -166,12 +174,14 @@ object GenScale {
       val dg = if (r < 10) rot(digitAb, 3 * r) else seededPerm(digitAb, r)
       lo + lo.toUpperCase + dg
     }
-    val rotated = (1 until replicas).foldLeft(
+    val replicaIds =
+      (startReplica until startReplica + replicas).map(_.toInt)
+    val rotated = replicaIds.filter(_ != 0).foldLeft(
       when(col("__r") === 0L, col("text"))) { (acc, r) =>
       acc.when(col("__r") === r.toLong,
         translate(col("text"), alphabet, target(r)))
     }.otherwise(col("text"))
-    write(fanout(src("documents"), replicas)
+    write(fanout(src("documents"), replicas, startReplica)
       .withColumn("text", rotated)
       .select(shifted("doc_id").as("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars")),
@@ -182,11 +192,15 @@ object GenScale {
     // addition order, which transform preserves: one value per slot)
     val dim = src("embeddings").select(size(col("embedding")))
       .first().getInt(0)
-    val rng = new scala.util.Random(PermSeed)
-    val perms = (0 until replicas).map { r =>
+    val perms = replicaIds.map { r =>
       if (r == 0) (0L, (0 until dim).toArray, Array.fill(dim)(1.0f))
-      else (r.toLong, rng.shuffle((0 until dim).toList).toArray,
-        Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f))
+      else {
+        // per-replica seed (not one shared sequence) so a replica's
+        // transform is identical whatever range it is generated in
+        val rng = new scala.util.Random(PermSeed * 131 + r)
+        (r.toLong, rng.shuffle((0 until dim).toList).toArray,
+          Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f))
+      }
     }
     val spark2 = spark
     import spark2.implicits._
