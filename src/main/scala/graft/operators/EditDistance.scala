@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   *    (min id per distinct prefix, one map-side-combinable groupBy) —
   *    the boilerplate-clique guard: a million copies of one template
   *    enter the join as a single row;
-  *  - index = k+1 keys/string, probe ≤ (2k+1)(k+1) windows/string, both
+  *  - index = k+1 keys/string; the probe runs ONE direction (each
+  *    string probes only partner lengths ls ≤ its own — lossless, see
+  *    the in-code note), ≤ (k+1)² windows/string, both
   *    8-byte xxhash64 keys — the candidate shuffle is fixed-width and
   *    document-free;
   *  - hot segment keys (df > `hotDf`) take the salted-join path (index
@@ -130,9 +132,18 @@ object EditDistance {
 
     Caches.scoped(reps, dfTab) {
       val emptyLongs = typedLit(Seq.empty[Long])
+      // One-direction probing (the paper's framing): for a pair within
+      // distance k the PIGEONHOLE argument fixes a direction — some
+      // unedited segment of the SHORTER string occurs verbatim in the
+      // longer. The index carries every string's segments, so probing
+      // only partner lengths ls <= lp (the probe acting as the longer
+      // member) is still lossless, and halves the window expansion and
+      // the pre-dedup candidate volume vs probing both directions.
+      // Equal-length pairs are found from both sides and collapse in
+      // the candidate dedup below.
       val prb = longs.select(col("id"),
           explode(array_distinct(flatten(transform(
-            sequence(greatest(lit(m), col("lp") - k), col("lp") + k), ls =>
+            sequence(greatest(lit(m), col("lp") - k), col("lp")), ls =>
               flatten(transform(iSeq, i => {
                 val li = segLen(ls, i)
                 val pi = segStart(ls, i)
