@@ -97,6 +97,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // HOST-SPEED CANARY (untimed, before any warm work): one fixed
+    // single-threaded CPU probe — 2e8 iterations of a long mix — emitted
+    // as `canary_sec` in the artifact. Round-over-round driver totals
+    // have twice been dominated by host-window speed (r13: the untimed
+    // warm pass ran 6.4x slower on the driver host than on the builder's
+    // for identical work), and without a fixed-work probe every
+    // comparison burns a round of signal arguing window vs engine. The
+    // probe is pure JVM arithmetic (no Spark, no I/O, compiles in the
+    // first loop iterations), so its seconds are a direct single-core
+    // speed reading for THIS run's environment.
+    val canarySec = {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < 200000000L) {
+        h = java.lang.Long.rotateLeft(h * 0xc2b2ae3d27d4eb4fL, 31) ^ i
+        i += 1
+      }
+      // keep `h` observable so the loop cannot be dead-code-eliminated
+      if (h == 0L) System.err.println("canary fixed point")
+      (System.nanoTime() - t0) / 1e9
+    }
     // warm the session (codegen, parquet footers, broadcast infra) so the
     // first timed query doesn't absorb JVM/session startup
     try SparkEntry.queries("q01_count_global")(spark, sfDir)
@@ -183,9 +205,12 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_NO_WARM") ||
           dirBytes(sfDir) > (capMb << 20)) fallback
       else {
-        val twin = "target/sfwarm_" +
-          (try new java.io.File(sfDir).getCanonicalFile.getName
-           catch { case _: Throwable => "x" })
+        // twin key = basename + hash of the CANONICAL path (BenchPolicy.
+        // twinDirName): two corpora sharing a basename must not reuse
+        // each other's twin via a stale completion marker
+        val twin = "target/" + BenchPolicy.twinDirName(
+          try new java.io.File(sfDir).getCanonicalPath
+          catch { case _: Throwable => sfDir })
         val marker = java.nio.file.Paths.get(twin, "_TWIN_COMPLETE")
         if (!java.nio.file.Files.exists(marker)) try {
           val t0 = System.nanoTime()
@@ -215,16 +240,33 @@ object Bench {
     var touchFiles = -1L
     var touchMb = -1.0
     var touchSec = -1.0
+    // WALL BUDGET on the warm pass (disclosed in the artifact): the warm
+    // pass is a warm-up, not a contract — on the round-13 driver host it
+    // ran 1301 s untimed (6.4x throttled vs the builder's 203 s for
+    // identical work), more than 5x the timed bench itself. The pass now
+    // walks the query list in bench order (the deterministic tier
+    // interleave above, so a truncated pass still covers a representative
+    // mix and the shared primitives) and stops when the budget expires.
+    // Default 300 s: a full twin pass fits with margin on an unthrottled
+    // host (~200 s measured), while a throttled host is capped at 5 min
+    // instead of 22. Override with SPARK_GRAFT_WARM_BUDGET_SEC;
+    // SPARK_GRAFT_NO_WARM still disables everything.
+    val warmBudget = sys.env.get("SPARK_GRAFT_WARM_BUDGET_SEC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(300.0)
+    var warmN = 0
     if (!sys.env.contains("SPARK_GRAFT_NO_WARM") &&
         new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
       val w0 = System.nanoTime()
-      selected.foreach { case (_, fn) =>
+      val it = selected.iterator
+      while (it.hasNext && (System.nanoTime() - w0) / 1e9 < warmBudget) {
+        val fn = it.next()._2
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         // sweep per warm query: 200+ queries' checkpoint blocks piling
         // up through the warm pass would start the TIMED region with a
         // storage-eviction debt the first measured queries pay for
         graft.operators.Caches.releaseAllPersistent(spark)
+        warmN += 1
       }
       spark.catalog.clearCache()
       if (!sys.env.contains("SPARK_GRAFT_NO_GC")) System.gc()
@@ -496,8 +538,8 @@ object Bench {
       if (v < 0) "null"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val warmJson =
-      s"""{"warm_sec":${num(warmSec)},"warm_dir":"${esc(warmDir)}","twin_build_sec":${num(twinSec)},"touch_files":${if (touchFiles < 0) "null" else touchFiles.toString},"touch_mb":${num(touchMb)},"touch_sec":${num(touchSec)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"retries":$retryJson,"retry_diag":$retryDiagJson,"retry_errors":$retryErrJson,"warm":$warmJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"warm_sec":${num(warmSec)},"warm_dir":"${esc(warmDir)}","twin_build_sec":${num(twinSec)},"warm_budget_sec":${num(warmBudget)},"warm_queries":$warmN,"warm_complete":${warmN == selected.size},"touch_files":${if (touchFiles < 0) "null" else touchFiles.toString},"touch_mb":${num(touchMb)},"touch_sec":${num(touchSec)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${results.size},"n_err":${errors.size},"errors":$errJson,"retries":$retryJson,"retry_diag":$retryDiagJson,"retry_errors":$retryErrJson,"warm":$warmJson,"canary_sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(canarySec))},"sf":"${esc(sfDir)}"}"""
     println(line)
     // the full line above exceeds tail-window captures at ~90 queries
     // (a consumer keeping only the last N chars of stdout sees it

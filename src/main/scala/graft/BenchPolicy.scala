@@ -81,6 +81,24 @@ object BenchPolicy {
         elapsed > 4 * median(priorTimes.toSeq)
     }
 
+  /** Warm-twin directory name for a measured SF dir: the basename for
+    * human readability PLUS the first 8 hex chars of md5 over the
+    * CANONICAL path — two different corpora that happen to share a
+    * basename (two dirs both named `sf0.1`) must never reuse each
+    * other's twin (a stale `_TWIN_COMPLETE` marker would warm on
+    * wrong-shape data: a warm-quality bug, never a correctness one,
+    * but silent). Pure so the collision behavior is unit-tested. */
+  def twinDirName(canonicalSfPath: String): String = {
+    val base = canonicalSfPath.reverse.takeWhile(_ != '/').reverse match {
+      case "" => "x"
+      case b => b
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonicalSfPath.getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"sfwarm_${base}_$hex"
+  }
+
   /** Retry-escalation rule: given the observations taken so far for a
     * triggered query (the first being the one-shot that tripped the
     * trigger), should another be taken? At least three observations

@@ -107,4 +107,16 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.median(Seq(7.0)) === 7.0)
     intercept[IllegalArgumentException](BenchPolicy.median(Nil))
   }
+
+  test("twin dir name: same basename, different path -> different twin") {
+    val a = BenchPolicy.twinDirName("/root/testdata/sf0.1")
+    val b = BenchPolicy.twinDirName("/mnt/other/sf0.1")
+    assert(a.startsWith("sfwarm_sf0.1_"), a)
+    assert(b.startsWith("sfwarm_sf0.1_"), b)
+    assert(a !== b, "two corpora sharing a basename reused one twin dir")
+    // deterministic: the same canonical path always maps to the same twin
+    assert(a === BenchPolicy.twinDirName("/root/testdata/sf0.1"))
+    // degenerate inputs still produce a usable name
+    assert(BenchPolicy.twinDirName("").startsWith("sfwarm_"))
+  }
 }
