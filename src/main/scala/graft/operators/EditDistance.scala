@@ -95,6 +95,26 @@ object EditDistance {
     val w = scala.util.Try(docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "").toInt)
       .getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
+    // SIZE-GATED pinning: the pins exist because AQE's byte-based
+    // coalescing folds the candidate join and the verify chain to one
+    // task at corpus scale (measured: an 8.6 s single-task stage
+    // carrying 63% of d14 at the ~sf1 leg — candidates are ~16 B/row,
+    // so byte sizing is the wrong proxy for their compute). At SMALL
+    // scale the same folding is exactly right (the whole candidate set
+    // is one task's work) and the pins only buy w near-empty tasks per
+    // stage of scheduling. Gate on the optimizer's size estimate of the
+    // input — a plan-stats read, zero jobs: pin at/above
+    // `spark.graft.editdist.pinMinBytes` (default 64 MB raw input; the
+    // ~sf1+ legs where folding measurably serialized), skip below it.
+    // Stats-less sources report the huge defaultSizeInBytes sentinel
+    // and therefore PIN — the safe direction at unknown scale.
+    val pinMinBytes = scala.util.Try(docs.sparkSession.conf
+      .get("spark.graft.editdist.pinMinBytes", (64L << 20).toString).toLong)
+      .getOrElse(64L << 20)
+    val pinWidth = docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(pinMinBytes)
+    def pinned(df: DataFrame, keys: Seq[Column]): DataFrame =
+      if (pinWidth) df.repartition(w, keys: _*) else df
 
     // ---- segment geometry (shared by index and probe sides) ----
     // canonical even partition of a length-`ls` string into m
@@ -166,7 +186,7 @@ object EditDistance {
       // join demands, so no extra exchange — only the width survives.
       def pairUp(a: DataFrame, b: DataFrame, extraKey: Seq[String]) = {
         def pin(df: DataFrame) =
-          df.repartition(w, (col("kk") +: extraKey.map(col)): _*)
+          pinned(df, col("kk") +: extraKey.map(col))
         pin(a).as("a").join(pin(b).as("b"),
             (Seq(col("a.kk") === col("b.kk")) ++
               extraKey.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _) &&
@@ -209,12 +229,11 @@ object EditDistance {
       // only forbid folding their width away. Hot id_a/id_b values are
       // bounded upstream by the hot-key salting + df cap, so the
       // pinned hash layout cannot recreate the skew AQE would split.
-      val cands = longCands.unionByName(shortCands)
-        .repartition(w, col("id_a"), col("id_b")).dropDuplicates()
-      cands
-        .repartition(w, col("id_a"))
+      val cands = pinned(longCands.unionByName(shortCands),
+        Seq(col("id_a"), col("id_b"))).dropDuplicates()
+      val withPa = pinned(cands, Seq(col("id_a")))
         .join(reps.select(col("id").as("id_a"), col("pre").as("__pa")), "id_a")
-        .repartition(w, col("id_b"))
+      pinned(withPa, Seq(col("id_b")))
         .join(reps.select(col("id").as("id_b"), col("pre").as("__pb")), "id_b")
         .withColumn("dist",
           levenshtein(col("__pa"), col("__pb"), k).cast("long"))

@@ -715,12 +715,13 @@ object Similarity {
       .select(col(idCol).as("neighbor_id") +: attrCols.map(col) :+
         asDouble(col(vecCol)).as("v") :+
         l2Norm(asDouble(col(vecCol))).as("vn"): _*)
-    val centroids = md5Sample(c, "neighbor_id", nCentroids)
+    // tiny (nCentroids rows) but referenced by build AND search side:
+    // materialize once so the corpus isn't scanned twice for it —
+    // driver-resident (localize), so each consumer's broadcast builds
+    // from driver memory with no executeCollect job
+    val centroids = Caches.localize(md5Sample(c, "neighbor_id", nCentroids)
       .select(col("neighbor_id").as("cid"), col("v").as("cv"),
-        col("vn").as("cn"))
-      // tiny (nCentroids rows) but referenced by build AND search side:
-      // materialize once so the corpus isn't scanned twice for it
-      .eagerCheckpoint()
+        col("vn").as("cn")))
     // single consumer (the probe join or the index write) — no cache
     (centroids, assignToCentroids(c, centroids))
   }
@@ -869,9 +870,11 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))
-    val centroids = md5Sample(c, "id", nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
-      .eagerCheckpoint() // tiny; feeds assignment AND the shift join
+    // tiny; feeds assignment AND the shift join — driver-resident
+    // (localize): both consumers broadcast it with no build job, where
+    // the checkpoint form paid one executeCollect job per broadcast
+    val centroids = Caches.localize(md5Sample(c, "id", nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn")))
     val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
     val assigned = c.crossJoin(broadcast(centroids))
       .withColumn("csim", dot(col("v"), col("cv")) /
@@ -954,10 +957,19 @@ object Similarity {
       dim: Int): DataFrame = {
     // the seed sample is a corpus-wide ordering — data-scale work that
     // wants the session's AQE posture, so it stays OUTSIDE the
-    // iteration conf
-    var cents = md5Sample(c, "id", k)
-      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
-      .eagerCheckpoint()
+    // iteration conf.
+    // The k-row centroid state is DRIVER-RESIDENT for the whole fit
+    // (Caches.localize — k is an algorithm parameter, bounded at any
+    // corpus scale; FAISS trains its quantizer on one node for the same
+    // reason): each iteration is then exactly ONE job (the update
+    // aggregate's collect), where the checkpoint form paid a
+    // materialization job PLUS an executeCollect job per consuming
+    // broadcast build. Values are bit-identical — rows are carried
+    // verbatim, every arithmetic step still runs in Spark expressions —
+    // so the oracle replay and ReliableCheckpointSpec's mode matrix
+    // hold unchanged.
+    var cents = Caches.localize(md5Sample(c, "id", k)
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn")))
     // per-iteration state is the k-row centroid table: the same
     // broadcast-regime loop shape as pageRank/CC/BFS, so the same
     // iteration conf applies — AQE off (one job per checkpoint instead
@@ -976,11 +988,9 @@ object Similarity {
     // (ReliableCheckpointSpec + the oracle replay pin byte-equality).
     Caches.withIterationConf(c.sparkSession, math.max(1L, k.toLong)) {
       for (_ <- 1 to iters) {
-        val next = kmeansUpdate(cents, kmeansAssign(c, cents), dim)
-        // kmeansUpdate checkpoints `next`, so last iteration's centroid
-        // blocks are dead — release rather than stack one per iteration
-        Caches.release(cents)
-        cents = next
+        // localize IS the iteration's one materializing action; the
+        // superseded state needs no release (driver rows, no blocks)
+        cents = Caches.localize(kmeansUpdate(cents, kmeansAssign(c, cents), dim))
       }
     }
     cents
@@ -991,9 +1001,31 @@ object Similarity {
     * centroid table — the k centroids ride as one array-of-structs row,
     * so the corpus never row-multiplies by k. Zero-norm vectors (cosine
     * undefined everywhere) get cid −1. */
+  /** Packed-centroid element for the driver-side 1-row packed table in
+    * [[kmeansAssign]] — field names must stay cid/cv/cn (the fold reads
+    * them by name, and they mirror the former collect_list struct). */
+  private case class PackedCent(cid: Long, cv: Seq[Double], cn: Double)
+
   private def kmeansAssign(c: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = cents.agg(sort_array(collect_list(
-      struct(col("cid"), col("cv"), col("cn")))).as("cents"))
+    // pack the k-row centroid table into a 1-row LOCAL packed table on
+    // the driver: cents is a LocalRelation (the kmeansCentroids
+    // contract), so collect() is a driver-local row copy, and the
+    // broadcast below builds from the LocalTableScan with NO job — the
+    // former agg(sort_array(collect_list)) over a checkpoint paid a
+    // broadcast-build job per assignment pass to ship the same k rows.
+    // Sort by cid = the former sort_array order (struct-lexicographic on
+    // a unique first field); the fold is unchanged, so every assignment
+    // and sim6 is bit-identical. Deliberately NOT an inline literal: the
+    // fold must keep referencing the broadcast side's ATTRIBUTE so the
+    // post-assignment `cid != -1` filters cannot collapse through the
+    // projection and push a per-row k-fold re-evaluation into the cache
+    // scan (measured: v29 ~1.6x slower with a literal fold).
+    val spark = c.sparkSession
+    import spark.implicits._
+    val packedRows = cents.select(col("cid"), col("cv"), col("cn")).collect()
+      .map(r => PackedCent(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cid).toSeq
+    val packed = Seq(Tuple1(packedRows)).toDF("cents")
     val best = aggregate(col("cents"),
       struct(lit(-2.0).as("s"), lit(-1L).as("cid")),
       (acc, ct) => {
@@ -1023,7 +1055,8 @@ object Similarity {
           s => round(s.cast("double") / col("n"), 6)))
           .otherwise(col("cv")).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-      .eagerCheckpoint()
+    // materialization is the caller's localize() — the one action per
+    // Lloyd iteration
   }
 
   /** SSL-prototypes pruning (Sorscher et al. '22 "Beyond neural scaling
@@ -1127,10 +1160,11 @@ object Similarity {
     Caches.scoped(cPrep) {
       val cents = kmeansCentroids(cPrep, nCentroids, iters, dim)
       // the codebook feeds the corpus encode pass AND the query LUTs;
-      // it is broadcast-scale (m·nCodes rows) but its subtree is a
-      // corpus-wide md5 sample — checkpoint so the sample runs once
+      // broadcast-scale (m·nCodes rows), already driver-resident from
+      // pqCodebookFromSample's localize — a second checkpoint here was
+      // redundant even in the checkpoint era
       val codebook = pqCodebook(cPrep.select(col("id"), col("v")), m, dsub,
-        nCodes).eagerCheckpoint()
+        nCodes)
       val codes = pqEncodeAgainst(cPrep.select(col("id"), col("v")),
           codebook, m, dsub)
         .join(assignToCentroids(
@@ -1168,16 +1202,17 @@ object Similarity {
     // rank once (the sampled id set is the same in every subspace), so
     // cidx is "position of cid among the sampled ids" everywhere
     val wIdx = Window.orderBy(col("cid")) // nCodes rows: fine unpartitioned
-    sample
+    // tiny (m·nCodes rows) but its subtree is a corpus-wide sample and it
+    // feeds the encode pass, the per-query LUT build AND pqMeta:
+    // materialize once — driver-resident (localize), so each consumer's
+    // broadcast builds with no executeCollect job
+    Caches.localize(sample
       .withColumn("cidx", row_number().over(wIdx) - 1)
       .select(explode(sequence(lit(0), lit(m - 1))).as("j"),
         col("cid"), col("cidx"), col("cv"))
       .withColumn("cs", slice(col("cv"), col("j") * dsub + 1, lit(dsub)))
       .select(col("j"), col("cid"), col("cidx"), col("cs"),
-        dot(col("cs"), col("cs")).as("csq"))
-      // tiny (m·nCodes rows) but feeds BOTH the encode pass and the
-      // per-query LUT build: materialize once
-      .eagerCheckpoint()
+        dot(col("cs"), col("cs")).as("csq")))
   }
 
   /** Encode every corpus vector as its `m` nearest-subvector code
@@ -1234,8 +1269,9 @@ object Similarity {
     val c = pqPrepare(requirePqDim(corpus, vecCol, m, dsub), idCol, vecCol)
     // three consumers (pqMeta's collect, the encode pass, the query
     // LUTs) would each re-run the corpus-wide md5 sample behind the
-    // codebook — checkpoint the broadcast-scale table once
-    val codebook = pqCodebook(c, m, dsub, nCodes).eagerCheckpoint()
+    // codebook — pqCodebookFromSample materializes it once,
+    // driver-resident, so the consumers' broadcasts build with no job
+    val codebook = pqCodebook(c, m, dsub, nCodes)
     // the lut stride is the DENSE codebook size — smaller than the
     // requested nCodes when the corpus has fewer rows; striding by the
     // request would walk the wrong subspace's entries
@@ -1491,11 +1527,11 @@ object Similarity {
     val c = Caches.spreadByKey(corpus, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
         l2Norm(asDouble(col(vecCol))).as("vn"))
-    val sample = md5Sample(c, "id", nCentroids).eagerCheckpoint()
+    val sample = Caches.localize(md5Sample(c, "id", nCentroids))
     val centroids = sample
       .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
     // at the (default) nCentroids == nCodes the two yardsticks are the
-    // SAME md5 sample — derive both from one checkpointed corpus sort
+    // SAME md5 sample — derive both from one driver-resident corpus sort
     val codebook =
       if (nCodes == nCentroids)
         pqCodebookFromSample(

@@ -396,14 +396,19 @@ class SimilaritySpec extends SparkSuite {
       k = 4, iters = 1, dim = 64)
     finally graft.operators.Caches.planProbe.remove()
     val plan = probed.last.toString()
-    // packed 1-row centroid table rides a broadcast nested-loop (no row
-    // blow-up) and the only hash shuffles are on vec_id (parallelism)
-    // and cid (the grouped agg) — never a shuffle of corpus×k scored
-    // rows. (The exchange COUNT is gated canonically by the interior
-    // budget in plans/exchange_budget.tsv via PlanRegressionSpec; the
-    // raw string here holds AQE's initial-plan copy plus the cached
-    // input's child plan, so counting matches would double-count.)
+    // the k-row centroid table is DRIVER-RESIDENT: the packed 1-row
+    // table rides a broadcast nested-loop built from a LocalTableScan
+    // (no build job, no row blow-up), the report joins the
+    // LocalTableScan centroid table, and the only hash shuffles are
+    // on vec_id (parallelism) and cid (the grouped agg) — never a
+    // shuffle of corpus×k scored rows. (The exchange COUNT is gated
+    // canonically by the interior budget in plans/exchange_budget.tsv
+    // via PlanRegressionSpec; the raw string here holds AQE's
+    // initial-plan copy plus the cached input's child plan, so counting
+    // matches would double-count.)
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("LocalTableScan"), plan.take(1500))
     val hashParts = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(hashParts.subsetOf(Set("vec_id", "cid")), hashParts.toString)
